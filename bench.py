@@ -1,0 +1,90 @@
+"""Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line for the driver (BENCH_r{N}.json).
+
+Vector/dedup headliners use the production fold-based tier
+(operators/similarity.py), not the explode-based oracle tier — the
+oracle tier exists for bit-exact DuckDB comparison, the fold tier is
+what a cluster would run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from comperhensive_bigdata_analysis__spark import plans
+from comperhensive_bigdata_analysis__spark.operators.similarity import (
+    brute_force_knn,
+    cosine_pairs_above,
+)
+from comperhensive_bigdata_analysis__spark.session import get_spark
+from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+
+def _knn_fast(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_knn(e, q, k=10)
+
+
+def _near_dup_fast(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(e, threshold=0.35)
+
+
+HEADLINE = {
+    "q1_pricing_summary": plans.QUERIES["pricing_summary"],
+    "q2_revenue_by_nation": plans.QUERIES["revenue_by_nation"],
+    "q3_filter_project": plans.QUERIES["filter_project_arith"],
+    "q4_window_top_orders": plans.QUERIES["window_top_orders"],
+    "q5_daily_events": plans.QUERIES["daily_events"],
+    "q6_doc_quality": plans.QUERIES["doc_quality"],
+    "q7_exact_dedup": plans.QUERIES["exact_dedup_docs"],
+    "q8_minhash_lsh": plans.QUERIES["minhash_lsh_dedup"],
+    "q9_knn_bruteforce": _knn_fast,
+    "q10_embedding_near_dup": _near_dup_fast,
+    "q11_linear_forecast": plans.QUERIES["linear_forecast"],
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("cba-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once, untimed.
+    plans.QUERIES["pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Text analysis column expressions — JVM built-ins only.
+
+Language-ID / quality / token ops for LLM-corpus curation, plus the
+shingle generators the dedup module builds on. Every function here maps
+string column -> Column with no Python in the row path; at 100 TB these
+run inside whole-stage codegen over the parquet scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal English stopword head — enough for a heuristic language vote.
+STOPWORDS_EN = ("the", "and", "of", "to", "in", "is", "a")
+
+_STOPWORD_RE = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+_PUNCT_RE = r"[^.,!?;:]"
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col) -> Column:
+    """Whitespace token count; 0 for blank/empty strings."""
+    t = _c(col)
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+
+
+def tokens(col) -> Column:
+    """Whitespace token array (lowercased)."""
+    return F.split(F.trim(F.lower(_c(col))), r"\s+")
+
+
+def punct_count(col) -> Column:
+    """Count of sentence punctuation chars [.,!?;:]."""
+    return F.length(F.regexp_replace(_c(col), _PUNCT_RE, ""))
+
+
+def stopword_count(col) -> Column:
+    """Occurrences of the English stopword head (regexp_count is
+    codegen'd; the \\b boundaries match RE2/DuckDB semantics)."""
+    return F.regexp_count(F.lower(_c(col)), F.lit(_STOPWORD_RE))
+
+
+def quality_score_col(n_tokens, n_chars, n_stop) -> Column:
+    """Composite quality heuristic in [0,1]:
+    0.4 * length-band + 0.3 * stopword density + 0.3 * mean token length.
+    Operates on precomputed stat columns so one scan feeds many scores."""
+    nt = _c(n_tokens).cast("double")
+    length_band = F.when((nt >= 20) & (nt <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_density = F.least(_c(n_stop).cast("double") * 10.0 / nt, F.lit(1.0))
+    mean_tok_len = F.least(_c(n_chars).cast("double") / nt / 8.0, F.lit(1.0))
+    return 0.4 * length_band + 0.3 * stop_density + 0.3 * mean_tok_len
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column.
+
+    Built with sequence+transform over the token array — no explode here;
+    callers explode exactly once into the inverted-index shape they need.
+    Documents shorter than n words yield a single whole-doc shingle so
+    they still participate in dedup.
+    """
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def char_shingles(col, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of the lowercased text."""
+    t = F.lower(_c(col))
+    k = F.length(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(grams)

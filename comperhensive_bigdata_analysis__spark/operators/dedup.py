@@ -1,0 +1,201 @@
+"""Deduplication operators for text corpora (driver-mandated LLM-pipeline
+capability; no analog in the reference, which only needed whole-row
+DISTINCT — SURVEY §2.6).
+
+Design for 100 TB:
+
+- exact_dedup: hash-groupBy on a 128-bit content digest. One shuffle on
+  the digest (uniformly distributed -> no skew), map-side combine.
+- ngram_jaccard_pairs: inverted-index self-join on shingles. Exact but
+  quadratic in the worst case — the CORRECTNESS baseline. At scale, cap
+  shingle document frequency (max_df) to break hot-key skew, or use
+  minhash_lsh_pairs.
+- minhash_lsh_pairs: the scale path. Signatures are k independent mins
+  over shingle hashes (one explode + one groupBy with k min-aggregates);
+  banding turns all-pairs into an equality join on (band, bucket) —
+  shuffle keys are uniform hashes, cardinality bounded by collisions.
+
+Portability: hashes are lexicographic mins of md5 hex strings (salted
+per seed). md5 is identical everywhere, so DuckDB oracles can replay the
+exact computation — no engine-specific hash() anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+#: MinHash configuration — 8 hashes in 4 bands of 2. Small but honest:
+#: bands of 2 fire at jaccard ~0.3+ with high probability.
+MINHASH_K = 8
+MINHASH_BANDS = 4
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by content digest; keep the minimum id as canonical.
+
+    Returns (sig, keep_id, n_copies) — one row per distinct content.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("sig"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per document."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    |A ∩ B| from the shingle self-join, |A ∪ B| = |A|+|B|-|A ∩ B|.
+    ``max_df`` drops shingles present in more than that many documents
+    before the join (hot-key/skew control at scale; alters semantics, so
+    oracle-checked plans leave it None).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = _shingle_rows(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("s").count().filter(F.col("count") > max_df).select("s")
+        sh = sh.join(hot, "s", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _salted_hash(seed: int):
+    return lambda col: F.md5(F.concat(F.lit(f"mh{seed}:"), col).cast("binary"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc, mh_0..mh_{k-1}): per-document MinHash signature — the min of
+    each salted md5 over the document's shingle set. One explode + one
+    groupBy with k min-aggregates (all map-side combinable)."""
+    sh = _shingle_rows(df, id_col, text_col, n)
+    return sh.groupBy("doc").agg(
+        *[F.min(_salted_hash(i)(F.col("s"))).alias(f"mh_{i}") for i in range(k)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    min_est: float = 0.25,
+) -> DataFrame:
+    """LSH candidate pairs + estimated jaccard.
+
+    Banding: signature split into ``bands`` groups of k/bands rows; docs
+    sharing any band bucket become candidates (equality join on the
+    band-bucket digest — uniform shuffle keys). Estimated jaccard =
+    fraction of matching signature components.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_rows = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+                            .cast("binary")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    x, y = band_rows.alias("x"), band_rows.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)])
+    sb = sig.select(F.col("doc").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)])
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(float(k))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens.
+
+    Each token contributes +1/-1 to each bit position according to its
+    md5; the signature bit is the sign of the sum. ``bits`` <= 32 (we
+    parse one hex nibble per 4 bits). One explode + one groupBy with
+    ``bits`` conditional-sum aggregates.
+    Returns (doc, simhash) with simhash as a non-negative long.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10).cast("long")
+    bit_sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"bs_{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"bs_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return bit_sums.select("doc", sig.cast("long").alias("simhash"))

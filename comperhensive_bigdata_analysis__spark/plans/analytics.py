@@ -1,0 +1,213 @@
+"""Time-series analytics plans — the reference's distinctive capability
+(SURVEY §2.9 M1-M5: sequential split, fit, predict, future frame, MAPE)
+re-expressed with a deterministic closed-form linear-trend model so the
+DuckDB oracle can replay it exactly. The Prophet-style grouped-map UDF
+tier lives in forecast.py (same architecture, applyInPandas).
+
+Determinism: all aggregates are decimal-exact; the regression algebra
+then runs in scalar double on identical operands in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import plan
+
+DEC = "decimal(18,6)"
+
+# Shared daily-rollup SQL (events -> one row per event_type x day).
+_DAILY_CTE = """
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT event_type, (day - DATE '1970-01-01') AS x, y FROM daily
+    )
+"""
+
+_REG_AGG = """
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(x * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             MAX(x) AS xmax
+      FROM xy {where} GROUP BY event_type
+"""
+
+
+def _daily_xy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("y"))
+    )
+    return daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+
+
+def _reg_agg(xy):
+    """Decimal-exact regression sufficient statistics, cast to double."""
+    return xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x").cast("bigint") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y").cast(DEC)).cast("double").alias("sxy"),
+        F.max("x").alias("xmax"),
+    )
+
+
+def _slope_intercept(df):
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    df = df.withColumn("slope", slope)
+    return df.withColumn(
+        "intercept", (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-trend forecast: fit per event_type on all days, predict the next
+# 7 days (reference M2-M4: fit + make_future_dataframe + predict).
+# ---------------------------------------------------------------------------
+
+_FORECAST_ORACLE = f"""
+    WITH {_DAILY_CTE},
+    r AS ({_REG_AGG.format(where="")}),
+    s AS (
+      SELECT event_type, xmax,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+      FROM r
+    )
+    SELECT event_type,
+           strftime(DATE '1970-01-01' + INTERVAL (xmax + h) DAY, '%Y-%m-%d') AS day,
+           ROUND(intercept + slope * (xmax + h), 6) AS yhat
+    FROM s, (SELECT unnest(generate_series(1, 7)) AS h)
+    ORDER BY event_type, day
+"""
+
+
+@plan("linear_forecast", _FORECAST_ORACLE)
+def linear_forecast(spark, sf_dir):
+    fitted = _slope_intercept(_reg_agg(_daily_xy(spark, sf_dir)))
+    horizon = fitted.select(
+        "event_type",
+        "xmax",
+        "slope",
+        "intercept",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+    )
+    return horizon.select(
+        "event_type",
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("xmax") + F.col("h")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.round(F.col("intercept") + F.col("slope") * (F.col("xmax") + F.col("h")), 6).alias(
+            "yhat"
+        ),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Holdout MAPE: sequential time split (reference M1: 83/17 positional ->
+# here a fixed cutoff date), fit on train, MAPE on test (reference M5,
+# ipynb:1057 — avg(abs((y - yhat)/y))).
+# ---------------------------------------------------------------------------
+
+_CUTOFF = "2024-01-24"
+
+_MAPE_ORACLE = f"""
+    WITH {_DAILY_CTE},
+    r AS ({_REG_AGG.format(where=f"WHERE x < (DATE '{_CUTOFF}' - DATE '1970-01-01')")}),
+    s AS (
+      SELECT event_type,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+      FROM r
+    )
+    SELECT xy.event_type,
+           COUNT(*) AS n_test,
+           ROUND(CAST(SUM(CAST(abs((y - (intercept + slope * x)) / y) AS DECIMAL(18,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mape
+    FROM xy JOIN s ON xy.event_type = s.event_type
+    WHERE x >= (DATE '{_CUTOFF}' - DATE '1970-01-01')
+    GROUP BY xy.event_type
+    ORDER BY xy.event_type
+"""
+
+
+@plan("forecast_mape", _MAPE_ORACLE)
+def forecast_mape(spark, sf_dir):
+    xy = _daily_xy(spark, sf_dir)
+    cutoff_x = F.datediff(F.lit(_CUTOFF).cast("date"), F.lit("1970-01-01").cast("date"))
+    fitted = _slope_intercept(_reg_agg(xy.filter(F.col("x") < cutoff_x))).select(
+        "event_type", "slope", "intercept"
+    )
+    test = xy.filter(F.col("x") >= cutoff_x)
+    ape = F.abs((F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))) / F.col("y"))
+    return (
+        test.join(F.broadcast(fitted), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.sum(ape.cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wide conditional-sum projection (reference Q2/Q3 shape: one column per
+# category summed per day, ipynb:536-549 — pivot expressed as FILTER/CASE
+# aggregates so it stays one shuffle).
+# ---------------------------------------------------------------------------
+
+_WIDE_ORACLE = """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS click_sum,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS view_sum,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS purchase_sum,
+           CAST(SUM(CASE WHEN event_type IN ('click','view')
+                    THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS engagement_sum
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+"""
+
+
+@plan("daily_wide_sums", _WIDE_ORACLE)
+def daily_wide_sums(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+
+    def csum(pred, alias):
+        return (
+            F.sum(F.when(pred, F.col("value").cast(DEC)).otherwise(F.lit(0).cast(DEC)))
+            .cast("double")
+            .alias(alias)
+        )
+
+    et = F.col("event_type")
+    return (
+        e.groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            csum(et == "click", "click_sum"),
+            csum(et == "view", "view_sum"),
+            csum(et == "purchase", "purchase_sum"),
+            csum(et.isin("click", "view"), "engagement_sum"),
+        )
+        .orderBy("day")
+    )

@@ -1,0 +1,166 @@
+"""Dedup plans over ``documents`` (exact, n-gram Jaccard, MinHash-LSH,
+SimHash) with full DuckDB oracles — every hash is md5-derived so the
+oracle replays the identical computation.
+
+Scale posture: exact Jaccard here is the correctness baseline; the LSH
+plan demonstrates the banding path whose shuffle keys are uniform
+digests. See operators/dedup.py for the 100 TB notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..sources.tables import load_table
+from . import plan
+
+# ---------------------------------------------------------------------------
+# Exact dedup: md5 content groups (hash-groupBy; uniform shuffle keys).
+# ---------------------------------------------------------------------------
+
+
+@plan(
+    "exact_dedup_docs",
+    """
+    SELECT md5(text) AS sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY sig
+    """,
+)
+def exact_dedup_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").orderBy("sig")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (word 3-shingles, threshold 0.3).
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in generate_series(1, greatest(len(t)-2, 1))])) AS s
+      FROM toks
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i / (x.n + y.n - i) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE i / (x.n + y.n - i) >= 0.3
+    ORDER BY id_a, id_b
+"""
+
+
+@plan("ngram_jaccard_dedup", _JACCARD_ORACLE)
+def ngram_jaccard_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs (the scale path for the Jaccard join).
+# k=8 salted-md5 min-hashes, 4 bands of 2.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    r = k // bands
+    mins = ",\n             ".join(
+        f"MIN(md5('mh{i}:' || s)) AS mh_{i}" for i in range(k)
+    )
+    band_eq = "\n       OR ".join(
+        "("
+        + " AND ".join(f"a.mh_{b * r + j} = b.mh_{b * r + j}" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in generate_series(1, greatest(len(t)-2, 1))])) AS s
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ({matches}) / {float(k)} AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({band_eq})
+      AND ({matches}) / {float(k)} >= 0.25
+    ORDER BY id_a, id_b
+    """
+
+
+@plan("minhash_lsh_dedup", _minhash_oracle())
+def minhash_lsh_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, min_est=0.25).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit; token-level). Bit-exact oracle via the
+# '0x'-prefixed hex cast of the same md5 prefix.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hv FROM tok
+    ),
+    bits AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id AS doc,
+           CAST({sig} AS BIGINT) AS simhash
+    FROM bits
+    ORDER BY doc
+""".format(
+    sums=",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS bs_{i}"
+        for i in range(16)
+    ),
+    sig=" + ".join(f"(CASE WHEN bs_{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16)),
+)
+
+
+@plan("simhash_docs", _SIMHASH_ORACLE)
+def simhash_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(d, "doc_id", "text", bits=16).orderBy("doc")

@@ -1,0 +1,465 @@
+"""Core relational plans — the reference's query surface (SURVEY §2.2-§2.8)
+re-expressed on the driver corpus.
+
+Each plan cites the reference query shape it generalizes (Q0-Q12,
+SURVEY §2.12). Scale notes inline: broadcasts for dimension joins,
+partial aggregation everywhere (groupBy.agg is map-side combined),
+TakeOrderedAndProject for top-k, no driver-side row handling.
+
+Determinism contract with the DuckDB oracle:
+- SUM/AVG over doubles casts operands to DECIMAL first (exact,
+  order-insensitive) and casts the result back to double.
+- Timestamps are rendered to ISO strings with date_format/strftime.
+- Every ORDER BY ... LIMIT has a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import plan
+
+DEC = "decimal(18,6)"
+
+#: Narrow operand types for decimal MULTIPLICATION: DuckDB silently falls
+#: back to double math when a decimal product's precision would exceed 38,
+#: so products use (12,4) x (7,4) -> exact decimal in both engines.
+PRICE_DEC = "decimal(12,4)"
+RATE_DEC = "decimal(6,4)"
+
+
+def _dec(c):
+    return (c if not isinstance(c, str) else F.col(c)).cast(DEC)
+
+
+def disc_price_sum(price_col: str, disc_col: str, alias: str):
+    """Exact SUM(price * (1 - discount)) as double — the decimal widths
+    keep both Spark and DuckDB on integer (decimal) arithmetic."""
+    prod = F.col(price_col).cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col(disc_col).cast(RATE_DEC)
+    )
+    return F.sum(prod).cast("double").alias(alias)
+
+
+#: The oracle-side spelling of disc_price_sum.
+DISC_PRICE_SQL = (
+    "CAST(SUM(CAST({p} AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(6,4)) - CAST({d} AS DECIMAL(6,4)))) AS DOUBLE)"
+)
+
+
+def _dsum(c, alias):
+    """Exact sum of a double column, returned as double."""
+    return F.sum(_dec(c)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape; generalizes reference Q6/Q7 —
+# SUM/AVG + GROUP BY + ORDER BY, ipynb:1814-1816, 1952-1954).
+# Scale: single shuffle on (returnflag, linestatus) — 6 groups; partial
+# agg collapses ~everything map-side. No other exchange in the plan.
+# ---------------------------------------------------------------------------
+@plan(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            disc_price_sum("l_extendedprice", "l_discount", "sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join revenue rollup (reference has only client-side joins J1/J2;
+# this is the same capability in-engine). nation/region are tiny -> the
+# engine broadcasts them explicitly; customer⋈orders⋈lineitem shuffles on
+# the join keys and AQE picks sizes at runtime.
+# ---------------------------------------------------------------------------
+@plan(
+    "revenue_by_nation",
+    """
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            disc_price_sum("l_extendedprice", "l_discount", "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter + arithmetic projection (reference Q2/Q3 shape: multi-column
+# arithmetic + date predicate + sort, ipynb:536-549/708-717). Per-row
+# double math is IEEE-deterministic, no decimal needed. The date filter
+# and 4-column projection both push into the parquet scan.
+# ---------------------------------------------------------------------------
+@plan(
+    "filter_project_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_discount > 0.05
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def filter_project_arith(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rev.alias("revenue"),
+            (rev * (F.lit(1.0) + F.col("l_tax"))).alias("charged"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k (reference Q8: sum by state ORDER BY 2 DESC LIMIT 10, ipynb:2116-2118).
+# Spark plans this as TakeOrderedAndProject — no global sort.
+# ---------------------------------------------------------------------------
+@plan(
+    "top_customers",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(_dsum("o_totalprice", "total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("total_spend").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT projection (reference Q4/Q5/D1, ipynb:933-936).
+# ---------------------------------------------------------------------------
+@plan(
+    "distinct_status_priority",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def distinct_status_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN-subquery semi-join (reference P6/J3: WHERE x IN (SELECT ...),
+# ipynb:2281). Expressed as an explicit left-semi join; the subquery side
+# is tiny -> broadcast.
+# ---------------------------------------------------------------------------
+@plan(
+    "semi_join_region_customers",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_region_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sub = n.filter(F.col("n_regionkey").isin(0, 1)).select("n_nationkey")
+    return (
+        c.join(F.broadcast(sub), c.c_nationkey == sub.n_nationkey, "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left equi-join with differing key names (reference J1: pandas merge
+# left_on/right_on, ipynb:2654). Lookup side broadcast.
+# ---------------------------------------------------------------------------
+@plan(
+    "left_join_nation_region",
+    """
+    SELECT n_nationkey, n_name, r_name AS region_name
+    FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_nationkey
+    """,
+)
+def left_join_nation_region(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY expression + IS NOT NULL + IN-subquery + ordinal-style sort —
+# the full reference Q9-Q12 shape (trim(expr) group key, ipynb:2279-2283).
+# ---------------------------------------------------------------------------
+@plan(
+    "group_by_expr_nation",
+    """
+    SELECT trim(upper(n_name)) AS nation,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal_sum
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal IS NOT NULL
+      AND c_nationkey IN (SELECT n_nationkey FROM nation)
+    GROUP BY trim(upper(n_name))
+    ORDER BY acctbal_sum DESC, nation
+    """,
+)
+def group_by_expr_nation(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sub = n.select("n_nationkey")
+    return (
+        c.filter(F.col("c_acctbal").isNotNull())
+        .join(F.broadcast(sub), c.c_nationkey == sub.n_nationkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.trim(F.upper(F.col("n_name"))).alias("nation"))
+        .agg(_dsum("c_acctbal", "acctbal_sum"))
+        .orderBy(F.col("acctbal_sum").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(*) probes (reference A1/Q1 get_table_shape, ipynb:72-73).
+# Cross-join of 1-row aggregates — constant cost at any scale.
+# ---------------------------------------------------------------------------
+@plan(
+    "table_counts",
+    """
+    SELECT (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
+           (SELECT COUNT(*) FROM orders)   AS orders_rows,
+           (SELECT COUNT(*) FROM customer) AS customer_rows
+    """,
+)
+def table_counts(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("lineitem_rows"))
+    o = load_table(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("orders_rows"))
+    c = load_table(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("customer_rows"))
+    return l.crossJoin(o).crossJoin(c)
+
+
+# ---------------------------------------------------------------------------
+# Window function: per-customer top-3 orders (SURVEY §2.8 — absent in the
+# reference, mandated as a natural follow-on). One shuffle on o_custkey.
+# ---------------------------------------------------------------------------
+@plan(
+    "window_top_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def window_top_orders(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (grouping sets family; absent in the reference, SURVEY §2.4 —
+# rounded out here because Spark gives it natively).
+# ---------------------------------------------------------------------------
+@plan(
+    "rollup_returnflag",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def rollup_returnflag(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity", "qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6 — absent in the reference; native in Spark).
+# ---------------------------------------------------------------------------
+@plan(
+    "union_nation_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def union_nation_keys(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@plan(
+    "except_nation_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def except_nation_keys(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Date-expression grouping + sort on the expression (reference O2
+# `order by date(day) asc` + F2 date(), ipynb:549). Events table.
+# ---------------------------------------------------------------------------
+@plan(
+    "daily_events",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def daily_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "value_sum"))
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT-over-GROUP-BY no-op (reference Q7 exactly: `select distinct
+# technology, avg(...) group by technology`, ipynb:1952-1954).
+# ---------------------------------------------------------------------------
+@plan(
+    "avg_price_by_priority",
+    """
+    SELECT DISTINCT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY avg_price DESC, o_orderpriority
+    """,
+)
+def avg_price_by_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg((F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"))
+        .distinct()
+        .orderBy(F.col("avg_price").desc(), "o_orderpriority")
+    )

@@ -1,0 +1,192 @@
+"""Text-analysis plans over the ``documents`` table (driver-mandated
+LLM-pipeline operators: language-ID, quality scoring, token counting,
+fingerprinting).
+
+All hot-path expressions are JVM built-ins (regexp_count / split /
+length / md5) — whole-stage codegen end to end, no Python UDFs. Each
+plan is embarrassingly parallel over document partitions: no shuffle
+except the final per-language rollups, which group on a handful of keys.
+
+Portability notes for the DuckDB oracles: Java regex and RE2 agree on
+the character classes used here; DuckDB's regexp_replace needs the
+explicit 'g' flag to match Spark's replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    punct_count,
+    quality_score_col,
+    stopword_count,
+    token_count,
+)
+from ..sources.tables import load_table
+from . import plan
+
+# ---------------------------------------------------------------------------
+# Per-document stats: token count, char count, punctuation, stopwords.
+# (Reference analog: A6/A7 column profiling, helper_utils.py:89,118 —
+# generalized to text-corpus profiling.)
+# ---------------------------------------------------------------------------
+
+
+@plan(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           length(text) AS n_chars_actual,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS n_stopwords
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t).alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring + filter: keep documents above a composite threshold.
+# Weighted mix of length band, stopword density and mean token length —
+# the classic heuristic pre-filter of an LLM data pipeline.
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = r"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             length(text) AS n_chars_actual,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           ROUND(
+             0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 10.0 / n_tokens, 1.0)
+           + 0.3 * LEAST(CAST(n_chars_actual AS DOUBLE) / n_tokens / 8.0, 1.0), 6)
+             AS quality
+    FROM scored
+    WHERE n_tokens > 0
+    ORDER BY doc_id
+"""
+
+
+@plan("doc_quality", _QUALITY_ORACLE)
+def doc_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        stopword_count(F.col("text")).alias("n_stop"),
+    )
+    return (
+        scored.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.round(quality_score_col("n_tokens", "n_chars_actual", "n_stop"), 6).alias(
+                "quality"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword-list voting entirely in regexp_count —
+# the n-gram/stopword heuristic of the classic langid pre-filter. The
+# corpus's `lang` label lets the oracle double as an accuracy harness.
+# ---------------------------------------------------------------------------
+
+_LANGID_ORACLE = r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) >= 3
+                    THEN 1 ELSE 0 END) AS n_pred_en
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@plan("lang_id_stats", _LANGID_ORACLE)
+def lang_id_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pred_en = (stopword_count(F.col("text")) >= 3).cast("int")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(pred_en).cast("long").alias("n_pred_en"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: md5 content hash (the exact-dedup signature) +
+# a 16-hex-digit prefix usable as a 64-bit bucket key.
+# ---------------------------------------------------------------------------
+
+
+@plan(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 16) AS fp64
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 16).alias("fp64")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from the events.props column (semi-structured scan —
+# modern pipelines always carry a JSON tail column).
+# ---------------------------------------------------------------------------
+
+
+@plan(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY k
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("k")
+    )

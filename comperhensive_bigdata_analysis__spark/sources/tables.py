@@ -1,0 +1,67 @@
+"""Parquet table loaders for the test corpus (SURVEY §2.1 S4).
+
+The driver corpus (TESTDATA.md) is one parquet file per table under
+``/root/testdata/sf*/``. One quirk: ``events.parquet`` stores ``ts`` as
+parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark's vectorized
+reader rejects outright. With ``spark.sql.legacy.parquet.nanosAsLong=true``
+(set by session.apply_runtime_confs) the column arrives as a raw int64
+nanosecond count; ``load_table`` converts it back to a naive timestamp
+(TIMESTAMP_NTZ) so downstream code sees the intended type. The
+conversion is pure column arithmetic — stays inside whole-stage codegen,
+no UDF, no extra scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import apply_runtime_confs
+
+#: Canonical corpus tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_to_ntz(col):
+    """int64 nanoseconds-since-epoch (naive) -> TIMESTAMP_NTZ.
+
+    timestamp_micros() yields an instant (TIMESTAMP_LTZ); casting to NTZ
+    renders it in the session time zone, which apply_runtime_confs pins
+    to UTC — so naive-nanos round-trips exactly (sub-microsecond truncated).
+    """
+    return F.timestamp_micros((col / 1000).cast("long")).cast(T.TimestampNTZType())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table, normalizing known type quirks."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", _nanos_to_ntz(F.col("ts")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (reference capability:
+    one shared registered copy per table — aws_utils.py:203-220)."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,42 @@
+"""Golden-query suite: every registered plan must hash-match its DuckDB
+oracle at smoke scale (sf0.001) — the same gate the driver applies at
+sf0.01 (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from comperhensive_bigdata_analysis__spark import plans
+
+from .conftest import SF_SMOKE
+from .oracle_harness import compare_plan, duck_con
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_SMOKE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(plans.QUERIES))
+def test_plan_matches_oracle(spark, con, name):
+    res = compare_plan(
+        spark, con, SF_SMOKE, name, plans.QUERIES[name], plans.ORACLES.get(name)
+    )
+    assert res["status"] in ("OK", "rows-only"), res
+
+
+def test_every_plan_has_oracle():
+    """Plans without oracles get a weaker check — keep the set empty
+    unless genuinely non-SQL-expressible (document exceptions here)."""
+    missing = set(plans.QUERIES) - set(plans.ORACLES)
+    assert missing == set(), f"plans missing oracles: {missing}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    assert df.count() >= 0
+    assert set(ent.oracle_sql()) <= set(ent.queries())
