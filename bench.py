@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from comperhensive_bigdata_analysis__spark import plans
 from comperhensive_bigdata_analysis__spark.operators.similarity import (
     brute_force_knn,
-    cosine_pairs_above,
+    cosine_pairs_above_np,
 )
 from comperhensive_bigdata_analysis__spark.session import get_spark
 from comperhensive_bigdata_analysis__spark.sources.tables import load_table
@@ -33,12 +33,14 @@ def _knn_fast(spark, sf_dir):
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # Single-query knn: the JVM fold tier beats the numpy tier (no
+    # Python workers / broadcast needed for one query vector).
     return brute_force_knn(e, q, k=10)
 
 
 def _near_dup_fast(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_above(e, threshold=0.35)
+    return cosine_pairs_above_np(e, threshold=0.35)
 
 
 HEADLINE = {

@@ -1,0 +1,125 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Pattern (driver-mandated): the engine treats media as `binary` columns
+with a metadata struct; decode / feature-extract / resize / frame-sample
+run as Arrow-batched pandas iterators over mapInPandas, so bytes never
+leave the executor and flow batch-at-a-time (bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch, NOT whole-partition
+materialization).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode kernel is pluggable: `fake_decoder` is a deterministic
+stand-in (bytes -> pseudo image dims/features from the content hash)
+and `codec_decoder` raises NotImplementedError until a real codec is
+registered. Everything Spark-side — schemas, batching, partitioning,
+UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Metadata emitted per decoded media object.
+DECODE_SCHEMA = (
+    "id long, media_type string, n_bytes long, width int, height int, "
+    "channels int, digest string"
+)
+
+FRAME_SCHEMA = "id long, frame_idx int, frame_digest string"
+
+
+def attach_fake_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Test/bench helper: wrap an existing column's bytes as a media
+    column (id, content binary, media_type). Real pipelines read bytes
+    with `spark.read.format('binaryFile')` instead."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).cast("binary").alias("content"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+def fake_decoder(content: bytes, media_type: str) -> dict:
+    """Deterministic decode stand-in: dims derived from the md5 digest.
+
+    Replace with a real codec via decode_media(..., decoder=...).
+    """
+    digest = hashlib.md5(content).hexdigest()
+    w = 64 + int(digest[:4], 16) % 1024
+    h = 64 + int(digest[4:8], 16) % 1024
+    ch = 1 + int(digest[8], 16) % 4
+    return {"width": w, "height": h, "channels": ch, "digest": digest}
+
+
+def codec_decoder(content: bytes, media_type: str) -> dict:
+    """Real-codec slot — wire PIL/ffmpeg/librosa here when available."""
+    raise NotImplementedError(
+        "no media codec in this environment; use fake_decoder or register one"
+    )
+
+
+def decode_media(media: DataFrame, decoder=fake_decoder) -> DataFrame:
+    """(id, content, media_type) -> DECODE_SCHEMA via Arrow-batched
+    mapInPandas. One Python worker per partition; bytes stay columnar in
+    Arrow buffers between JVM and Python."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            metas = [
+                decoder(bytes(c), t)
+                for c, t in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "digest": [m["digest"] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic frame sampling for "video" rows: frame i digest =
+    md5(content || i). Emits n_frames rows per video — the row-explosion
+    shape a real frame sampler has, with bounded memory."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video"]
+            out = {"id": [], "frame_idx": [], "frame_digest": []}
+            for i, c in zip(vids["id"], vids["content"]):
+                raw = bytes(c)
+                for f in range(n_frames):
+                    out["id"].append(i)
+                    out["frame_idx"].append(f)
+                    out["frame_digest"].append(
+                        hashlib.md5(raw + f.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass (no Python): sizes + digests via builtins.
+    This is the fast path for anything that doesn't need decoding."""
+    return media.select(
+        "id",
+        "media_type",
+        F.octet_length("content").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )

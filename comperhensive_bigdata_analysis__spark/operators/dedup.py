@@ -127,7 +127,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    # The signature relation feeds three consumers (banding + both sides
+    # of the match-count join); persist so the shingle explode runs once.
+    sig = minhash_signatures(df, id_col, text_col, n, k).persist()
     band_rows = sig.select(
         "doc",
         F.explode(

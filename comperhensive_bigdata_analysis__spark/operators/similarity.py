@@ -83,6 +83,114 @@ def cosine_pairs_above(
     )
 
 
+def _normalized_matrix(vectors: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, unit-row matrix) of the whole vector set.
+
+    Only valid when the vector set fits on the driver (bench/test scale,
+    or the candidate side of an LSH bucket). numpy float64 throughout.
+    """
+    import numpy as np
+
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def brute_force_knn_np(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Arrow/numpy tier of brute_force_knn: broadcast the (small)
+    normalized query matrix; each partition computes one blocked matmul
+    per Arrow batch and emits its local top-k, merged by a final global
+    top-k. This is the production brute-force path — vectorized math,
+    one pass over the scan side, k·q rows shuffled per partition."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    qids, qmat = _normalized_matrix(queries, query_id_col, vec_col)
+    b_q = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def score(batches):
+        qi, qm = b_q.value
+        for pdf in batches:
+            a = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            nrm = np.linalg.norm(a, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = (a / nrm) @ qm.T  # (batch, n_queries)
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qi):
+                col = sims[:, j]
+                mask = ids != qid
+                take = min(k, int(mask.sum()))
+                idx = np.argpartition(-col[mask], take - 1)[:take]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: qid,
+                        id_col: ids[mask][idx],
+                        "cosine": col[mask][idx],
+                    }
+                )
+
+    from pyspark.sql.window import Window
+
+    local = vectors.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_pairs_above_np(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Arrow/numpy tier of cosine_pairs_above: the full normalized matrix
+    is broadcast once; each partition matmuls its Arrow batches against
+    it and emits only above-threshold pairs with id_a < id_b.
+
+    Valid while the matrix fits in executor memory (~1e7 x 64 doubles =
+    5 GB); beyond that, bucket first (lsh_bucket_pairs) and run this
+    inside buckets."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    ids, mat = _normalized_matrix(vectors, id_col, vec_col)
+    b_all = spark.sparkContext.broadcast((ids, mat))
+
+    def pairs(batches):
+        all_ids, all_mat = b_all.value
+        for pdf in batches:
+            a = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            nrm = np.linalg.norm(a, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = (a / nrm) @ all_mat.T
+            ids_a = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (ids_a[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[ii],
+                    "id_b": all_ids[jj],
+                    "cosine": sims[ii, jj],
+                }
+            )
+
+    return vectors.mapInPandas(pairs, schema="id_a long, id_b long, cosine double")
+
+
 def lsh_bucket_pairs(
     vectors: DataFrame,
     hyperplanes: list[list[float]],

@@ -88,6 +88,14 @@ def preprocess(df: DataFrame) -> DataFrame:
       parse as a timestamp? per any column, is it entirely NULL?
     pass 2: apply drops + coercions as column expressions.
     """
+    # Spark's CSV inference may already yield `date`; the reference's
+    # pandas path always lands on datetime64 -> normalize to timestamp.
+    df = df.select(
+        *[
+            F.col(c).cast("timestamp").alias(c) if t == "date" else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
     string_cols = [c for c, t in df.dtypes if t == "string"]
     aggs = [
         F.count(F.col(c)).alias(f"__nn_{i}") for i, c in enumerate(df.columns)
@@ -116,26 +124,27 @@ def preprocess(df: DataFrame) -> DataFrame:
 
 
 def _narrow_ints(df: DataFrame) -> DataFrame:
-    """Reference int-width rule (helper_utils.py:105-110): integral column
-    entirely within +/-2**30 -> int, else bigint. One min/max aggregate."""
-    int_cols = [c for c, t in df.dtypes if t in ("bigint", "long")]
+    """Reference int-width rule (helper_utils.py:105-110): an integral
+    column entirely strictly inside +/-2**30 is `int`, anything else is
+    `bigint` — in BOTH directions (a value in (2**30, 2**31) fits int32
+    but the reference still declares bigint). One min/max aggregate."""
+    int_cols = [c for c, t in df.dtypes if t in ("int", "bigint", "long", "smallint", "tinyint")]
     if not int_cols:
         return df
     stats = df.agg(
         *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(int_cols)],
         *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(int_cols)],
     ).first()
-    narrow = {
-        c
-        for i, c in enumerate(int_cols)
-        if stats[f"mn_{i}"] is not None
-        and stats[f"mn_{i}"] > -INT_WIDTH_BOUND
-        and stats[f"mx_{i}"] < INT_WIDTH_BOUND
-    }
-    if not narrow:
-        return df
+    width = {}
+    for i, c in enumerate(int_cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        narrow = mn is not None and mn > -INT_WIDTH_BOUND and mx < INT_WIDTH_BOUND
+        width[c] = "int" if narrow else "bigint"
     return df.select(
-        *[F.col(c).cast("int").alias(c) if c in narrow else F.col(c) for c in df.columns]
+        *[
+            F.col(c).cast(width[c]).alias(c) if c in width else F.col(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -1,0 +1,130 @@
+"""Streaming operators over an events stream (event_id, ts, user_id,
+event_type, value, props).
+
+Every operator is expressed on an unbounded DataFrame, so the SAME
+transformations run on a batch frame for testing (stream-batch parity
+is the test strategy: run both, compare). Watermarks bound state; at
+cluster scale the shuffle keys are (window, group) pairs and state
+store size is O(open windows x groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the events stream (matches the corpus events table with a
+#: plain timestamp — file streams re-read through this schema).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window event counts per type, late data bounded by the
+    watermark. State per (window, event_type) only."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_value_sums(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window value sums — each event lands in window/slide
+    buckets; Spark expands them without a UDF."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.sum("value").alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "value_sum",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based). State is one open session
+    per user; the watermark closes sessions."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon — the
+    streaming analog of exact_dedup. State = seen ids inside the
+    watermark window."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+def running_user_totals(events: DataFrame, timeout_duration: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running event
+    count + value total per user, emitting an update per micro-batch.
+
+    Demonstrates the arbitrary-state API the reference had no analog
+    for; state is a single (count, total) pair per user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, value_total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_total": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,104 @@
+"""Ingestion property tests (SURVEY §5.2 #3): round-trip preservation,
+sanitizer idempotence, all-NULL column drop, eager timestamp coercion,
+and the exact ±2**30 int-width rule of the reference
+(helper_utils.py:27-36, 88-95, 105-110)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from comperhensive_bigdata_analysis__spark.sources.ingest import (
+    INT_WIDTH_BOUND,
+    ingest_csv,
+    ingest_folder,
+    preprocess,
+    sanitize_columns,
+    sanitize_name,
+    table_name_for,
+)
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csvs")
+    rows = [
+        # headers with spaces/hyphens/specials; all-null col; date col;
+        # small and large ints (around +/-2**30)
+        ["NUTS level", "Code-2021", "all null!", "commissioning date",
+         "small_int", "big int", "capacity (MW)"],
+        ["1", "DE1", "", "2011-12-16", "123", str(2**30 + 5), "1.5"],
+        ["2", "DE21", "", "2015-01-02", "-456", str(-(2**31) + 7), "2.75"],
+        ["3", "DE212", "", "1999-07-31", "789", "42", "0.25"],
+    ]
+    p = d / "Power Plants-DE.csv"
+    with open(p, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return str(d)
+
+
+def test_sanitize_name_semantics():
+    assert sanitize_name("NUTS level") == "NUTS_level"
+    assert sanitize_name("capacity (MW)") == "capacity_MW_"
+    assert sanitize_name("a--b  c") == "a_b_c"
+    # idempotence
+    for s in ("NUTS level", "a!!b", "x__y", "ok_name"):
+        assert sanitize_name(sanitize_name(s)) == sanitize_name(s)
+
+
+def test_table_name_for():
+    assert table_name_for("/data/Power Plants-DE.csv") == "power_plants_de"
+
+
+def test_ingest_semantics(spark, csv_dir):
+    df = ingest_csv(
+        spark, os.path.join(csv_dir, "Power Plants-DE.csv"), register_view=True
+    )
+    cols = dict(df.dtypes)
+    # all-NULL column dropped (helper_utils.py:88-90)
+    assert not any("null" in c for c in cols)
+    # names sanitized
+    assert "NUTS_level" in cols and "Code_2021" in cols and "capacity_MW_" in cols
+    # string date column coerced to timestamp (helper_utils.py:91-95)
+    assert cols["commissioning_date"] == "timestamp"
+    # +/-2**30 widening rule (helper_utils.py:105-110)
+    assert cols["small_int"] == "int"
+    assert cols["big_int"] == "bigint"
+    # row count preserved
+    assert df.count() == 3
+    # registered in catalog
+    assert spark.catalog.tableExists("power_plants_de")
+    got = spark.sql(
+        "SELECT Code_2021 FROM power_plants_de WHERE NUTS_level = 2"
+    ).first()[0]
+    assert got == "DE21"
+
+
+def test_int_bound_is_exactly_2_pow_30(spark):
+    df = spark.createDataFrame(
+        [(INT_WIDTH_BOUND - 1, INT_WIDTH_BOUND)], "at_bound long, over long"
+    )
+    from comperhensive_bigdata_analysis__spark.sources.ingest import _narrow_ints
+
+    out = dict(_narrow_ints(df).dtypes)
+    assert out["at_bound"] == "int"  # strictly inside (-2**30, 2**30)
+    assert out["over"] == "bigint"  # max == 2**30 -> NOT narrowed
+
+
+def test_preprocess_keeps_non_datetime_strings(spark):
+    df = spark.createDataFrame(
+        [("DE1", "2011-12-16"), ("not a date", "2012-01-01")], "a string, b string"
+    )
+    out = dict(preprocess(df).dtypes)
+    assert out == {"a": "string", "b": "timestamp"}
+
+
+def test_folder_ingest_registry(spark, csv_dir, tmp_path):
+    reg = ingest_folder(spark, csv_dir, parquet_dir=str(tmp_path / "pq"))
+    assert "power_plants_de" in reg
+    names = [c for c, _ in reg["power_plants_de"]]
+    assert "commissioning_date" in names
+    # parquet round-trip happened
+    assert os.path.isdir(str(tmp_path / "pq" / "power_plants_de"))

@@ -1,0 +1,54 @@
+"""The three similarity tiers (exact decimal / JVM fold / numpy matmul)
+must agree on the same inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comperhensive_bigdata_analysis__spark.operators.similarity import (
+    brute_force_knn,
+    brute_force_knn_np,
+    cosine_pairs_above,
+    cosine_pairs_above_np,
+)
+from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+
+def _pairs_dict(rows):
+    return {(r["id_a"], r["id_b"]): r["cosine"] for r in rows}
+
+
+def test_pairs_fold_vs_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    fold = _pairs_dict(cosine_pairs_above(e, threshold=0.35).collect())
+    np_ = _pairs_dict(cosine_pairs_above_np(e, threshold=0.35).collect())
+    assert set(fold) == set(np_)
+    for k in fold:
+        assert abs(fold[k] - np_[k]) < 1e-9, (k, fold[k], np_[k])
+
+
+def test_knn_fold_vs_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+         for r in brute_force_knn(e, q, k=5).collect()}
+    b = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+         for r in brute_force_knn_np(e, q, k=5).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert abs(a[k][1] - b[k][1]) < 1e-9
+
+
+def test_numpy_pairs_match_oracle_plan(spark, sf_dir):
+    """numpy tier reproduces the oracle-tier plan's pair set."""
+    from comperhensive_bigdata_analysis__spark.plans.vector import embedding_near_dup
+
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "embeddings")
+    fast = {
+        (r["id_a"], r["id_b"]) for r in cosine_pairs_above_np(e, threshold=0.35).collect()
+    }
+    assert exact == fast

@@ -1,0 +1,123 @@
+"""Stream-batch parity tests: run each streaming operator over a file
+stream (availableNow trigger -> memory sink) and compare with the same
+transformation applied to the batch frame."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+from comperhensive_bigdata_analysis__spark.streaming import ops
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """events table re-written as plain-timestamp parquet in a tmp dir
+    (the corpus file uses TIMESTAMP(NANOS), which the streaming file
+    source can't schema-read)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    e.coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(spark, df, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _batch_events(spark, stream_dir):
+    return spark.read.schema(ops.EVENTS_SCHEMA).parquet(stream_dir)
+
+
+def test_tumbling_counts_parity(spark, stream_dir):
+    stream = ops.events_stream(spark, stream_dir)
+    # complete mode: emit every window at the final trigger (append mode
+    # would rightly hold back windows still open under the watermark).
+    got = _run_stream(
+        spark, ops.tumbling_counts(stream), f"t_{uuid.uuid4().hex[:8]}", "complete"
+    )
+    want = ops.tumbling_counts(_batch_events(spark, stream_dir))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_sliding_sums_parity(spark, stream_dir):
+    stream = ops.events_stream(spark, stream_dir)
+    got = _run_stream(
+        spark, ops.sliding_value_sums(stream), f"s_{uuid.uuid4().hex[:8]}", "complete"
+    )
+    want = ops.sliding_value_sums(_batch_events(spark, stream_dir))
+    g = {(r[0], r[1]): r[2] for r in got.collect()}
+    w = {(r[0], r[1]): r[2] for r in want.collect()}
+    assert set(g) == set(w)
+    for k in g:
+        assert abs(g[k] - w[k]) < 1e-6
+
+
+def test_session_windows_parity(spark, stream_dir):
+    stream = ops.events_stream(spark, stream_dir)
+    got = _run_stream(
+        spark, ops.session_windows(stream), f"w_{uuid.uuid4().hex[:8]}", "complete"
+    )
+    want = ops.session_windows(_batch_events(spark, stream_dir))
+    assert got.count() == want.count()
+    g = sorted((r["user_id"], r["n_events"]) for r in got.collect())
+    w = sorted((r["user_id"], r["n_events"]) for r in want.collect())
+    assert g == w
+
+
+def test_streaming_dedup(spark, stream_dir, tmp_path):
+    # Duplicate every file so the stream sees each event twice.
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    for f in os.listdir(stream_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stream_dir, f), os.path.join(dup_dir, f))
+            shutil.copy(os.path.join(stream_dir, f), os.path.join(dup_dir, "dup_" + f))
+    stream = ops.events_stream(spark, dup_dir)
+    got = _run_stream(spark, ops.streaming_dedup(stream), f"d_{uuid.uuid4().hex[:8]}")
+    n_unique = _batch_events(spark, stream_dir).select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == n_unique
+    assert got.count() == n_unique
+
+
+def test_running_user_totals(spark, stream_dir):
+    stream = ops.events_stream(spark, stream_dir)
+    got = _run_stream(
+        spark,
+        ops.running_user_totals(stream),
+        f"u_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    # Last update per user must equal the batch totals.
+    batch = (
+        _batch_events(spark, stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    want = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
+    rows = got.collect()
+    last = {}
+    for r in rows:  # memory sink appends per micro-batch; keep the max-count row
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] >= cur[0]:
+            last[r["user_id"]] = (r["n_events"], r["value_total"])
+    assert set(last) == set(want)
+    for u in want:
+        assert last[u][0] == want[u][0]
+        assert abs(last[u][1] - want[u][1]) < 1e-6
