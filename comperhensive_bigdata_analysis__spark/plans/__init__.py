@@ -39,3 +39,4 @@ from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import vector  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import windows  # noqa: E402,F401

@@ -1,0 +1,289 @@
+"""Window/temporal plans: sessionization, running totals, moving
+averages, as-of join, range join, CUBE, percentiles — the analytic
+surface beyond the reference's batch SQL (SURVEY §2.8 was empty; these
+are the natural follow-ons the engine must still cover, each with a
+DuckDB oracle).
+
+Shuffle discipline: every plan here is ONE exchange on its key
+(user_id / event_type) followed by ordered window passes — the shape
+that scales linearly with data per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.relational import as_of_join, sessionize
+from ..sources.tables import load_table
+from . import plan
+
+DEC = "decimal(18,6)"
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# Gap sessionization (30-minute gap), aggregated per session.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
+
+
+@plan("sessionize_events", _SESSION_ORACLE)
+def sessionize_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # ntz->ltz is UTC-pinned
+    return (
+        s.withColumn("__us", us)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            (F.max("__us") - F.min("__us")).alias("duration_us"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running (cumulative) per-user totals — the batch analog of the
+# streaming running_user_totals operator.
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+    FROM events
+    ORDER BY user_id, event_seq
+"""
+
+
+@plan("running_user_totals", _RUNNING_ORACLE)
+def running_user_totals_batch(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast(DEC)).over(wf).cast("double").alias("running_total"),
+            F.row_number().over(w).alias("event_seq"),
+        )
+        .orderBy("user_id", "event_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7-day moving average of daily value sums per event_type.
+# ---------------------------------------------------------------------------
+
+_MOVAVG_ORACLE = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(CAST(y AS DECIMAL(18,6)))
+                OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg_7d
+    FROM daily
+    ORDER BY event_type, day
+"""
+
+
+@plan("moving_average_7d", _MOVAVG_ORACLE)
+def moving_average_7d(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("y"))
+    )
+    wf = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (
+                F.sum(F.col("y").cast(DEC)).over(wf).cast("double")
+                / F.count(F.lit(1)).over(wf)
+            ).alias("mov_avg_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase picks up the user's latest click at-or-before
+# it. Spark side = union+window (operators/relational.py); oracle uses
+# DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+           c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY p.event_id
+"""
+
+
+@plan("asof_click_before_purchase", _ASOF_ORACLE)
+def asof_click_before_purchase(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = as_of_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_value"], suffix="_click"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        F.date_format("ts_click", TS_FMT).alias("click_ts"),
+        "click_value",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Range self-join: same-user event pairs within 5 minutes.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(datediff('second', a.ts, b.ts)) <= 300
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+"""
+
+
+@plan("range_join_pairs", _RANGE_ORACLE)
+def range_join_pairs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (
+                F.abs(F.expr("timestampdiff(SECOND, a.ts, b.ts)")) <= 300
+            ),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE over order status x priority (grouping-sets family, SURVEY §2.4).
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+"""
+
+
+@plan("cube_orders", _CUBE_ORACLE)
+def cube_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles per group (median / p90).
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@plan("percentile_prices", _PCT_ORACLE)
+def percentile_prices(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -36,14 +36,19 @@ TABLES = (
 )
 
 
-def _nanos_to_ntz(col):
+def _nanos_to_ntz(col_name: str):
     """int64 nanoseconds-since-epoch (naive) -> TIMESTAMP_NTZ.
 
-    timestamp_micros() yields an instant (TIMESTAMP_LTZ); casting to NTZ
-    renders it in the session time zone, which apply_runtime_confs pins
-    to UTC — so naive-nanos round-trips exactly (sub-microsecond truncated).
+    Integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's 53-bit
+    mantissa, so float division corrupts the microsecond by up to
+    ~128 ns. timestamp_micros() yields an instant (TIMESTAMP_LTZ);
+    casting to NTZ renders it in the session time zone, which
+    apply_runtime_confs pins to UTC — naive-nanos round-trips exactly
+    (sub-microsecond truncated, matching DuckDB's ns->us truncation).
     """
-    return F.timestamp_micros((col / 1000).cast("long")).cast(T.TimestampNTZType())
+    return F.timestamp_micros(F.expr(f"`{col_name}` DIV 1000")).cast(
+        T.TimestampNTZType()
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,7 +56,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", _nanos_to_ntz(F.col("ts")))
+        df = df.withColumn("ts", _nanos_to_ntz("ts"))
     return df
 
 
