@@ -23,6 +23,14 @@ from comperhensive_bigdata_analysis__spark import plans
 from comperhensive_bigdata_analysis__spark.operators.similarity import (
     brute_force_knn,
     cosine_pairs_above_np,
+    ivf_knn_fast,
+    lsh_band_pairs_fast,
+)
+from comperhensive_bigdata_analysis__spark.plans.ann import (
+    BITS_PER_BAND,
+    NCENTROIDS,
+    NPROBE,
+    _SIGNS,
 )
 from comperhensive_bigdata_analysis__spark.session import get_spark
 from comperhensive_bigdata_analysis__spark.sources.tables import load_table
@@ -43,6 +51,21 @@ def _near_dup_fast(spark, sf_dir):
     return cosine_pairs_above_np(e, threshold=0.35)
 
 
+def _lsh_fast(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_band_pairs_fast(e, _SIGNS, BITS_PER_BAND, threshold=0.35)
+
+
+def _ivf_fast(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < NCENTROIDS).collect()
+    ]
+    qv = list(e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"])
+    return ivf_knn_fast(e, cents, qv, nprobe=NPROBE, k=10, exclude_id=0)
+
+
 HEADLINE = {
     "q1_pricing_summary": plans.QUERIES["pricing_summary"],
     "q2_revenue_by_nation": plans.QUERIES["revenue_by_nation"],
@@ -55,6 +78,8 @@ HEADLINE = {
     "q9_knn_bruteforce": _knn_fast,
     "q10_embedding_near_dup": _near_dup_fast,
     "q11_linear_forecast": plans.QUERIES["linear_forecast"],
+    "q12_lsh_band_pairs": _lsh_fast,
+    "q13_ivf_knn": _ivf_fast,
 }
 
 

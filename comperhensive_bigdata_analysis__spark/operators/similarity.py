@@ -191,6 +191,131 @@ def cosine_pairs_above_np(
     return vectors.mapInPandas(pairs, schema="id_a long, id_b long, cosine double")
 
 
+def lsh_band_pairs_fast(
+    vectors: DataFrame,
+    signs: list[list[int]],
+    bits_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Banded sign-LSH candidates + exact rescoring, all JVM-fold math
+    (the production tier of plans/ann.lsh_band_pairs).
+
+    ``signs``: one +/-1 hyperplane per bit, bits grouped into bands of
+    ``bits_per_band``; a pair is a candidate when ANY band's full bit
+    string matches. Per-row cost is len(signs) fold dot-products inside
+    whole-stage codegen; the candidate join shuffles n*bands rows keyed
+    by (band, bucket) — never the n^2 pair space.
+    """
+    nbits = len(signs)
+    bands = nbits // bits_per_band
+    bits = [
+        F.when(
+            dot_product(
+                F.col(vec_col), F.array(*[F.lit(float(s)) for s in h])
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for h in signs
+    ]
+    band_keys = F.array(
+        *[
+            F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band])
+            for b in range(bands)
+        ]
+    )
+    tagged = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.posexplode(band_keys).alias("band", "bucket"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def ivf_knn_fast(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF probe with driver-held centroids (production tier of
+    plans/ann.ivf_knn). Assignment = argmax over ncentroids fold
+    cosines (map-side, codegen); probed-cluster filter + exact rescore
+    against the broadcast query vector; final top-k is
+    TakeOrderedAndProject. At scale, persist the assignment and
+    partition by it so the probe is a pruned scan."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cent_arrs = {cid: unit(v) for cid, v in centroids}
+    q_unit = unit(query_vec)
+
+    def cos_to(center):
+        arr = F.array(*[F.lit(float(x)) for x in center])
+        return dot_product(F.col(vec_col), arr) / l2_norm(F.col(vec_col))
+
+    # nearest centroid per row: sort (cos desc, cid asc) via struct key
+    scored_struct = F.array(
+        *[
+            F.struct((-cos_to(v)).alias("neg"), F.lit(cid).alias("cid"))
+            for cid, v in cent_arrs.items()
+        ]
+    )
+    assigned = vectors.withColumn(
+        "__cid", F.array_sort(scored_struct)[0]["cid"]
+    )
+    q_sims = sorted(
+        (
+            (-sum(a * b for a, b in zip(cv, q_unit)), cid)
+            for cid, cv in cent_arrs.items()
+        )
+    )
+    probe_ids = [cid for _, cid in q_sims[:nprobe]]
+    q_arr = F.array(*[F.lit(float(x)) for x in q_unit])
+    out = (
+        assigned.filter(F.col("__cid").isin(probe_ids))
+        .filter(F.col(id_col) != exclude_id if exclude_id is not None else F.lit(True))
+        .select(
+            id_col,
+            (dot_product(F.col(vec_col), q_arr) / l2_norm(F.col(vec_col))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return out.orderBy(F.col("cosine").desc(), id_col).limit(k)
+
+
 def lsh_bucket_pairs(
     vectors: DataFrame,
     hyperplanes: list[list[float]],

@@ -38,5 +38,6 @@ from . import analytics  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import vector  # noqa: E402,F401
+from . import ann  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import windows  # noqa: E402,F401

@@ -1,0 +1,303 @@
+"""Approximate-nearest-neighbor plans — the SCALE PATH for similarity
+search over ``embeddings`` (SURVEY §7.2 step 8: brute force is the
+baseline; LSH-bucketed / IVF variants are what survives 100 TB).
+
+Two plans, both deterministic end-to-end so they carry full DuckDB
+oracles (the hyperplane signs and centroid choice are md5-derived
+constants embedded in BOTH engines' queries):
+
+- lsh_band_pairs: banded random-hyperplane LSH. Each vector gets
+  ``BANDS`` bucket keys (one per band of ``BITS_PER_BAND`` sign bits);
+  near-dup candidates are same-(band, bucket) equality-join matches —
+  the all-pairs O(n^2) join becomes a hash join on uniform keys, the
+  identical shape MinHash banding gives text dedup. Candidates are
+  rescored exactly, so output = exact pairs ∩ candidate set.
+  Scale: each band's bucket key is ~uniform; the join shuffles
+  n·BANDS rows, never n^2. Skewed buckets (dense clusters) are
+  AQE-skew-join territory; bits-per-band tunes bucket size.
+- ivf_knn: inverted-file search. A fixed small centroid set (here the
+  first 16 vectors; at scale a k-means sample) partitions the space;
+  every vector is assigned to its nearest centroid (broadcast join —
+  the centroid table is tiny); a query probes only the NPROBE nearest
+  centroids' posting lists. Scale: assignment is map-side; storing the
+  table bucketed/partitioned by ``centroid_id`` makes the probe a
+  partition-pruned scan of NPROBE/NCENTROIDS of the data.
+
+Float discipline: sign bits and cosines are computed the oracle way —
+per-position products in double, cast DECIMAL(28,12), summed (order-
+insensitive, bit-identical across engines). operators/similarity.py
+holds the fold/numpy production tiers benched by bench.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from . import plan
+from .vector import PDEC, _exploded
+
+DIM = 64
+BANDS = 4
+BITS_PER_BAND = 4
+NBITS = BANDS * BITS_PER_BAND
+NCENTROIDS = 16
+NPROBE = 4
+LSH_THRESHOLD = 0.35
+KNN_K = 10
+
+
+def _hp_sign(j: int, pos: int) -> int:
+    """Deterministic Rademacher (+/-1) hyperplane entry from md5 —
+    reproducible in any engine, no RNG state."""
+    h = hashlib.md5(f"hp{j}:{pos}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) & 1 else -1
+
+
+_SIGNS = [[_hp_sign(j, p) for p in range(DIM)] for j in range(NBITS)]
+
+
+# ---------------------------------------------------------------------------
+# Banded sign-LSH near-dup pairs.
+# ---------------------------------------------------------------------------
+
+def _lsh_oracle() -> str:
+    # DuckDB generate_subscripts is 1-based (Spark posexplode 0-based);
+    # the signs list is indexed identically, only the join key shifts.
+    hp_rows = ",".join(
+        f"({p + 1},{j},{_SIGNS[j][p]})"
+        for j in range(NBITS)
+        for p in range(DIM)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    h(pos, j, s) AS (VALUES {hp_rows}),
+    bits AS (
+      SELECT v.vec_id, h.j,
+             CASE WHEN SUM(CAST(v.x * h.s AS DECIMAL(28,12))) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v JOIN h USING (pos)
+      GROUP BY v.vec_id, h.j
+    ),
+    buckets AS (
+      SELECT vec_id, j // {BITS_PER_BAND} AS band,
+             string_agg(bit, '' ORDER BY j) AS bucket
+      FROM bits GROUP BY vec_id, j // {BITS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
+    ),
+    nrm AS (
+      SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sq
+      FROM v GROUP BY vec_id
+    ),
+    d AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN v a ON a.vec_id = c.id_a
+      JOIN v b ON b.vec_id = c.id_b AND a.pos = b.pos
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT d.id_a, d.id_b,
+           ROUND(dot / (sqrt(x.sq) * sqrt(y.sq)), 6) AS cosine
+    FROM d JOIN nrm x ON d.id_a = x.vec_id JOIN nrm y ON d.id_b = y.vec_id
+    WHERE dot / (sqrt(x.sq) * sqrt(y.sq)) >= {LSH_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+def _sign_bits(spark, v):
+    """(vec_id, j, bit) for every hyperplane j, decimal-exact."""
+    h = spark.createDataFrame(
+        [(p, j, _SIGNS[j][p]) for j in range(NBITS) for p in range(DIM)],
+        "pos int, j int, s int",
+    )
+    return (
+        v.join(F.broadcast(h), "pos")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.when(
+                F.sum((F.col("x") * F.col("s")).cast(PDEC)) >= 0, F.lit("1")
+            )
+            .otherwise(F.lit("0"))
+            .alias("bit")
+        )
+    )
+
+
+@plan("lsh_band_pairs", _lsh_oracle())
+def lsh_band_pairs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _exploded(e)
+    buckets = (
+        _sign_bits(spark, v)
+        .withColumn("band", (F.col("j") / BITS_PER_BAND).cast("int"))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "bit"))),
+                    lambda x: x["bit"],
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    nrm = v.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(PDEC)).cast("double").alias("sq")
+    )
+    va, vb = v.alias("va"), v.alias("vb")
+    d = (
+        cand.join(va, F.col("va.vec_id") == F.col("id_a"))
+        .join(vb, (F.col("vb.vec_id") == F.col("id_b")) & (F.col("va.pos") == F.col("vb.pos")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("va.x") * F.col("vb.x")).cast(PDEC)).cast("double").alias("dot"))
+    )
+    nx = nrm.select(F.col("vec_id").alias("id_a"), F.col("sq").alias("sq_a"))
+    ny = nrm.select(F.col("vec_id").alias("id_b"), F.col("sq").alias("sq_b"))
+    cos = F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b"))
+    return (
+        d.join(F.broadcast(nx), "id_a")
+        .join(F.broadcast(ny), "id_b")
+        .filter(cos >= LSH_THRESHOLD)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) top-k: probe NPROBE of NCENTROIDS posting lists.
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, pos, x AS cx FROM v WHERE vec_id < {NCENTROIDS}),
+    nrm AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      FROM v GROUP BY vec_id
+    ),
+    vc AS (
+      SELECT v.vec_id, c.cid,
+             CAST(SUM(CAST(v.x * c.cx AS DECIMAL(28,12))) AS DOUBLE)
+               / (n1.nrm * n2.nrm) AS cos
+      FROM v JOIN c USING (pos)
+      JOIN nrm n1 ON n1.vec_id = v.vec_id
+      JOIN nrm n2 ON n2.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, n1.nrm, n2.nrm
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM vc
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT cid FROM (
+        SELECT cid, ROW_NUMBER() OVER (ORDER BY cos DESC, cid) AS rn
+        FROM vc WHERE vec_id = 0
+      ) WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN probed p ON a.cid = p.cid
+      WHERE a.vec_id <> 0
+    ),
+    q AS (SELECT pos, x AS qx FROM v WHERE vec_id = 0),
+    scored AS (
+      SELECT v.vec_id,
+             CAST(SUM(CAST(v.x * q.qx AS DECIMAL(28,12))) AS DOUBLE)
+               / (n1.nrm * n2.nrm) AS cos
+      FROM v JOIN q USING (pos)
+      JOIN cand ON cand.vec_id = v.vec_id
+      JOIN nrm n1 ON n1.vec_id = v.vec_id
+      CROSS JOIN (SELECT nrm FROM nrm WHERE vec_id = 0) n2
+      GROUP BY v.vec_id, n1.nrm, n2.nrm
+    )
+    SELECT vec_id, ROUND(cos, 6) AS cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {KNN_K}
+"""
+
+
+@plan("ivf_knn", _IVF_ORACLE)
+def ivf_knn(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _exploded(e)
+    c = v.filter(F.col("vec_id") < NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+    nrm = v.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast(PDEC)).cast("double")).alias("nrm")
+    )
+    n1 = nrm.select(F.col("vec_id"), F.col("nrm").alias("nrm_v"))
+    n2 = nrm.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nrm_c"))
+    # cosine of every vector to every centroid: broadcast the centroid
+    # side (NCENTROIDS·DIM rows) — map-side at any scale.
+    vc = (
+        v.join(F.broadcast(c), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast(PDEC)).cast("double").alias("dot"))
+        .join(n1, "vec_id")
+        .join(F.broadcast(n2), "cid")
+        .select("vec_id", "cid", (F.col("dot") / (F.col("nrm_v") * F.col("nrm_c"))).alias("cos"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    assign = (
+        vc.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    # NCENTROIDS rows: TakeOrderedAndProject, no global-window shuffle
+    probed = (
+        vc.filter(F.col("vec_id") == 0)
+        .orderBy(F.col("cos").desc(), "cid")
+        .limit(NPROBE)
+        .select("cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probed), "cid")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    q = v.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("qx"))
+    qn = nrm.filter(F.col("vec_id") == 0).select(F.col("nrm").alias("nrm_q"))
+    scored = (
+        v.join(cand, "vec_id")
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("x") * F.col("qx")).cast(PDEC)).cast("double").alias("dot"))
+        .join(n1, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.col("nrm_v") * F.col("nrm_q")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(KNN_K)
