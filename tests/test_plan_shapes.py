@@ -1,0 +1,66 @@
+"""Physical-plan audit: the properties the 100 TB posture depends on,
+pinned as assertions so a regression in plan shape fails CI even while
+results stay correct.
+
+- filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema),
+- dimension joins broadcast (no shuffle of the big side),
+- top-k compiles to TakeOrderedAndProject (never a global sort),
+- semi-joins stay semi-joins,
+- NO plan in the registry contains a CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from comperhensive_bigdata_analysis__spark import plans
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    ex = _explain(plans.QUERIES["pricing_summary"](spark, sf_dir))
+    # date predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in ex
+    # column pruning: lineitem is 16 cols; the scan reads only the 6 used
+    assert "l_comment" not in ex
+    # partial + final hash aggregation (map-side combine)
+    assert ex.count("HashAggregate") >= 2
+
+
+def test_revenue_by_nation_broadcasts_dimension(spark, sf_dir):
+    ex = _explain(plans.QUERIES["revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in ex
+    # fact-side equi-joins shuffle on their keys, never nested-loop
+    assert "CartesianProduct" not in ex
+    assert "BroadcastNestedLoopJoin" not in ex
+
+
+def test_filter_project_pushdown(spark, sf_dir):
+    ex = _explain(plans.QUERIES["filter_project_arith"](spark, sf_dir))
+    assert "PushedFilters" in ex and "l_shipdate" in ex
+
+
+def test_top_customers_is_take_ordered(spark, sf_dir):
+    ex = _explain(plans.QUERIES["top_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in ex
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    ex = _explain(plans.QUERIES["semi_join_region_customers"](spark, sf_dir))
+    assert "LeftSemi" in ex
+
+
+@pytest.mark.parametrize("name", sorted(plans.QUERIES))
+def test_no_cartesian_product_anywhere(spark, sf_dir, name):
+    ex = _explain(plans.QUERIES[name](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in ex, f"{name} plans a cartesian product"
