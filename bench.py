@@ -80,6 +80,7 @@ HEADLINE = {
     "q11_linear_forecast": plans.QUERIES["linear_forecast"],
     "q12_lsh_band_pairs": _lsh_fast,
     "q13_ivf_knn": _ivf_fast,
+    "q14_corpus_pipeline": plans.QUERIES["corpus_clean_pipeline"],
 }
 
 

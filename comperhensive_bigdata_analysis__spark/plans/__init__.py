@@ -41,3 +41,4 @@ from . import vector  # noqa: E402,F401
 from . import ann  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401

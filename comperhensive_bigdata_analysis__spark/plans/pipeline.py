@@ -1,0 +1,101 @@
+"""End-to-end training-corpus cleaning pipeline — the composite shape a
+real LLM data pipeline runs nightly: exact dedup -> quality filter ->
+per-(lang, source) token accounting. One registered plan so the WHOLE
+chain is oracle-checked, not just its stages.
+
+Pipeline plan shape (and why it scales):
+1. dedup: row_number over md5(text) — one shuffle on a uniform 128-bit
+   key, no skew by construction; keeps the lowest doc_id per content.
+2. quality + token stats: pure map-side expressions (regexp/len), no
+   shuffle, whole-stage codegen.
+3. rollup: groupBy on (lang, source) — a handful of groups, map-side
+   combined.
+Total: two exchanges (dedup key, final rollup) regardless of corpus
+size. At 100 TB the dedup exchange dominates and is embarrassingly
+uniform; AQE coalesces the rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import quality_score_col, stopword_count, token_count
+from ..sources.tables import load_table
+from . import plan
+
+QUALITY_CUTOFF = 0.5
+
+# Stage spellings shared with plans/text.py oracles (keep in sync).
+_SQL_TOKENS = r"""CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+_SQL_STOP = r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))"
+
+_PIPELINE_ORACLE = rf"""
+    WITH deduped AS (
+      SELECT * FROM (
+        SELECT doc_id, text, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, lang, source,
+             {_SQL_TOKENS} AS n_tokens,
+             length(text) AS n_chars,
+             {_SQL_STOP} AS n_stop
+      FROM deduped
+    ),
+    kept AS (
+      SELECT lang, source, n_tokens,
+             ROUND(
+               0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 10.0 / n_tokens, 1.0)
+             + 0.3 * LEAST(CAST(n_chars AS DOUBLE) / n_tokens / 8.0, 1.0), 6) AS quality
+      FROM scored
+      WHERE n_tokens > 0
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM kept
+    WHERE quality >= {QUALITY_CUTOFF}
+    GROUP BY lang, source
+    ORDER BY lang, source
+"""
+
+
+@plan("corpus_clean_pipeline", _PIPELINE_ORACLE)
+def corpus_clean_pipeline(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    scored = deduped.select(
+        "lang",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        stopword_count(F.col("text")).alias("n_stop"),
+    )
+    kept = scored.filter(F.col("n_tokens") > 0).select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.round(quality_score_col("n_tokens", "n_chars", "n_stop"), 6).alias("quality"),
+    )
+    return (
+        kept.filter(F.col("quality") >= QUALITY_CUTOFF)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )

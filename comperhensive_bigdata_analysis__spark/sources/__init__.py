@@ -9,3 +9,4 @@ from .ingest import (  # noqa: F401
     ingest_csv,
     ingest_folder,
 )
+from .jdbc import read_jdbc, write_jdbc  # noqa: F401
