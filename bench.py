@@ -51,6 +51,13 @@ def _near_dup_fast(spark, sf_dir):
     return cosine_pairs_above_np(e, threshold=0.35)
 
 
+def _minhash_fast(spark, sf_dir):
+    from comperhensive_bigdata_analysis__spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, min_est=0.25, hash_fn="xxhash64")
+
+
 def _lsh_fast(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_band_pairs_fast(e, _SIGNS, BITS_PER_BAND, threshold=0.35)
@@ -74,7 +81,7 @@ HEADLINE = {
     "q5_daily_events": plans.QUERIES["daily_events"],
     "q6_doc_quality": plans.QUERIES["doc_quality"],
     "q7_exact_dedup": plans.QUERIES["exact_dedup_docs"],
-    "q8_minhash_lsh": plans.QUERIES["minhash_lsh_dedup"],
+    "q8_minhash_lsh": _minhash_fast,
     "q9_knn_bruteforce": _knn_fast,
     "q10_embedding_near_dup": _near_dup_fast,
     "q11_linear_forecast": plans.QUERIES["linear_forecast"],

@@ -93,19 +93,30 @@ def ngram_jaccard_pairs(
     )
 
 
-def _salted_hash(seed: int):
-    return lambda col: F.md5(F.concat(F.lit(f"mh{seed}:"), col).cast("binary"))
+def _salted_hash(seed: int, hash_fn: str = "md5"):
+    """Two hash tiers: 'md5' (hex string — portable, DuckDB oracles
+    replay it exactly) and 'xxhash64' (native 64-bit long — ~2x faster
+    end-to-end: cheaper hashing AND long mins instead of lexicographic
+    32-char string mins). Same LSH guarantees either way."""
+    if hash_fn == "md5":
+        return lambda col: F.md5(F.concat(F.lit(f"mh{seed}:"), col).cast("binary"))
+    return lambda col: F.xxhash64(F.lit(f"mh{seed}:"), col)
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc, mh_0..mh_{k-1}): per-document MinHash signature — the min of
-    each salted md5 over the document's shingle set. One explode + one
+    each salted hash over the document's shingle set. One explode + one
     groupBy with k min-aggregates (all map-side combinable)."""
     sh = _shingle_rows(df, id_col, text_col, n)
     return sh.groupBy("doc").agg(
-        *[F.min(_salted_hash(i)(F.col("s"))).alias(f"mh_{i}") for i in range(k)]
+        *[F.min(_salted_hash(i, hash_fn)(F.col("s"))).alias(f"mh_{i}") for i in range(k)]
     )
 
 
@@ -117,6 +128,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     min_est: float = 0.25,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs + estimated jaccard.
 
@@ -124,24 +136,27 @@ def minhash_lsh_pairs(
     sharing any band bucket become candidates (equality join on the
     band-bucket digest — uniform shuffle keys). Estimated jaccard =
     fraction of matching signature components.
+    ``hash_fn``: 'md5' = oracle-replayable tier; 'xxhash64' = production
+    tier (~2x faster; see _salted_hash).
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     r = k // bands
+
+    def band_bucket(b: int):
+        parts = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *parts).cast("binary"))
+        return F.xxhash64(*parts)
+
     # The signature relation feeds three consumers (banding + both sides
     # of the match-count join); persist so the shingle explode runs once.
-    sig = minhash_signatures(df, id_col, text_col, n, k).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, k, hash_fn).persist()
     band_rows = sig.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])
-                            .cast("binary")
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )

@@ -226,13 +226,15 @@ def lsh_band_pairs_fast(
             for b in range(bands)
         ]
     )
-    tagged = vectors.select(
+    # NARROW candidate join: only (id, band, bucket) flows through the
+    # bucket shuffle and pair dedup — the 64-dim payload re-joins AFTER
+    # dedup, so each surviving pair moves two vectors exactly once
+    # (pre-dedup candidates can be ~10^2 x the final pair count).
+    buckets = vectors.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
         F.posexplode(band_keys).alias("band", "bucket"),
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
@@ -240,19 +242,26 @@ def lsh_band_pairs_fast(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    payload = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    va = payload.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = payload.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -42,3 +42,4 @@ from . import ann  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import sketch  # noqa: E402,F401

@@ -463,3 +463,47 @@ def avg_price_by_priority(spark, sf_dir):
         .distinct()
         .orderBy(F.col("avg_price").desc(), "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Promo-revenue ratio (TPC-H Q14 shape): fact⋈dimension join + predicate
+# + conditional aggregate. part is the medium dimension — at bench scale
+# AQE broadcast-converts it; at 100 TB it shuffles on p_partkey with the
+# date filter pushed to the lineitem scan.
+# ---------------------------------------------------------------------------
+@plan(
+    "promo_revenue_ratio",
+    f"""
+    SELECT
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+               ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE) AS promo_revenue,
+      {DISC_PRICE_SQL.format(p='l_extendedprice', d='l_discount')} AS total_revenue,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def promo_revenue_ratio(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    prod = F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", prod).otherwise(
+        F.lit(0).cast("decimal(18,8)")
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            disc_price_sum("l_extendedprice", "l_discount", "total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

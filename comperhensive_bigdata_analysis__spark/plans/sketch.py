@@ -1,0 +1,80 @@
+"""Sketches + reshaping plans.
+
+- unpivot_daily: the wide-per-category daily table melted back to long
+  form (the reference's 40-col timeseries table round-trip, SURVEY §1.1
+  "optionally unpivot with stack()/melt"). Fully deterministic ->
+  full DuckDB oracle (spelled as UNION ALL so both engines replay it).
+- approx_distinct_users: HyperLogLog++ distinct counts. The sketch is
+  engine-specific, so this plan registers WITHOUT an oracle (the driver
+  records the weaker rows-only check); tests/test_sketch.py pins the
+  <=5% relative-error contract against the exact count instead.
+  Scale: approx_count_distinct shuffles O(sketch) bytes per group, not
+  O(distinct values) — at 100 TB it replaces the two-stage exact
+  distinct entirely when tolerance allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import plan
+
+DEC = "decimal(18,6)"
+
+_UNPIVOT_ORACLE = """
+    WITH wide AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS click_sum,
+             CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS view_sum,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS purchase_sum
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, 'click' AS series, click_sum AS value_sum FROM wide
+    UNION ALL
+    SELECT strftime(day, '%Y-%m-%d') AS day, 'view', view_sum FROM wide
+    UNION ALL
+    SELECT strftime(day, '%Y-%m-%d') AS day, 'purchase', purchase_sum FROM wide
+    ORDER BY day, series
+"""
+
+
+@plan("unpivot_daily", _UNPIVOT_ORACLE)
+def unpivot_daily(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+
+    def csum(label, alias):
+        return (
+            F.sum(
+                F.when(F.col("event_type") == label, F.col("value").cast(DEC)).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            )
+            .cast("double")
+            .alias(alias)
+        )
+
+    wide = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        csum("click", "click_sum"),
+        csum("view", "view_sum"),
+        csum("purchase", "purchase_sum"),
+    )
+    long = wide.selectExpr(
+        "date_format(day, 'yyyy-MM-dd') AS day",
+        "stack(3, 'click', click_sum, 'view', view_sum, 'purchase', purchase_sum)"
+        " AS (series, value_sum)",
+    )
+    return long.orderBy("day", "series")
+
+
+@plan("approx_distinct_users", None)  # sketch: rows-only driver check
+def approx_distinct_users(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,46 @@
+"""MinHash hash-fn tiers: the xxhash64 production tier must honor the
+same LSH contract as the md5 oracle tier — docs with identical shingle
+sets surface as est_jaccard 1.0 pairs under BOTH tiers, and disjoint
+docs under neither."""
+
+from __future__ import annotations
+
+from comperhensive_bigdata_analysis__spark.operators.dedup import minhash_lsh_pairs
+from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in df.collect()}
+
+
+def _fixture(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "completely different text about distributed query engines and shuffles"
+    rows = [
+        (1, a),
+        (2, a),  # exact dup of 1
+        (3, a + " extra tail tokens appended here"),  # near dup of 1
+        (4, b),
+        (5, b),  # exact dup of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tiers_agree_on_known_dups(spark):
+    d = _fixture(spark)
+    md5 = _pairs(minhash_lsh_pairs(d, "doc_id", "text", min_est=0.0, hash_fn="md5"))
+    xx = _pairs(minhash_lsh_pairs(d, "doc_id", "text", min_est=0.0, hash_fn="xxhash64"))
+    for tier in (md5, xx):
+        assert tier[(1, 2)] == 1.0
+        assert tier[(4, 5)] == 1.0
+        assert (1, 4) not in tier and (1, 5) not in tier  # disjoint content
+        assert all(a < b for a, b in tier)
+        assert all(0.0 <= v <= 1.0 for v in tier.values())
+
+
+def test_xxhash_tier_on_corpus(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    fast = _pairs(minhash_lsh_pairs(d, "doc_id", "text", hash_fn="xxhash64"))
+    assert fast, "tier found no candidate pairs"
+    assert all(a < b for a, b in fast)
+    assert all(0.0 <= v <= 1.0 for v in fast.values())

@@ -27,10 +27,17 @@ def test_plan_matches_oracle(spark, con, name):
     assert res["status"] in ("OK", "rows-only"), res
 
 
+#: Genuinely non-SQL-replayable plans (each must carry its own
+#: tolerance test instead):
+#: - approx_distinct_users: HyperLogLog++ sketch — engine-specific
+#:   estimator, pinned to <=5% relative error in test_sketch_and_bucketing.
+NO_ORACLE_ALLOWED = {"approx_distinct_users"}
+
+
 def test_every_plan_has_oracle():
     """Plans without oracles get a weaker check — keep the set empty
-    unless genuinely non-SQL-expressible (document exceptions here)."""
-    missing = set(plans.QUERIES) - set(plans.ORACLES)
+    unless genuinely non-SQL-expressible (document exceptions above)."""
+    missing = set(plans.QUERIES) - set(plans.ORACLES) - NO_ORACLE_ALLOWED
     assert missing == set(), f"plans missing oracles: {missing}"
 
 
