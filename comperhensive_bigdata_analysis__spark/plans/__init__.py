@@ -43,3 +43,4 @@ from . import multimodal  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import sketch  # noqa: E402,F401
+from . import stream_parity  # noqa: E402,F401
