@@ -1,4 +1,5 @@
-"""Reusable distributed operators (dedup, similarity, relational helpers)."""
+"""Reusable distributed operators (dedup, similarity, relational,
+bucketing, skew helpers)."""
 
 from .dedup import (  # noqa: F401
     exact_dedup,
@@ -7,4 +8,14 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash_signatures,
 )
-from .similarity import brute_force_knn, cosine_pairs_above  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_knn,
+    brute_force_knn_np,
+    cosine_pairs_above,
+    cosine_pairs_above_np,
+    ivf_knn_fast,
+    lsh_band_pairs_fast,
+)
+from .relational import as_of_join, sessionize  # noqa: F401
+from .bucketing import colocated_join, write_bucketed  # noqa: F401
+from .skew import salted_join  # noqa: F401

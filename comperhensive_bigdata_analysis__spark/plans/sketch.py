@@ -78,3 +78,20 @@ def approx_distinct_users(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@plan("approx_percentile_prices", None)  # sketch: rows-only driver check
+def approx_percentile_prices(spark, sf_dir):
+    """KLL/GK-style approximate percentiles — the single-pass mergeable
+    replacement for exact percentile at 100 TB (exact `percentile`
+    buffers each group's values; approx keeps a bounded sketch).
+    Tolerance vs the exact plan is pinned in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("ap50"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("ap90"),
+        )
+        .orderBy("o_orderpriority")
+    )

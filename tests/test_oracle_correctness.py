@@ -31,7 +31,9 @@ def test_plan_matches_oracle(spark, con, name):
 #: tolerance test instead):
 #: - approx_distinct_users: HyperLogLog++ sketch — engine-specific
 #:   estimator, pinned to <=5% relative error in test_sketch_and_bucketing.
-NO_ORACLE_ALLOWED = {"approx_distinct_users"}
+#: - approx_percentile_prices: GK/KLL sketch percentiles — pinned to the
+#:   exact percentile plan within 1% in test_sketch_and_bucketing.
+NO_ORACLE_ALLOWED = {"approx_distinct_users", "approx_percentile_prices"}
 
 
 def test_every_plan_has_oracle():

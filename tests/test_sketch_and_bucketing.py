@@ -33,6 +33,29 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert rel_err <= 0.05, (k, approx[k], exact[k])
 
 
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from comperhensive_bigdata_analysis__spark.plans.sketch import (
+        approx_percentile_prices,
+    )
+    from comperhensive_bigdata_analysis__spark.plans.windows import percentile_prices
+
+    approx = {
+        r["o_orderpriority"]: (r["ap50"], r["ap90"])
+        for r in approx_percentile_prices(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p90"])
+        for r in percentile_prices(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    # approx_percentile returns an actual data value while the exact plan
+    # interpolates — at smoke-scale group sizes that semantic gap (not
+    # sketch error) dominates, hence the 5% band.
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / abs(e) <= 0.05, (k, a, e)
+
+
 def test_bucketed_join_eliminates_exchange(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
