@@ -10,3 +10,4 @@ from .ingest import (  # noqa: F401
     ingest_folder,
 )
 from .jdbc import read_jdbc, write_jdbc  # noqa: F401
+from .layout import compact, write_partitioned  # noqa: F401

@@ -1,0 +1,62 @@
+"""Table layout for scale: partitioned writes and small-file compaction.
+
+- write_partitioned: hive-style partition directories so date/category
+  predicates prune entire directories at planning time (PartitionFilters
+  in the scan — proven in tests/test_layout.py). THE lever that turns a
+  100 TB scan into a per-day scan.
+- compact: rewrite a directory to ~target-sized files. Streaming sinks
+  and incremental loads accrete small files; scans then pay per-file
+  open cost and lose vectorized-read efficiency. Compaction is the
+  standing maintenance job of any large table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by ``partition_cols`` (low-cardinality
+    columns only — a partition dir per distinct value tuple)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Rewrite ``path`` with ~target_file_mb parquet files; returns the
+    file count written. Local-FS sizing (object stores: size from the
+    catalog/listing instead). Rewrite goes through a temp dir then
+    replaces the original (same-FS atomic-ish swap; a lakehouse table
+    format would make this transactional)."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_files = max(1, _dir_bytes(path) // (target_file_mb * 1024 * 1024))
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -1,0 +1,50 @@
+"""Partitioned-write pruning + compaction behavior."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from comperhensive_bigdata_analysis__spark.sources.layout import (
+    compact,
+    write_partitioned,
+)
+from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(e, out, ["day"])
+    # hive-style directories exist
+    assert any(d.startswith("day=") for d in os.listdir(out))
+
+    back = spark.read.parquet(out)
+    one_day = back.select("day").distinct().first()["day"]
+    q = back.filter(F.col("day") == F.lit(one_day))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    ex = buf.getvalue()
+    assert "PartitionFilters" in ex and "day" in ex
+    # pruned read returns exactly that day's rows
+    assert q.count() == e.filter(F.col("day") == F.lit(one_day)).count()
+
+
+def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "fragmented")
+    e.repartition(40).write.parquet(out)  # simulate small-file accretion
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(out))
+    rows_before = spark.read.parquet(out).count()
+
+    compact(spark, out, target_file_mb=256)
+
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_after < n_before
+    assert spark.read.parquet(out).count() == rows_before
