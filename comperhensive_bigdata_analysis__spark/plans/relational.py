@@ -413,6 +413,21 @@ def except_nation_keys(spark, sf_dir):
     return c.subtract(s).orderBy("nationkey")
 
 
+@plan(
+    "intersect_nation_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def intersect_nation_keys(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
 # ---------------------------------------------------------------------------
 # Date-expression grouping + sort on the expression (reference O2
 # `order by date(day) asc` + F2 date(), ipynb:549). Events table.

@@ -64,3 +64,11 @@ def test_semi_join_stays_semi(spark, sf_dir):
 def test_no_cartesian_product_anywhere(spark, sf_dir, name):
     ex = _explain(plans.QUERIES[name](spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in ex, f"{name} plans a cartesian product"
+
+
+@pytest.mark.parametrize("name", sorted(plans.QUERIES))
+def test_output_columns_unique(spark, sf_dir, name):
+    """The driver's oracle compare sorts columns by name before hashing —
+    duplicate or ambiguous output names would silently corrupt it."""
+    cols = plans.QUERIES[name](spark, sf_dir).columns
+    assert len(set(cols)) == len(cols), f"{name} duplicate columns: {cols}"
