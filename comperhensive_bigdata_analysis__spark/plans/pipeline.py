@@ -48,10 +48,11 @@ _PIPELINE_ORACLE = rf"""
     ),
     kept AS (
       SELECT lang, source, n_tokens,
-             ROUND(
+             FLOOR((
                0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
              + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 10.0 / n_tokens, 1.0)
-             + 0.3 * LEAST(CAST(n_chars AS DOUBLE) / n_tokens / 8.0, 1.0), 6) AS quality
+             + 0.3 * LEAST(CAST(n_chars AS DOUBLE) / n_tokens / 8.0, 1.0)
+             ) * 1000000) / 1000000 AS quality
       FROM scored
       WHERE n_tokens > 0
     )
@@ -80,11 +81,13 @@ def corpus_clean_pipeline(spark, sf_dir):
         F.length("text").alias("n_chars"),
         stopword_count(F.col("text")).alias("n_stop"),
     )
+    # floor-at-6-decimals, not round: see plans/text.py doc_quality note
+    q6 = (
+        F.floor(quality_score_col("n_tokens", "n_chars", "n_stop") * 1_000_000)
+        / 1_000_000
+    )
     kept = scored.filter(F.col("n_tokens") > 0).select(
-        "lang",
-        "source",
-        "n_tokens",
-        F.round(quality_score_col("n_tokens", "n_chars", "n_stop"), 6).alias("quality"),
+        "lang", "source", "n_tokens", q6.alias("quality")
     )
     return (
         kept.filter(F.col("quality") >= QUALITY_CUTOFF)

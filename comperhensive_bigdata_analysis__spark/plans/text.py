@@ -73,15 +73,19 @@ _QUALITY_ORACLE = r"""
       FROM documents
     )
     SELECT doc_id, lang, source, n_tokens,
-           ROUND(
+           FLOOR((
              0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
            + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 10.0 / n_tokens, 1.0)
-           + 0.3 * LEAST(CAST(n_chars_actual AS DOUBLE) / n_tokens / 8.0, 1.0), 6)
-             AS quality
+           + 0.3 * LEAST(CAST(n_chars_actual AS DOUBLE) / n_tokens / 8.0, 1.0)
+           ) * 1000000) / 1000000 AS quality
     FROM scored
     WHERE n_tokens > 0
     ORDER BY doc_id
 """
+# FLOOR, not ROUND, in the oracle above and the plan below: the quality
+# formula emits exact ties at the 6th decimal (e.g. 0.8959375, surfaced
+# at sf0.1) and Spark/DuckDB break ROUND ties differently; floor of the
+# identical IEEE double is deterministic in both engines.
 
 
 @plan("doc_quality", _QUALITY_ORACLE)
@@ -95,17 +99,13 @@ def doc_quality(spark, sf_dir):
         F.length("text").alias("n_chars_actual"),
         stopword_count(F.col("text")).alias("n_stop"),
     )
+    q6 = (
+        F.floor(quality_score_col("n_tokens", "n_chars_actual", "n_stop") * 1_000_000)
+        / 1_000_000
+    )
     return (
         scored.filter(F.col("n_tokens") > 0)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_tokens",
-            F.round(quality_score_col("n_tokens", "n_chars_actual", "n_stop"), 6).alias(
-                "quality"
-            ),
-        )
+        .select("doc_id", "lang", "source", "n_tokens", q6.alias("quality"))
         .orderBy("doc_id")
     )
 

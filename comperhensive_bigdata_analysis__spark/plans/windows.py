@@ -198,12 +198,16 @@ def asof_click_before_purchase(spark, sf_dir):
 # Range self-join: same-user event pairs within 5 minutes.
 # ---------------------------------------------------------------------------
 
+# Microsecond-exact bound: second-granularity diffs are a trap — DuckDB
+# datediff('second') counts boundary CROSSINGS while Spark timestampdiff
+# measures elapsed seconds, so a pair exactly at the bound with
+# fractional seconds lands on different sides (surfaced at sf0.1).
 _RANGE_ORACLE = """
     SELECT a.user_id, COUNT(*) AS n_pairs
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND a.event_id < b.event_id
-     AND abs(datediff('second', a.ts, b.ts)) <= 300
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
     GROUP BY a.user_id
     ORDER BY a.user_id
 """
@@ -211,7 +215,11 @@ _RANGE_ORACLE = """
 
 @plan("range_join_pairs", _RANGE_ORACLE)
 def range_join_pairs(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -219,7 +227,7 @@ def range_join_pairs(spark, sf_dir):
             (F.col("a.user_id") == F.col("b.user_id"))
             & (F.col("a.event_id") < F.col("b.event_id"))
             & (
-                F.abs(F.expr("timestampdiff(SECOND, a.ts, b.ts)")) <= 300
+                F.abs(F.col("a.us") - F.col("b.us")) <= 300_000_000
             ),
         )
         .groupBy(F.col("a.user_id").alias("user_id"))
