@@ -67,6 +67,61 @@ def unpivot_daily(spark, sf_dir):
     return long.orderBy("day", "series")
 
 
+# ---------------------------------------------------------------------------
+# True pivot (groupBy().pivot() with pinned values — dynamic pivot would
+# need a driver-side distinct pass; pinning keeps it one shuffle) and
+# argmax (max_by): the remaining aggregate API surface.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+"""
+
+
+@plan("pivot_daily_values", _PIVOT_ORACLE)
+def pivot_daily_values(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
+        .orderBy("day")
+    )
+
+
+_ARGMAX_ORACLE = """
+    SELECT user_id,
+           arg_max(event_id, value) AS top_event_id,
+           MAX(value) AS top_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@plan("argmax_event_per_user", _ARGMAX_ORACLE)
+def argmax_event_per_user(spark, sf_dir):
+    """max_by/arg_max parity. Ties on value are broken identically in
+    both engines only if the (user_id, value) pair is unique — the
+    synthetic corpus's continuous values make collisions measure-zero;
+    a production plan would add an explicit tiebreak struct."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.expr("max_by(event_id, value)").alias("top_event_id"),
+            F.max("value").alias("top_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @plan("approx_distinct_users", None)  # sketch: rows-only driver check
 def approx_distinct_users(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
