@@ -23,8 +23,8 @@ from comperhensive_bigdata_analysis__spark import plans
 from comperhensive_bigdata_analysis__spark.operators.similarity import (
     brute_force_knn,
     cosine_pairs_above_np,
-    ivf_knn_fast,
-    lsh_band_pairs_fast,
+    ivf_knn_np,
+    lsh_band_pairs_np,
 )
 from comperhensive_bigdata_analysis__spark.plans.ann import (
     BITS_PER_BAND,
@@ -60,7 +60,7 @@ def _minhash_fast(spark, sf_dir):
 
 def _lsh_fast(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_band_pairs_fast(e, _SIGNS, BITS_PER_BAND, threshold=0.35)
+    return lsh_band_pairs_np(e, _SIGNS, BITS_PER_BAND, threshold=0.35)
 
 
 def _ivf_fast(spark, sf_dir):
@@ -70,7 +70,7 @@ def _ivf_fast(spark, sf_dir):
         for r in e.filter(F.col("vec_id") < NCENTROIDS).collect()
     ]
     qv = list(e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"])
-    return ivf_knn_fast(e, cents, qv, nprobe=NPROBE, k=10, exclude_id=0)
+    return ivf_knn_np(e, cents, qv, nprobe=NPROBE, k=10, exclude_id=0)
 
 
 HEADLINE = {

@@ -325,6 +325,129 @@ def ivf_knn_fast(
     return out.orderBy(F.col("cosine").desc(), id_col).limit(k)
 
 
+def lsh_band_pairs_np(
+    vectors: DataFrame,
+    signs: list[list[int]],
+    bits_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """numpy tier of lsh_band_pairs_fast: sign bits come from one
+    vectorized matmul per Arrow batch (plan stays tiny — the JVM fold
+    tier pays seconds of planning/codegen for its nbits x dim literal
+    trees), then the same narrow candidate join; rescoring is the
+    broadcast numpy matmul of cosine_pairs_above_np restricted to
+    candidate ids. Fastest tier while the vector set fits the driver."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    H = np.asarray(signs, dtype="float64")  # (nbits, dim)
+    bands = H.shape[0] // bits_per_band
+    b_H = spark.sparkContext.broadcast(H)
+
+    def bucketize(batches):
+        Hm = b_H.value
+        weights = 2 ** np.arange(bits_per_band)
+        for pdf in batches:
+            a = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            bits = (a @ Hm.T) >= 0  # (batch, nbits)
+            ids = pdf[id_col].to_numpy()
+            out = {"id": [], "band": [], "bucket": []}
+            for b in range(bands):
+                chunk = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                codes = chunk @ weights
+                out["id"].extend(ids)
+                out["band"].extend([b] * len(ids))
+                out["bucket"].extend(codes.astype("int64"))
+            yield pd.DataFrame(out)
+
+    buckets = vectors.mapInPandas(bucketize, schema="id long, band int, bucket long")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ids, mat = _normalized_matrix(vectors, id_col, vec_col)
+    b_all = spark.sparkContext.broadcast((ids, mat))
+
+    import pandas as pd  # noqa: F811
+
+    def rescore(batches):
+        all_ids, all_mat = b_all.value
+        pos = {int(i): k for k, i in enumerate(all_ids)}
+        for pdf in batches:
+            ia = [pos[int(x)] for x in pdf["id_a"]]
+            ib = [pos[int(x)] for x in pdf["id_b"]]
+            import numpy as np
+
+            cos = np.einsum("ij,ij->i", all_mat[ia], all_mat[ib])
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return cand.mapInPandas(rescore, schema="id_a long, id_b long, cosine double")
+
+
+def ivf_knn_np(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """numpy tier of ivf_knn_fast: one mapInPandas pass does
+    assignment (batch matmul vs the broadcast centroid matrix), probe
+    filtering, and query scoring — no joins, no big literal trees; the
+    global top-k is the only ordered step."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    C = np.stack([np.asarray(v, dtype="float64") for _, v in centroids])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = np.asarray([cid for cid, _ in centroids])
+    q = np.asarray(query_vec, dtype="float64")
+    q = q / (np.linalg.norm(q) or 1.0)
+    order = np.lexsort((cids, -(C @ q)))  # cos desc, cid asc
+    probe = set(cids[order[:nprobe]].tolist())
+    b = spark.sparkContext.broadcast((C, cids, q, probe))
+
+    def score(batches):
+        Cm, cid_arr, qv, probe_set = b.value
+        for pdf in batches:
+            a = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            nrm = np.linalg.norm(a, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            au = a / nrm
+            assign = cid_arr[np.argmax(au @ Cm.T, axis=1)]
+            ids = pdf[id_col].to_numpy()
+            keep = np.array([c in probe_set for c in assign])
+            if exclude_id is not None:
+                keep &= ids != exclude_id
+            yield pd.DataFrame(
+                {id_col: ids[keep], "cosine": (au[keep] @ qv)}
+            )
+
+    scored = vectors.mapInPandas(score, schema=f"{id_col} long, cosine double")
+    return scored.orderBy(F.col("cosine").desc(), id_col).limit(k)
+
+
 def lsh_bucket_pairs(
     vectors: DataFrame,
     hyperplanes: list[list[float]],

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from comperhensive_bigdata_analysis__spark.operators.similarity import (
     ivf_knn_fast,
+    ivf_knn_np,
     lsh_band_pairs_fast,
+    lsh_band_pairs_np,
 )
 from comperhensive_bigdata_analysis__spark.plans import ann
 from comperhensive_bigdata_analysis__spark.plans.ann import (
@@ -66,6 +68,43 @@ def test_ivf_fast_matches_exact_tier(spark, sf_dir):
     assert [v for v, _ in exact] == [v for v, _ in fast]
     for (_, ce), (_, cf) in zip(exact, fast):
         assert abs(ce - cf) < 1e-6
+
+
+def test_lsh_np_matches_fold_tier(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    fold = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_band_pairs_fast(e, _SIGNS, BITS_PER_BAND, threshold=0.35).collect()
+    }
+    np_ = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_band_pairs_np(e, _SIGNS, BITS_PER_BAND, threshold=0.35).collect()
+    }
+    assert set(fold) == set(np_)
+    for k in fold:
+        assert abs(fold[k] - np_[k]) < 1e-9
+
+
+def test_ivf_np_matches_fold_tier(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(FF.col("vec_id") < NCENTROIDS).collect()
+    ]
+    qv = list(e.filter(FF.col("vec_id") == 0).select("embedding").first()["embedding"])
+    fold = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_knn_fast(e, cents, qv, nprobe=NPROBE, k=KNN_K, exclude_id=0).collect()
+    ]
+    np_ = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_knn_np(e, cents, qv, nprobe=NPROBE, k=KNN_K, exclude_id=0).collect()
+    ]
+    assert [v for v, _ in fold] == [v for v, _ in np_]
+    for (_, cf), (_, cn) in zip(fold, np_):
+        assert abs(cf - cn) < 1e-9
 
 
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
