@@ -102,9 +102,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in HEADLINE.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: measure warm execution, not jitter
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
