@@ -164,6 +164,38 @@ def doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish token estimate (word pieces + digit runs + symbols) — the
+# LLM-pipeline token accounting pass. JVM regexp tier here; the scalar
+# pandas_udf tier (functions/udfs.py) is pinned equal by tests.
+# ---------------------------------------------------------------------------
+
+
+@plan(
+    "bpe_token_estimate",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS est_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def bpe_token_estimate(spark, sf_dir):
+    from ..functions.udfs import bpe_ish_token_count_jvm
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_ish_token_count_jvm("text")).alias("est_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON extraction from the events.props column (semi-structured scan —
 # modern pipelines always carry a JSON tail column).
 # ---------------------------------------------------------------------------
