@@ -75,8 +75,15 @@ def word_shingles(col, n: int = 3) -> Column:
 
 
 def char_shingles(col, n: int = 5) -> Column:
-    """Distinct character n-gram shingles of the lowercased text."""
-    t = F.lower(_c(col))
+    """Distinct character n-gram shingles of the lowercased text.
+
+    PERF: pass a column that is ALREADY lowercased/materialized in a
+    prior projection. An expression argument (e.g. lower(text)) is
+    captured inside the transform lambda and re-evaluated once per
+    element — O(len^2) per document (HOF lambdas are interpreted, no
+    CSE). operators.dedup.char_shingle_rows does this correctly.
+    """
+    t = _c(col)
     k = F.length(t) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),

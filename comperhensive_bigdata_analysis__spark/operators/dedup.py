@@ -67,6 +67,21 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return with_toks.select("doc", F.explode(F.array_distinct(grams)).alias("s"))
 
 
+def char_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, shingle) rows over character n-grams — lowercases in its own
+    projection first (see char_shingles perf note)."""
+    from ..functions.text import char_shingles
+
+    lowered = df.select(
+        F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("__low")
+    )
+    return lowered.select(
+        "doc", F.explode(char_shingles(F.col("__low"), n)).alias("s")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

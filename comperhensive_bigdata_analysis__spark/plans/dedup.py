@@ -77,6 +77,57 @@ def ngram_jaccard_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Character 5-gram Jaccard — the language-agnostic dedup modality
+# (robust to tokenization differences; the standard complement to word
+# shingles in corpus dedup).
+# ---------------------------------------------------------------------------
+
+_CHAR_JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([lower(text)[i:i+4]
+                                   for i in generate_series(1, greatest(length(text)-4, 1))])) AS s
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i / (x.n + y.n - i) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE i / (x.n + y.n - i) >= 0.4
+    ORDER BY id_a, id_b
+"""
+
+
+@plan("char_jaccard_dedup", _CHAR_JACCARD_ORACLE)
+def char_jaccard_dedup(spark, sf_dir):
+    from ..operators.dedup import char_shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = char_shingle_rows(d, "doc_id", "text", n=5)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH candidate pairs (the scale path for the Jaccard join).
 # k=8 salted-md5 min-hashes, 4 bands of 2.
 # ---------------------------------------------------------------------------
