@@ -383,6 +383,63 @@ def rollup_returnflag(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Set operations (SURVEY §2.6 — absent in the reference; native in Spark).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Anti-join: customers with no orders (SURVEY §2.3 noted anti as absent
+# in the reference — rounding out the join-type matrix). Broadcast-able
+# when the subquery side is small; shuffles on the key otherwise.
+# ---------------------------------------------------------------------------
+@plan(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: order-count per customer against the full customer
+# dimension, keeping unmatched rows from BOTH sides.
+# ---------------------------------------------------------------------------
+@plan(
+    "full_outer_customer_orders",
+    """
+    WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           c_mktsegment,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM customer FULL OUTER JOIN oc ON c_custkey = o_custkey
+    ORDER BY custkey
+    """,
+)
+def full_outer_customer_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        c.join(oc, c.c_custkey == oc.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
 @plan(
     "union_nation_keys",
     """
