@@ -98,6 +98,35 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+def stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    available_now: bool = False,
+):
+    """File sink: append the stream to a (optionally partitioned)
+    parquet table with exactly-once via the checkpoint log. This is the
+    production landing path — memory sinks are test-only. Returns the
+    StreamingQuery; caller owns awaitTermination.
+
+    At scale: partition by a time-derived column so downstream reads
+    prune, and run compaction (sources.layout.compact) behind the
+    watermark horizon — streaming appends accrete small files.
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def running_user_totals(events: DataFrame, timeout_duration: str = "30 minutes") -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running event
     count + value total per user, emitting an update per micro-batch.

@@ -96,6 +96,35 @@ def test_streaming_dedup(spark, stream_dir, tmp_path):
     assert got.count() == n_unique
 
 
+def test_stream_to_parquet_sink(spark, stream_dir, tmp_path):
+    """File sink lands the stream exactly-once into partitioned parquet."""
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ops.events_stream(spark, stream_dir).withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    q = ops.stream_to_parquet(
+        stream, out, ckpt, partition_cols=["day"], available_now=True
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out)
+    src = _batch_events(spark, stream_dir)
+    assert landed.count() == src.count()
+    assert os.path.isdir(ckpt)
+    # restart with no new data: checkpoint prevents re-landing
+    q2 = ops.stream_to_parquet(
+        ops.events_stream(spark, stream_dir).withColumn(
+            "day", F.col("ts").cast("date")
+        ),
+        out,
+        ckpt,
+        partition_cols=["day"],
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == src.count()
+
+
 def test_running_user_totals(spark, stream_dir):
     stream = ops.events_stream(spark, stream_dir)
     got = _run_stream(
