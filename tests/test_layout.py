@@ -36,6 +36,31 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert q.count() == e.filter(F.col("day") == F.lit(one_day)).count()
 
 
+def test_dynamic_partition_overwrite_is_surgical(spark, sf_dir, tmp_path):
+    from comperhensive_bigdata_analysis__spark.sources.layout import (
+        overwrite_partitions,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    out = str(tmp_path / "by_day")
+    write_partitioned(e, out, ["day"])
+    total = e.count()
+    one_day = e.select("day").distinct().orderBy("day").first()["day"]
+    day_rows = e.filter(F.col("day") == F.lit(one_day))
+
+    # backfill that day with doubled values; all other days must survive
+    patched = day_rows.withColumn("value", F.col("value") * 2)
+    overwrite_partitions(patched, out, ["day"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == total  # nothing else was truncated
+    got = back.filter(F.col("day") == F.lit(one_day)).agg(F.sum("value")).first()[0]
+    want = day_rows.agg(F.sum("value")).first()[0] * 2
+    assert abs(got - want) < 1e-6
+
+
 def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     e = load_table(spark, sf_dir, "events")
     out = str(tmp_path / "fragmented")
