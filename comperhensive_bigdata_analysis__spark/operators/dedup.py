@@ -120,6 +120,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def char_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact character n-gram Jaccard join (same shape as
+    ngram_jaccard_pairs, char-shingle modality — language-agnostic).
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    sh = char_shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _salted_hash(seed: int, hash_fn: str = "md5"):
     """Two hash tiers: 'md5' (hex string — portable, DuckDB oracles
     replay it exactly) and 'xxhash64' (native 64-bit long — ~2x faster

@@ -1,0 +1,129 @@
+"""Distributed graph connectivity for dedup clustering.
+
+Near-duplicate detection (operators/dedup.py) emits PAIRS; turning pairs
+into dedup decisions needs the transitive closure — if A~B and B~C then
+{A,B,C} is one cluster even though A~C never fired. The reference has no
+graph surface at all (its dedup is whole-row DISTINCT — SURVEY §2.6);
+this is part of the driver-mandated LLM-pipeline extension, where
+cluster-then-keep-one is the standard corpus dedup contract.
+
+Algorithm: min-label propagation. Every node starts labeled with its own
+id; each round, every node adopts the minimum label among itself and its
+neighbors; converged when no label changes. Rounds needed = graph
+diameter. Near-dup clusters are near-cliques (diameter 1-3), so this
+terminates in a handful of rounds.
+
+Design for 100 TB / 1000 executors:
+
+- Each round is ONE shuffle: join(labels, edges) + groupBy(dst).min —
+  both hash-partitioned on node id, and AQE coalesces the tiny tail.
+- ``localCheckpoint`` after every round cuts the lineage chain;
+  without it round k re-executes rounds 1..k-1 and the DAG grows
+  quadratically (the classic iterative-Spark trap).
+- Convergence is detected with a count on the checkpointed frame —
+  cheap because the frame is already materialized.
+- For graphs with long chains (not the dedup shape), switch to the
+  large-star/small-star contraction of Kiveris et al. (MR "Connected
+  Components in MapReduce", SOCC'14) which converges in O(log^2 n)
+  rounds — the propagation step below is the building block either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    ``edges`` is an undirected pair list (each pair listed once, either
+    direction). ``nodes`` optionally supplies the full node universe so
+    isolated nodes (no incident edge) come back as their own singleton
+    component; otherwise the universe is the nodes appearing in edges.
+
+    Returns (node, component) — component = min id in the cluster.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Materialize the symmetrized edge list ONCE. It sits upstream of the
+    # join in EVERY propagation round; left as lineage, each round would
+    # re-execute the (potentially expensive) pair-producing plan — e.g.
+    # the shingle self-join feeding dedup clustering.
+    sym = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes is not None:
+        universe = nodes.select(F.col(node_col or src).alias("node")).distinct()
+    else:
+        universe = sym.select(F.col("s").alias("node")).distinct()
+    labels = universe.select("node", F.col("node").alias("component"))
+
+    for _ in range(max_iter):
+        # Neighbor minimum per destination node: one shuffle on node id.
+        cand = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("component").alias("cand"))
+        )
+        merged = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.col("component").alias("__old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("cand"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()  # cut lineage; materialize this round
+        )
+        changed = merged.filter(F.col("component") != F.col("__old")).count()
+        labels = merged.drop("__old")
+        if changed == 0:
+            break
+    return labels
+
+
+def survivors(
+    components: DataFrame,
+    attrs: DataFrame,
+    node_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Pick one representative per component: max quality, min id tiebreak.
+
+    The canonical dedup survivorship rule — keep the longest (or
+    highest-scoring) member of each near-dup cluster, drop the rest.
+    Returns (component, survivor_id, n_members, best_quality).
+    """
+    from pyspark.sql.window import Window
+
+    joined = components.join(attrs, on=components["node"] == attrs[node_col]).select(
+        "component", F.col(node_col).alias("member"), F.col(quality_col).alias("q")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("member").asc())
+    return (
+        joined.select(
+            "component",
+            "member",
+            "q",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("member").alias("survivor_id"),
+            "n_members",
+            F.col("q").alias("best_quality"),
+        )
+    )

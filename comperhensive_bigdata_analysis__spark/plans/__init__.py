@@ -44,3 +44,6 @@ from . import windows  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import sketch  # noqa: E402,F401
 from . import stream_parity  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
+from . import training  # noqa: E402,F401
+from . import ml  # noqa: E402,F401

@@ -104,26 +104,11 @@ _CHAR_JACCARD_ORACLE = """
 
 @plan("char_jaccard_dedup", _CHAR_JACCARD_ORACLE)
 def char_jaccard_dedup(spark, sf_dir):
-    from ..operators.dedup import char_shingle_rows
+    from ..operators.dedup import char_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    sh = char_shingle_rows(d, "doc_id", "text", n=5)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.4)
-        .orderBy("id_a", "id_b")
+    return char_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.4).orderBy(
+        "id_a", "id_b"
     )
 
 

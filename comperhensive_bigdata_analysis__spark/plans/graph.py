@@ -1,0 +1,110 @@
+"""Dedup-cluster plans: near-dup pairs -> connected components ->
+survivorship. The step the pair-emitting dedup plans (plans/dedup.py)
+stop short of: transitive closure over the similarity graph, then one
+kept document per cluster.
+
+No reference analog (its dedup is whole-row DISTINCT, SURVEY §2.6) —
+this is the driver-mandated LLM-pipeline extension's clustering leg.
+
+Oracle: DuckDB ``WITH RECURSIVE`` transitive closure over the SAME
+char-5-gram Jaccard pair query the char_jaccard_dedup plan uses, so
+Spark's iterative min-label propagation is checked against an
+independent fixpoint formulation — different algorithm, same answer.
+
+Scale: the Spark side is operators/graph.py (one shuffle per round,
+localCheckpoint lineage cuts, O(diameter) rounds — see its module
+docstring for the 100 TB analysis). The recursive CTE is oracle-only:
+closure materialization is quadratic per cluster and would never ship
+at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import char_jaccard_pairs
+from ..operators.graph import connected_components, survivors
+from ..sources.tables import load_table
+from . import plan
+from .dedup import _CHAR_JACCARD_ORACLE
+
+# Every document labeled with its near-dup cluster (singletons included:
+# component = own id).
+_CC_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_CHAR_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON r.node = e.s
+    )
+    SELECT node AS doc_id, MIN(comp) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@plan("dup_clusters", _CC_ORACLE)
+def dup_clusters(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = char_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.4)
+    cc = connected_components(
+        pairs.select("id_a", "id_b"),
+        "id_a",
+        "id_b",
+        nodes=d.select("doc_id"),
+        node_col="doc_id",
+    )
+    return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
+# One survivor per multi-member cluster: longest text wins, min doc_id
+# tiebreak — the canonical keep-one dedup decision.
+_SURVIVOR_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_CHAR_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    cc AS (
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT cc.component, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cc.component
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cc.component) AS n_members
+      FROM cc JOIN documents d ON cc.node = d.doc_id
+    )
+    SELECT component, doc_id AS survivor_id, n_members,
+           n_chars AS best_quality
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    ORDER BY component
+"""
+
+
+@plan("dedup_survivors", _SURVIVOR_ORACLE)
+def dedup_survivors(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = char_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.4)
+    cc = connected_components(
+        pairs.select("id_a", "id_b"),
+        "id_a",
+        "id_b",
+        nodes=d.select("doc_id"),
+        node_col="doc_id",
+    )
+    return (
+        survivors(cc, d.select("doc_id", "n_chars"), "doc_id", "n_chars")
+        .filter(F.col("n_members") > 1)
+        .orderBy("component")
+    )

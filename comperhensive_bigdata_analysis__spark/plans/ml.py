@@ -1,0 +1,136 @@
+"""Clustering building blocks over ``embeddings`` — the k-means legs of
+a training-data pipeline (semantic sharding, diversity sampling,
+IVF-index construction all start from "assign every vector to its
+nearest centroid, then re-estimate centroids").
+
+Exactness contract (same as plans/vector.py): per-component arithmetic
+is IEEE-deterministic row math; every cross-row reduction goes through
+DECIMAL casts, so distances and means are bit-identical in Spark and
+DuckDB. Ranking ties break on centroid id.
+
+Scale: centroids are tiny (K rows) and BROADCAST; assignment is
+map-side per vector component — one shuffle per aggregation level,
+nothing quadratic. Full Lloyd iterations = repeat (assign, update) with
+a localCheckpoint per round, exactly the operators/graph.py iteration
+discipline; at production scale the per-vector inner loop moves to the
+numpy mapInPandas tier (operators/similarity.py pattern) while keeping
+THIS formulation as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from . import plan
+
+PDEC = "decimal(28,12)"
+K = 8  # seed centroids = vectors with vec_id < K (deterministic init)
+
+_ASSIGN_CTE = f"""
+    v AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, pos, x AS cx FROM v WHERE vec_id < {K}),
+    d AS (
+      SELECT v.vec_id, c.cid,
+             CAST(SUM(CAST((v.x - c.cx) * (v.x - c.cx) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS d2
+      FROM v JOIN c USING (pos)
+      GROUP BY v.vec_id, c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d
+    )
+"""
+
+_KM_ASSIGN_ORACLE = f"""
+    WITH {_ASSIGN_CTE}
+    SELECT vec_id, cid AS centroid, FLOOR(d2 * 1e6) / 1e6 AS dist2
+    FROM assign WHERE rn = 1
+    ORDER BY vec_id
+"""
+
+
+def _exploded(df):
+    return df.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "pos", F.col("xf").cast("double").alias("x")
+    )
+
+
+def _assignment(e):
+    """(vec_id, centroid, d2): nearest seed centroid per vector."""
+    v = _exploded(e)
+    c = v.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+    diff = F.col("x") - F.col("cx")
+    d = (
+        v.join(F.broadcast(c), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((diff * diff).cast(PDEC)).cast("double").alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        d.select("vec_id", "cid", "d2", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@plan("kmeans_assign", _KM_ASSIGN_ORACLE)
+def kmeans_assign(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a = _assignment(e)
+    return a.select(
+        "vec_id",
+        F.col("cid").alias("centroid"),
+        (F.floor(F.col("d2") * 1e6) / 1e6).alias("dist2"),
+    ).orderBy("vec_id")
+
+
+# One Lloyd update step: new centroid component = mean of members'
+# components. Caution — the summed terms here are RAW float32-derived
+# doubles, which CAN tie exactly at the decimal(28,12) rounding digit
+# (x = p/2^13 makes x*10^12 a half-integer; Spark rounds HALF_UP, DuckDB
+# half-even — surfaced at sf0.01). Squares/products can't tie at an even
+# scale (2q=13 has no solution), which is why the distance plans need no
+# guard. The mean is floored at 1e-6 to absorb that one-ulp quantum.
+_KM_UPDATE_ORACLE = f"""
+    WITH {_ASSIGN_CTE}
+    SELECT a.cid AS centroid, v.pos, COUNT(*) AS n_members,
+           FLOOR(CAST(SUM(CAST(v.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                 * 1e6) / 1e6 AS mean_x
+    FROM assign a JOIN v ON a.vec_id = v.vec_id AND a.rn = 1
+    GROUP BY a.cid, v.pos
+    ORDER BY centroid, pos
+"""
+
+
+@plan("kmeans_update", _KM_UPDATE_ORACLE)
+def kmeans_update(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a = _assignment(e).select("vec_id", "cid")
+    v = _exploded(e)
+    return (
+        v.join(a, "vec_id")
+        # 1-based component index to match SQL array subscript convention
+        .groupBy(F.col("cid").alias("centroid"), (F.col("pos") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.floor(
+                    F.sum(F.col("x").cast(PDEC)).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("mean_x"),
+        )
+        .orderBy("centroid", "pos")
+    )

@@ -1,0 +1,479 @@
+"""Training-data-pipeline plans: deterministic splits/samples, TF-IDF,
+boilerplate scrubbing, distribution statistics, window deltas, grouping
+sets. These round out the driver-mandated LLM-pipeline surface beyond
+dedup/similarity: the operations that turn a raw corpus into curated,
+bucketed, statistically-profiled training shards.
+
+Portability contract (same as plans/dedup.py): every pseudo-random
+choice is an md5 digest, every float aggregate goes through decimal
+sums, every ranking tie-breaks on integers/strings — so the DuckDB
+oracle replays each computation bit-identically.
+
+Scale notes per plan inline; the common theme: one hash-partitioned
+shuffle per aggregation level, no driver-side loops, deterministic
+hashes instead of RNG state (re-runnable on any cluster layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from . import plan
+
+DEC = "decimal(18,6)"
+
+
+def _md5_str(col):
+    """md5 hex of a value's string rendering — portable across engines."""
+    return F.md5(col.cast("string").cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (~80/10/10) by content-free id hash.
+# At 100 TB this is THE split primitive: no RNG state, no shuffle at all
+# (split is a map-side expression), stable under re-runs, resharding,
+# and late-arriving data — a doc's split never changes.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+    WITH tagged AS (
+      SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM tagged GROUP BY split ORDER BY split
+"""
+
+
+@plan("train_test_split", _SPLIT_ORACLE)
+def train_test_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(_md5_str(F.col("doc_id")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    ).alias("split")
+    return (
+        d.select(split, "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sample: top-5 docs per source by md5 order —
+# reproducible "random" sampling without RNG. One shuffle (partition by
+# source); rank is a per-group window, no global sort.
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, rk FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+"""
+
+
+@plan("stratified_sample_docs", _STRAT_ORACLE)
+def stratified_sample_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_md5_str(F.col("doc_id")), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-3 terms per document. Ranking tie-breaks on (tf desc, df
+# asc, term asc) — integers and strings only, so rank order is engine-
+# independent; the float tfidf is floored at 1e-6 for hash stability.
+# Scale: two hash aggregations (doc-term, term) + one broadcast of the
+# tiny df table; no global sort — the top-3 is a per-doc window.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, rk,
+           FLOOR(tf * ln(n.n_docs / df) * 1e6) / 1e6 AS tfidf
+    FROM scored, n WHERE rk <= 3
+    ORDER BY doc_id, rk
+"""
+
+
+@plan("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "rk",
+            (
+                F.floor(
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate/stopword scrub: remove filler tokens, collapse whitespace,
+# fingerprint the scrubbed text. Pure map-side expression chain (zero
+# shuffles before the final ORDER BY) — whole-stage codegen end to end.
+# ---------------------------------------------------------------------------
+
+_STOP_PAT = r"\b(a|the)\b"
+
+_SCRUB_ORACLE = rf"""
+    WITH scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_STOP_PAT}')) AS n_stopwords,
+             trim(regexp_replace(regexp_replace(text, '{_STOP_PAT}', '', 'g'),
+                                 '\s+', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT doc_id, n_stopwords, length(clean) AS clean_chars,
+           md5(clean) AS clean_sig
+    FROM scrubbed ORDER BY doc_id
+"""
+
+
+@plan("boilerplate_scrub", _SCRUB_ORACLE)
+def boilerplate_scrub(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _STOP_PAT, ""), r"\s+", " "
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOP_PAT), F.lit(0))).alias(
+                "n_stopwords"
+            ),
+            clean.alias("__clean"),
+        )
+        .select(
+            "doc_id",
+            "n_stopwords",
+            F.length("__clean").alias("clean_chars"),
+            F.md5(F.col("__clean").cast("binary")).alias("clean_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / stddev per group, computed from EXACT decimal moment sums
+# (n, Σx, Σy, Σx², Σy², Σxy) so both engines derive the float result from
+# bit-identical inputs — native corr()/stddev() stream doubles in engine-
+# specific order and drift in the low bits. Same shape Spark uses for its
+# own partial aggregates: one map-side-combined shuffle, six decimal sums.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           FLOOR((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6) / 1e6
+             AS corr_qty_price,
+           FLOOR(sqrt((n * syy - sy * sy) / (n * (n - 1.0))) * 1e6) / 1e6
+             AS stddev_price
+    FROM s ORDER BY l_returnflag
+"""
+
+
+@plan("corr_stats_lineitem", _CORR_ORACLE)
+def corr_stats_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast(DEC)).cast("double").alias("sx"),
+        F.sum(p.cast(DEC)).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(28,8)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,8)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(28,8)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    sd = F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0))))
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.floor(corr * 1e6) / 1e6).alias("corr_qty_price"),
+        (F.floor(sd * 1e6) / 1e6).alias("stddev_price"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width value histogram — the distribution-profiling primitive.
+# Bucket id is a map-side expression; one shuffle on ~20 uniform keys.
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY bucket ORDER BY bucket
+"""
+
+
+@plan("price_histogram", _HIST_ORACLE)
+def price_histogram(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user lag deltas: event-over-event value change, aggregated. The
+# LAG result is a raw double subtraction (deterministic); the per-user
+# sum goes through decimals. One shuffle on user_id, ordered window pass.
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+    WITH d AS (
+      SELECT user_id,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(delta) AS n_deltas,
+           SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS n_increases,
+           CAST(SUM(CAST(delta AS DECIMAL(18,6))) AS DOUBLE) AS delta_sum
+    FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+@plan("lag_delta_events", _LAG_ORACLE)
+def lag_delta_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("delta").alias("n_deltas"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("n_increases"),
+            F.sum(F.col("delta").cast(DEC)).cast("double").alias("delta_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles over order value. A global ntile needs a total order —
+# fine for profiling output this size; at 100 TB the same contract is
+# served by approx_percentile bucket bounds (see approx_percentile_prices)
+# with bucket assignment as a map-side comparison against broadcast bounds.
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+    WITH q AS (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+    FROM q GROUP BY quartile ORDER BY quartile
+"""
+
+
+@plan("ntile_price_quartiles", _NTILE_ORACLE)
+def ntile_price_quartiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("price_sum"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the explicit form completing the cube/rollup family
+# (SURVEY §2.4): exactly the three levels a report needs, nothing more
+# (cube would compute 4, including the unused status-only slice).
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY rflag, lstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution Shannon entropy per document — a repetition /
+# degenerate-text quality signal (low entropy = spammy repetition).
+# Each -p*ln(p) term is deterministic row math; the cross-term sum goes
+# through decimals so term order can't perturb the result.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    tot AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id, MAX(tot.n) AS n_tokens,
+           FLOOR(CAST(SUM(CAST(-(tf.tf / tot.n) * ln(tf.tf / tot.n)
+                               AS DECIMAL(28,12))) AS DOUBLE) * 1e6) / 1e6
+             AS token_entropy
+    FROM tf JOIN tot USING (doc_id)
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+"""
+
+
+@plan("doc_token_entropy", _ENTROPY_ORACLE)
+def doc_token_entropy(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    p = F.col("tf") / F.col("n")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum((-p * F.log(p)).cast("decimal(28,12)")).cast("double")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary head: top-50 terms by frequency (Zipf profile). Two
+# hash aggs + TakeOrdered(50) — never a global sort.
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS n
+    FROM tok GROUP BY term
+    ORDER BY n DESC, term LIMIT 50
+"""
+
+
+@plan("vocab_top_terms", _VOCAB_ORACLE)
+def vocab_top_terms(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )
+
+
+@plan("grouping_sets_revenue", _GSETS_ORACLE)
+def grouping_sets_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "revenue",
+        )
+        .orderBy("rflag", "lstatus")
+    )

@@ -1,0 +1,69 @@
+"""Unit tests for distributed connected components + survivorship
+(operators/graph.py) on hand-built graphs where the answer is knowable
+by inspection — the oracle sweep covers the end-to-end dedup plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comperhensive_bigdata_analysis__spark.operators.graph import (
+    connected_components,
+    survivors,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a: long, b: long")
+
+
+def test_cc_two_components_and_singleton(spark):
+    # {1,2,3} chained, {10,11}, and node 99 isolated.
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    nodes = spark.range(0).selectExpr("id").union(
+        spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], "id: long")
+    )
+    out = connected_components(edges, "a", "b", nodes=nodes, node_col="id")
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_cc_long_chain_converges(spark):
+    # Path graph 0-1-2-...-9: diameter 9 forces multiple propagation
+    # rounds; every node must still land on component 0.
+    edges = _edges(spark, [(i, i + 1) for i in range(9)])
+    out = connected_components(edges, "a", "b")
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 10
+
+
+def test_cc_direction_and_duplicate_edges_irrelevant(spark):
+    # Same component regardless of pair orientation or repeats.
+    edges = _edges(spark, [(5, 4), (4, 5), (4, 3), (5, 3), (3, 4)])
+    out = connected_components(edges, "a", "b")
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {3: 3, 4: 3, 5: 3}
+
+
+def test_survivors_quality_then_id_tiebreak(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "node: long, component: long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5)], "doc_id: long, n_chars: long"
+    )
+    out = survivors(comps, attrs, "doc_id", "n_chars").orderBy("component")
+    rows = [tuple(r) for r in out.collect()]
+    # component 1: quality tie 30 between docs 2,3 -> min id 2 wins;
+    # component 7: tie 5 between 7,8 -> 7 wins.
+    assert rows == [(1, 2, 3, 30), (7, 7, 2, 5)]
+
+
+def test_cc_plan_labels_every_document(spark, sf_dir):
+    from comperhensive_bigdata_analysis__spark import plans
+
+    cc = plans.QUERIES["dup_clusters"](spark, sf_dir)
+    docs = cc.count()
+    assert docs == 500  # every doc labeled, singletons included
+    # component is always <= its member's id (min-label invariant)
+    assert cc.filter(F.col("component") > F.col("doc_id")).count() == 0

@@ -1,0 +1,57 @@
+"""Property tests for the training-pipeline plans beyond the oracle
+hash-match: split stability/proportions, sample determinism, scrub
+invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comperhensive_bigdata_analysis__spark import plans
+
+
+def test_split_proportions_and_stability(spark, sf_dir):
+    run1 = {r["split"]: r["n_docs"] for r in plans.QUERIES["train_test_split"](spark, sf_dir).collect()}
+    run2 = {r["split"]: r["n_docs"] for r in plans.QUERIES["train_test_split"](spark, sf_dir).collect()}
+    assert run1 == run2  # hash split: no RNG, rerun-identical
+    total = sum(run1.values())
+    assert set(run1) == {"train", "val", "test"}
+    # md5 is uniform: 'cd'/256 = 80.1%, ('e6'-'cd')/256 = 9.8%
+    assert 0.70 <= run1["train"] / total <= 0.90
+    assert run1["val"] / total <= 0.20
+    assert run1["test"] / total <= 0.20
+
+
+def test_stratified_sample_deterministic_and_capped(spark, sf_dir):
+    s1 = [tuple(r) for r in plans.QUERIES["stratified_sample_docs"](spark, sf_dir).collect()]
+    s2 = [tuple(r) for r in plans.QUERIES["stratified_sample_docs"](spark, sf_dir).collect()]
+    assert s1 == s2
+    per_source = {}
+    for source, _doc, rk in s1:
+        per_source.setdefault(source, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+               for v in per_source.values())
+
+
+def test_scrub_removes_stopwords(spark, sf_dir):
+    out = plans.QUERIES["boilerplate_scrub"](spark, sf_dir)
+    docs = out.count()
+    # corpus contains 'a'/'the' tokens -> some scrubbing must occur
+    assert out.filter(F.col("n_stopwords") > 0).count() > 0
+    # scrubbing never lengthens text
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.length("text").alias("orig"))
+    assert (
+        out.join(d, "doc_id").filter(F.col("clean_chars") > F.col("orig")).count() == 0
+    )
+    assert out.count() == docs
+
+
+def test_tfidf_ranks_within_doc(spark, sf_dir):
+    out = plans.QUERIES["tfidf_top_terms"](spark, sf_dir)
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.collect_list("rk").alias("rks"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 3) | (F.array_min("rks") != 1))
+        .count()
+    )
+    assert bad == 0
