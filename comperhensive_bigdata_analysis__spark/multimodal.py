@@ -114,6 +114,77 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "id long, media_type string, width int, height int, "
+    "target_width int, target_height int, content binary"
+)
+
+FEATURE_SCHEMA = "id long, media_type string, features array<double>"
+
+
+def resize_media(media: DataFrame, max_dim: int = 256, decoder=fake_decoder) -> DataFrame:
+    """Aspect-preserving resize plan: decode dims, scale the long side to
+    ``max_dim`` (never upscale), pass bytes through. The scaling math and
+    the bytes-in/bytes-out Arrow plumbing are real; only the pixel
+    resample is the decoder's concern (deterministic stand-in here, a
+    real codec writes re-encoded bytes in its place)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("id", "media_type", "width", "height",
+                     "target_width", "target_height", "content")}
+            for i, c, t in zip(pdf["id"], pdf["content"], pdf["media_type"]):
+                raw = bytes(c)
+                m = decoder(raw, t)
+                w, h = m["width"], m["height"]
+                scale = min(1.0, max_dim / max(w, h))
+                rows["id"].append(i)
+                rows["media_type"].append(t)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["target_width"].append(max(1, round(w * scale)))
+                rows["target_height"].append(max(1, round(h * scale)))
+                rows["content"].append(raw)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Content-addressed feature vector per media object (deterministic
+    md5-expansion stand-in for a real image/audio encoder; unit-norm so
+    downstream cosine ops behave). Output plugs STRAIGHT into the
+    similarity tier: extract_features -> operators/similarity.py
+    cosine_pairs_above_np is the multimodal near-dup pipeline."""
+    import math
+
+    import pandas as pd
+
+    def embed(raw: bytes) -> list[float]:
+        vals = []
+        seed = raw
+        while len(vals) < dim:
+            seed = hashlib.md5(seed).digest()
+            vals.extend(b / 255.0 - 0.5 for b in seed)
+        v = vals[:dim]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "features": [embed(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata pass (no Python): sizes + digests via builtins.
     This is the fast path for anything that doesn't need decoding."""

@@ -222,3 +222,45 @@ def events_json_extract(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching: near-identical part names by edit distance.
+# The length pre-filter is a CORRECT pushdown, not an approximation —
+# levenshtein(a,b) >= |len(a)-len(b)|, so pairs outside the bound can't
+# match and never reach the expensive distance call. At corpus scale the
+# same contract extends to (length-bucket, prefix) blocking keys so the
+# candidate join stays band-diagonal instead of quadratic.
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+"""
+
+
+@plan("fuzzy_name_pairs", _FUZZY_ORACLE)
+def fuzzy_name_pairs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a, b = p.alias("a"), p.alias("b")
+    na, nb = F.col("a.p_name"), F.col("b.p_name")
+    return (
+        a.join(
+            b,
+            (na < nb)
+            & (F.abs(F.length(na) - F.length(nb)) <= 3),
+        )
+        .select(
+            na.alias("name_a"),
+            nb.alias("name_b"),
+            F.levenshtein(na, nb).alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )

@@ -284,6 +284,54 @@ _PCT_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Analytic value functions: first/last/nth + percent_rank/cume_dist.
+# first/last/nth need an explicit UNBOUNDED-to-UNBOUNDED frame (the
+# default frame stops at CURRENT ROW, making last_value degenerate);
+# rank ratios are integer arithmetic -> engine-independent doubles.
+# ---------------------------------------------------------------------------
+
+_VALUE_FN_ORACLE = """
+    SELECT o_orderkey, o_orderpriority,
+           FIRST_VALUE(o_totalprice) OVER w_date AS first_price,
+           LAST_VALUE(o_totalprice) OVER w_date AS last_price,
+           NTH_VALUE(o_totalprice, 3) OVER w_date AS third_price,
+           PERCENT_RANK() OVER w_price AS price_pct_rank,
+           CUME_DIST() OVER w_price AS price_cume_dist
+    FROM orders
+    WINDOW
+      w_date AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      w_price AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+"""
+
+
+@plan("window_value_functions", _VALUE_FN_ORACLE)
+def window_value_functions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w_date = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_price = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.first("o_totalprice").over(w_date).alias("first_price"),
+            F.last("o_totalprice").over(w_date).alias("last_price"),
+            F.nth_value("o_totalprice", 3).over(w_date).alias("third_price"),
+            F.percent_rank().over(w_price).alias("price_pct_rank"),
+            F.cume_dist().over(w_price).alias("price_cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 @plan("percentile_prices", _PCT_ORACLE)
 def percentile_prices(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")

@@ -63,6 +63,51 @@ def test_media_stats_jvm_only(media):
     assert all(r["n_bytes"] > 0 and len(r["digest"]) == 32 for r in stats)
 
 
+def test_resize_preserves_aspect_and_never_upscales(media):
+    from comperhensive_bigdata_analysis__spark.multimodal import resize_media
+
+    rows = resize_media(media, max_dim=256).collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert max(r["target_width"], r["target_height"]) <= 256
+        # no upscaling: small media pass through untouched
+        if max(r["width"], r["height"]) <= 256:
+            assert (r["target_width"], r["target_height"]) == (r["width"], r["height"])
+        else:  # aspect preserved within rounding
+            ar_in = r["width"] / r["height"]
+            ar_out = r["target_width"] / r["target_height"]
+            assert abs(ar_in - ar_out) / ar_in < 0.02
+        assert r["content"] is not None
+
+
+def test_feature_extraction_feeds_similarity_tier(spark, media):
+    """The multimodal near-dup pipeline: bytes -> unit features ->
+    cosine pairs (numpy tier). Duplicate payloads must surface at
+    cosine ~1.0."""
+    from comperhensive_bigdata_analysis__spark.multimodal import extract_features
+    from comperhensive_bigdata_analysis__spark.operators.similarity import (
+        cosine_pairs_above_np,
+    )
+
+    feats = extract_features(media, dim=16)
+    first = feats.first()
+    assert len(first["features"]) == 16
+    assert abs(sum(x * x for x in first["features"]) - 1.0) < 1e-9  # unit norm
+
+    # duplicate content ids (exact payload copies) must pair at ~1.0
+    import pyspark.sql.functions as F
+
+    dup = media.limit(5).select((F.col("id") + 100000).alias("id"),
+                                "content", "media_type")
+    both = extract_features(media.limit(5).unionByName(dup), dim=16)
+    pairs = cosine_pairs_above_np(
+        both.select(F.col("id").alias("vec_id"), F.col("features").alias("embedding")),
+        threshold=0.999,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(i, i + 100000) for r in media.limit(5).collect() for i in [r["id"]]} <= got
+
+
 def test_codec_decoder_raises():
     with pytest.raises(NotImplementedError):
         codec_decoder(b"bytes", "image")
