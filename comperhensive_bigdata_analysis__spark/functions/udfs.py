@@ -55,3 +55,41 @@ def geo_mean_py(v: pd.Series) -> float:
     import numpy as np
 
     return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+
+# ---------------------------------------------------------------------------
+# UDTF: the table-function leg of the U*F family (UDF / UDAF / UDTF).
+# Same overlapping-token-window semantics as the codegen chunker in
+# plans/training.py:doc_chunks (size/stride constants shared); use THIS
+# when chunk logic needs real Python (sentence-aware splitters, BPE
+# budgets), the JVM plan when it doesn't. Registered per-session via
+# register_chunk_udtf and invoked with LATERAL in SQL.
+# ---------------------------------------------------------------------------
+
+
+def make_chunk_udtf():
+    """Build the UDTF class lazily (the decorator needs no session, but
+    keeping construction in a function mirrors the pandas_udf policy)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, n_tokens: int, chunk: string")
+    class ChunkDocUDTF:
+        def eval(self, text: str, size: int, stride: int):
+            toks = (text or "").strip().lower().split()
+            if not toks:
+                yield 0, 0, ""
+                return
+            for i, s in enumerate(range(0, len(toks), stride)):
+                piece = toks[s : s + size]
+                yield i, len(piece), " ".join(piece)
+
+    return ChunkDocUDTF
+
+
+def register_chunk_udtf(spark, name: str = "chunk_doc"):
+    """Register for SQL use:
+    SELECT d.doc_id, c.* FROM documents d,
+    LATERAL chunk_doc(d.text, 50, 40) c
+    """
+    spark.udtf.register(name, make_chunk_udtf())
+    return name

@@ -378,6 +378,67 @@ _GSETS_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (size 50, stride 40) —
+# THE context-window preparation op of an LLM data pipeline. Pure JVM
+# array expressions (sequence -> posexplode -> slice -> concat_ws): the
+# token array is materialized once per doc, chunk boundaries are integer
+# arithmetic, and the output is ~n_tokens/stride rows per doc with
+# content fingerprints. The Python-UDTF twin (functions/udfs.py
+# chunk_docs_udtf) demonstrates the table-function API over the same
+# semantics; parity-tested, but THIS codegen path is the production tier.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40
+
+_CHUNK_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           least({CHUNK_SIZE}, len(t) - s + 1) AS n_tokens,
+           md5(array_to_string(t[s:s + {CHUNK_SIZE} - 1], ' ')) AS chunk_sig
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+@plan("doc_chunks", _CHUNK_ORACLE)
+def doc_chunks(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    with_toks = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
+    exploded = with_toks.select(
+        "doc_id", "__toks", n.alias("__n"), F.explode(starts).alias("s")
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            F.expr(f"CAST((s - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_SIZE), F.col("__n") - F.col("s") + 1).alias(
+                "n_tokens"
+            ),
+            F.md5(
+                F.concat_ws(" ", F.slice("__toks", F.col("s"), CHUNK_SIZE)).cast(
+                    "binary"
+                )
+            ).alias("chunk_sig"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-distribution Shannon entropy per document — a repetition /
 # degenerate-text quality signal (low entropy = spammy repetition).
 # Each -p*ln(p) term is deterministic row math; the cross-term sum goes

@@ -189,3 +189,20 @@ def ingest_folder(
         df = ingest_csv(spark, os.path.join(folder, fname), parquet_dir=parquet_dir)
         registry[table_name_for(fname)] = infer_sql_schema(df)
     return registry
+
+
+def union_evolving(dfs: list[DataFrame]) -> DataFrame:
+    """Union frames whose schemas drifted (columns added/dropped over
+    time) — the schema-evolution reality of a long-lived ingest folder.
+    Name-based alignment with missing columns null-filled; the column
+    order of the FIRST frame wins, later additions append in first-seen
+    order. Equivalent to parquet mergeSchema at read time, but usable on
+    already-transformed frames. Narrow-then-wide int drift is fine
+    (Spark widens in the union); incompatible type drift raises, which
+    is the correct loud failure for a corrupted folder."""
+    if not dfs:
+        raise ValueError("union_evolving: no frames")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -90,6 +90,22 @@ def session_windows(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich each event with a (small) dimension
+    frame. The static side is broadcast to every micro-batch — no
+    stream-side state, no watermark needed, and the dimension is re-read
+    per batch so slowly-changing dims pick up updates. This is the
+    standard pattern for attaching user/tenant/source attributes to an
+    event stream before windowed aggregation; keys absent from the dim
+    pass through with nulls (left join) so late dimension rows never
+    drop events."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once by event_id within the watermark horizon — the
     streaming analog of exact_dedup. State = seen ids inside the

@@ -102,3 +102,27 @@ def test_folder_ingest_registry(spark, csv_dir, tmp_path):
     assert "commissioning_date" in names
     # parquet round-trip happened
     assert os.path.isdir(str(tmp_path / "pq" / "power_plants_de"))
+
+
+def test_union_evolving_aligns_drifted_schemas(spark):
+    from comperhensive_bigdata_analysis__spark.sources.ingest import union_evolving
+
+    v1 = spark.createDataFrame([(1, "a")], "id: int, name: string")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id: int, name: string, score: double")
+    v3 = spark.createDataFrame([(3, 7.5)], "id: bigint, score: double")  # name dropped
+    out = union_evolving([v1, v2, v3]).orderBy("id")
+    assert out.columns == ["id", "name", "score"]  # first frame order + appends
+    assert dict(out.dtypes)["id"] == "bigint"  # int widened by v3
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(1, "a", None), (2, "b", 9.5), (3, None, 7.5)]
+
+
+def test_union_evolving_rejects_incompatible_drift(spark):
+    import pytest as _pytest
+
+    from comperhensive_bigdata_analysis__spark.sources.ingest import union_evolving
+
+    a = spark.createDataFrame([(1,)], "x: int")
+    b = spark.createDataFrame([(["nope"],)], "x: array<string>")
+    with _pytest.raises(Exception):
+        union_evolving([a, b]).collect()

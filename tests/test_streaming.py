@@ -81,6 +81,32 @@ def test_session_windows_parity(spark, stream_dir):
     assert g == w
 
 
+def test_stream_static_enrich_parity(spark, stream_dir):
+    """Stream-static left join == the same join on the batch frame;
+    events with keys outside the dim survive with nulls."""
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("tier_"), (F.col("id") % 3).cast("string")).alias("tier"),
+    )
+    out = _run_stream(
+        spark,
+        ops.stream_static_enrich(
+            ops.events_stream(spark, stream_dir), dim
+        ).select("event_id", "user_id", "tier"),
+        f"enrich_{uuid.uuid4().hex[:8]}",
+    )
+    got = {(r["event_id"], r["tier"]) for r in out.collect()}
+    want = {
+        (r["event_id"], r["tier"])
+        for r in ops.stream_static_enrich(_batch_events(spark, stream_dir), dim)
+        .select("event_id", "tier")
+        .collect()
+    }
+    assert got == want
+    n_events = _batch_events(spark, stream_dir).count()
+    assert len(got) == n_events  # left join: nothing dropped
+
+
 def test_streaming_dedup(spark, stream_dir, tmp_path):
     # Duplicate every file so the stream sees each event twice.
     dup_dir = str(tmp_path / "dup")
