@@ -143,6 +143,75 @@ def stream_to_parquet(
     return writer.start()
 
 
+def incremental_rollup(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Continuously-maintained rollup table: windowed counts/sums land in
+    a date-partitioned parquet table, each micro-batch rewriting ONLY the
+    partitions it touches (dynamic partition overwrite via foreachBatch).
+
+    This is the streaming analog of a materialized hourly rollup — the
+    update-mode aggregation re-emits a window row whenever late data
+    (within the watermark) changes it, and the overwrite is keyed by
+    date partition, so replays and retries converge to the same table
+    (idempotent). Downstream readers see a plain partitioned parquet
+    table and prune on `day` like any batch source.
+
+    Scale: state is bounded by (windows in watermark horizon) x
+    event_type; each batch's write touches only the partitions with
+    changed windows, never the whole table.
+    """
+    from ..sources.layout import overwrite_partitions
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.to_date("w.start").alias("day"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # Merge-then-overwrite: a micro-batch carries only the CHANGED
+        # (window, type) rows of a day, but dynamic overwrite replaces
+        # whole day directories — writing the batch alone would drop the
+        # day's untouched windows. Keep existing rows the batch doesn't
+        # supersede (left_anti on the rollup key), then rewrite the day.
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        keys = ["window_start", "event_type"]
+        merged = batch_df
+        try:
+            existing = spark.read.parquet(out_dir)
+            days = [r["day"] for r in batch_df.select("day").distinct().collect()]
+            untouched = existing.filter(F.col("day").isin(days)).join(
+                batch_df.select(*keys), keys, "left_anti"
+            )
+            merged = batch_df.unionByName(untouched)
+        except Exception:  # first batch: no table yet
+            pass
+        overwrite_partitions(merged, out_dir, ["day"])
+
+    return (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def running_user_totals(events: DataFrame, timeout_duration: str = "30 minutes") -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running event
     count + value total per user, emitting an update per micro-batch.

@@ -126,3 +126,30 @@ def test_union_evolving_rejects_incompatible_drift(spark):
     b = spark.createDataFrame([(["nope"],)], "x: array<string>")
     with _pytest.raises(Exception):
         union_evolving([a, b]).collect()
+
+
+def test_format_roundtrips(spark, tmp_path):
+    """orders survives parquet/json/orc/csv round-trips value-intact
+    (csv via explicit schema — inference would re-derive types)."""
+    import pytest as _pytest
+
+    from comperhensive_bigdata_analysis__spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    # deterministic subset — an unordered limit() re-executes differently
+    # per job, so the written rows could differ from the collected ones
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+        "o_orderkey < 200"
+    )
+    key = lambda rows: sorted(map(str, rows))  # noqa: E731 — null-safe sort
+    want = key(tuple(r) for r in src.collect())
+    for fmt in ("parquet", "json", "orc", "csv"):
+        p = str(tmp_path / f"rt_{fmt}")
+        write_table(src, p, fmt)
+        back = read_table(spark, p, fmt, schema=src.schema)
+        assert key(tuple(r) for r in back.collect()) == want, fmt
+    with _pytest.raises(ValueError):
+        write_table(src, str(tmp_path / "x"), "avro")

@@ -43,6 +43,9 @@ def test_revenue_by_nation_broadcasts_dimension(spark, sf_dir):
     # fact-side equi-joins shuffle on their keys, never nested-loop
     assert "CartesianProduct" not in ex
     assert "BroadcastNestedLoopJoin" not in ex
+    # partial-agg pushdown: lineitem collapses per orderkey BELOW the
+    # join (two aggregation levels = 4 HashAggregates in the plan)
+    assert ex.count("HashAggregate") >= 4
 
 
 def test_filter_project_pushdown(spark, sf_dir):

@@ -151,6 +151,45 @@ def test_stream_to_parquet_sink(spark, stream_dir, tmp_path):
     assert spark.read.parquet(out).count() == src.count()
 
 
+def test_incremental_rollup_matches_batch(spark, stream_dir, tmp_path):
+    """The continuously-maintained rollup table equals the one-shot
+    batch rollup over the same data — and a REPLAY (fresh checkpoint,
+    same input) converges to the identical table (idempotence)."""
+    out = str(tmp_path / "rollup")
+
+    def run(cp):
+        q = ops.incremental_rollup(
+            ops.events_stream(spark, stream_dir),
+            out_dir=out,
+            checkpoint_dir=str(tmp_path / cp),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    run("cp1")
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in _batch_events(spark, stream_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+        .collect()
+    }
+
+    def table():
+        return {
+            (str(r["window_start"]), r["event_type"]): (r["n_events"], r["value_sum"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = table()
+    assert got.keys() == want.keys()
+    assert all(got[k][0] == want[k][0] for k in want)
+    assert all(abs(got[k][1] - want[k][1]) < 1e-6 for k in want)
+
+    run("cp2")  # replay from scratch -> same table, no dupes, no loss
+    assert table().keys() == want.keys()
+
+
 def test_running_user_totals(spark, stream_dir):
     stream = ops.events_stream(spark, stream_dir)
     got = _run_stream(
