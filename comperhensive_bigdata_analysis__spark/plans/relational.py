@@ -596,3 +596,156 @@ def promo_revenue_ratio(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS with a predicate (filtered semi-join): orders having at least
+# one returned lineitem. The IN-subquery plan (semi_join_region_customers)
+# covers uncorrelated IN; this is the correlated-EXISTS spelling —
+# Catalyst decorrelates both to the same LeftSemi shuffle on the key.
+# ---------------------------------------------------------------------------
+
+_EXISTS_ORACLE = """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    ORDER BY o.o_orderkey
+"""
+
+
+@plan("exists_returned_orders", _EXISTS_ORACLE)
+def exists_returned_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery in a projection: each order's price as a ratio of the
+# global average. The scalar collapses to ONE row (decimal-exact mean)
+# broadcast into a map-side projection — no per-row subquery execution,
+# which is exactly how Catalyst rewrites the SQL spelling too.
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUB_ORACLE = """
+    WITH avg_p AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS global_avg
+      FROM orders
+    )
+    SELECT o_orderkey,
+           FLOOR(o_totalprice / global_avg * 1e6) / 1e6 AS price_ratio
+    FROM orders, avg_p
+    ORDER BY o_orderkey
+"""
+
+
+@plan("price_vs_global_avg", _SCALAR_SUB_ORACLE)
+def price_vs_global_avg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    avg_p = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("global_avg")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_p))
+        .select(
+            "o_orderkey",
+            (
+                F.floor(F.col("o_totalprice") / F.col("global_avg") * 1e6) / 1e6
+            ).alias("price_ratio"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style): per-column rows/nulls/distincts/
+# min/max in ONE scan — the single aggregate computes every stat, then
+# the row unpivots to (column, ...) shape. Value rendering is per-type
+# explicit (printf for doubles, strftime for timestamps) so both engines
+# print identical strings. At 100 TB swap COUNT(DISTINCT) for
+# approx_count_distinct — same plan shape, sketch-mergeable.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _render_sql(col: str, typ: str, agg: str) -> str:
+    inner = f"{agg}({col})"
+    if typ == "double":
+        return f"printf('%.6f', {inner})"
+    if typ == "timestamp":
+        return f"strftime({inner}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({inner} AS VARCHAR)"
+
+
+_PROFILE_ORACLE = (
+    "WITH s AS (SELECT "
+    + ", ".join(
+        f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}, "
+        f"{_render_sql(c, t, 'MIN')} AS mn_{c}, {_render_sql(c, t, 'MAX')} AS mx_{c}"
+        for c, t in _PROFILE_COLS
+    )
+    + ", COUNT(*) AS n_rows FROM orders) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value FROM s"
+        for c, _ in _PROFILE_COLS
+    )
+    + " ORDER BY column_name"
+)
+
+
+@plan("orders_profile", _PROFILE_ORACLE)
+def orders_profile(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+
+    def render(col, typ, agg):
+        inner = agg(F.col(col))
+        if typ == "double":
+            return F.format_string("%.6f", inner)
+        if typ == "timestamp":
+            return F.date_format(inner, "yyyy-MM-dd HH:mm:ss")
+        return inner.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, t in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            render(c, t, F.min).alias(f"mn_{c}"),
+            render(c, t, F.max).alias(f"mx_{c}"),
+        ]
+    s = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return (
+        s.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)",
+        )
+        .select(
+            "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+        )
+        .orderBy("column_name")
+    )

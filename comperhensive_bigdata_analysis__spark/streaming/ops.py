@@ -106,6 +106,52 @@ def stream_static_enrich(
     return events.join(F.broadcast(dim), on, "left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair each purchase with the same
+    user's clicks in the preceding ``horizon_minutes``. Both sides carry
+    watermarks and the join predicate bounds event-time distance, so
+    Spark can size the join state and expire rows — an UNBOUNDED
+    stream-stream join would buffer forever; the time bound is what
+    makes it shippable. State per key is (rows within horizon+watermark).
+    """
+    from pyspark.sql import functions as F
+
+    lt = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col(key).alias("l_key"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rt = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col(key).alias("r_key"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return lt.join(rt, cond).select(
+        "left_id", "right_id", F.col("l_key").alias(key), "l_ts", "r_ts"
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once by event_id within the watermark horizon — the
     streaming analog of exact_dedup. State = seen ids inside the
