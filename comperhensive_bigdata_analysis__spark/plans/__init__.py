@@ -47,3 +47,4 @@ from . import stream_parity  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
+from . import behavior  # noqa: E402,F401

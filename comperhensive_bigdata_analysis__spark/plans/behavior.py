@@ -1,0 +1,115 @@
+"""Behavioral analytics plans over the event stream: cohort retention
+and funnel conversion — the product-analytics query shapes a complete
+engine gets asked for daily, built on the same one-shuffle-per-level
+discipline as the window plans.
+
+Scale: every stage is a hash aggregation or equi-join on user_id, so a
+single partitioning carries through the whole plan (Spark reuses the
+exchange); nothing is ordered globally and nothing returns to the
+driver except the final small result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import plan
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day, counted on each
+# subsequent active day. (cohort_day, days_since, n_users) is the
+# retention-curve matrix.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day - f.cohort AS BIGINT) AS days_since,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort, a.day - f.cohort
+    ORDER BY cohort_day, days_since
+"""
+
+
+@plan("cohort_retention", _RETENTION_ORACLE)
+def cohort_retention(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    act = e.distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("bigint").alias("days_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "days_since")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click (after the first view) -> purchase
+# (after that click). Each stage keeps only users who passed the prior
+# stage WITH increasing event times — the strict-sequence semantics that
+# separates a funnel from three independent counts.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+"""
+
+
+@plan("funnel_view_click_purchase", _FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )

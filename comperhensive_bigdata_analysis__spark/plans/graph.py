@@ -108,3 +108,96 @@ def dedup_survivors(spark, sf_dir):
         .filter(F.col("n_members") > 1)
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph (market-basket): parts are connected when they
+# appear in the same order. Edge generation is a self-join WITHIN the
+# orderkey partition (no cross-order pairs), so the shuffle key is the
+# orderkey and pair explosion is bounded by per-order basket size.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_ORACLE = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+"""
+
+
+def _basket_items(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey").distinct()
+
+
+def _copurchase_edges(spark, sf_dir, min_orders: int = 1):
+    items = _basket_items(spark, sf_dir)
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+    )
+
+
+@plan("copurchase_pairs", _COPURCHASE_ORACLE)
+def copurchase_pairs(spark, sf_dir):
+    return (
+        _copurchase_edges(spark, sf_dir)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count over the co-purchase graph — the standard clustering
+# primitive (community density, recommendation strength). Edges are
+# canonical (a < b), so each triangle x<y<z is counted exactly once by
+# the wedge join (x,y)+(y,z) closed by (x,z). At scale the wedge join is
+# the hot spot: degree-cap or per-node sampling bounds it; here the
+# basket graph's bounded degree keeps it exact.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@plan("copurchase_triangles", _TRIANGLE_ORACLE)
+def copurchase_triangles(spark, sf_dir):
+    e = _copurchase_edges(spark, sf_dir).select("part_a", "part_b").distinct()
+    e1 = e.select(F.col("part_a").alias("x"), F.col("part_b").alias("y"))
+    e2 = e.select(F.col("part_a").alias("y"), F.col("part_b").alias("z"))
+    e3 = e.select(F.col("part_a").alias("x"), F.col("part_b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
