@@ -749,3 +749,36 @@ def orders_profile(spark, sf_dir):
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# String aggregation (LISTAGG/STRING_AGG family): nations per region as
+# a sorted, delimited list. Sorting inside the aggregate is what makes
+# the result deterministic — collect_list order is execution-dependent,
+# so the plan sorts the array before joining (and the oracle's
+# string_agg carries an explicit ORDER BY for the same reason).
+# ---------------------------------------------------------------------------
+
+_STRAGG_ORACLE = """
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+"""
+
+
+@plan("nations_per_region_list", _STRAGG_ORACLE)
+def nations_per_region_list(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("region")
+    )
