@@ -80,6 +80,39 @@ def test_numpy_tier_matches_exact_assignment(spark, sf_dir):
     assert all(abs(got[k][1] - want[k][1]) <= 1e-5 * (1 + want[k][1]) for k in want)
 
 
+def test_kmeans_centroids_drive_ivf_index(spark, sf_dir):
+    """End-to-end index build: Lloyd-learned centroids feed the IVF
+    probe path, and IVF@nprobe=4 recovers most of the brute-force
+    top-10 — the learned partitioning is a usable ANN index, not just
+    a clustering statistic."""
+    from comperhensive_bigdata_analysis__spark.operators.similarity import (
+        brute_force_knn_np,
+        ivf_knn_np,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fit = kmeans_fit(e, k=8, max_iter=5)
+    # centroids frame (cid, pos, cx) -> driver-side K x dim vectors
+    rows = fit["centroids"].collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cx"]
+    cents = [
+        (cid, [comps[p] for p in sorted(comps)]) for cid, comps in sorted(by_cid.items())
+    ]
+    qv = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    ivf = {
+        r["vec_id"]
+        for r in ivf_knn_np(e, cents, qv, nprobe=4, k=10, exclude_id=0).collect()
+    }
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["vec_id"] for r in brute_force_knn_np(e, q, k=10).collect()}
+    assert len(ivf) == 10
+    assert len(ivf & exact) >= 6  # probing half the learned cells: recall >= 0.6
+
+
 def test_converges_and_reports_rounds(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").limit(100)
     fit = kmeans_fit(e, k=3, max_iter=10, tol=1e-12)
