@@ -782,3 +782,31 @@ def nations_per_region_list(spark, sf_dir):
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-granularity rollup (date_trunc month): the BI trend query.
+# Month key is computed map-side; one shuffle on ~24 month keys.
+# ---------------------------------------------------------------------------
+
+_MONTHLY_ORACLE = """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    ORDER BY month
+"""
+
+
+@plan("monthly_order_revenue", _MONTHLY_ORACLE)
+def monthly_order_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("month")
+    )

@@ -79,3 +79,30 @@ def compact(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition by ``sort_col`` and sort within each file before
+    writing — every output file covers a DISJOINT key range, so parquet
+    row-group min/max statistics skip whole files for point/range
+    predicates on that column (the single-column z-order-lite).
+
+    Partition pruning (write_partitioned) only works for low-cardinality
+    columns; THIS is the lever for high-cardinality keys — ids,
+    timestamps, prices. repartitionByRange samples the key distribution,
+    so files are balanced even under skew; the in-file sort keeps
+    row-group stats tight (each row group spans a narrow slice, not the
+    whole file's range).
+    """
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

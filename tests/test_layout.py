@@ -73,3 +73,30 @@ def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     n_after = sum(f.endswith(".parquet") for f in os.listdir(out))
     assert n_after < n_before
     assert spark.read.parquet(out).count() == rows_before
+
+
+def test_range_sorted_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Files from write_range_sorted cover non-overlapping key ranges —
+    the property parquet min/max skipping needs to prune files."""
+    import pyspark.sql.functions as F
+
+    from comperhensive_bigdata_analysis__spark.sources.layout import (
+        write_range_sorted,
+    )
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    out = str(tmp_path / "sorted_orders")
+    src = load_table(spark, sf_dir, "orders")
+    write_range_sorted(src, out, "o_totalprice", n_files=6)
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 4  # range partitioner actually split
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # disjoint -> min/max stats prune files
+    assert spark.read.parquet(out).count() == src.count()
