@@ -538,3 +538,111 @@ def grouping_sets_revenue(spark, sf_dir):
         )
         .orderBy("rflag", "lstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global z-score normalization, reported per group — the feature-scaling
+# primitive of a training pipeline. All statistics are ALGEBRAIC over
+# exact decimal sums (mean_z = (mean_x - mu)/sd), so no double is ever
+# summed across partitions: one tiny global aggregate (broadcast as a
+# literal row via cross join), one grouped aggregate, scalar math after.
+# At 100 TB both aggregates are single map-side-combined shuffles.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS gn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS gsx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS gsxx
+      FROM orders
+    ), p AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           FLOOR(((sx / n - gsx / gn) / sqrt((gsxx - gsx * gsx / gn) / (gn - 1.0))) * 1e6) / 1e6 AS mean_z,
+           FLOOR(((mn - gsx / gn) / sqrt((gsxx - gsx * gsx / gn) / (gn - 1.0))) * 1e6) / 1e6 AS min_z,
+           FLOOR(((mx - gsx / gn) / sqrt((gsxx - gsx * gsx / gn) / (gn - 1.0))) * 1e6) / 1e6 AS max_z
+    FROM p CROSS JOIN g
+    ORDER BY o_orderpriority
+"""
+
+
+@plan("zscore_order_prices", _ZSCORE_ORACLE)
+def zscore_order_prices(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    g = o.agg(
+        F.count(F.lit(1)).cast("double").alias("gn"),
+        F.sum(x.cast(DEC)).cast("double").alias("gsx"),
+        F.sum((x * x).cast("decimal(28,8)")).cast("double").alias("gsxx"),
+    )
+    p = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.min(x).cast("double").alias("mn"),
+        F.max(x).cast("double").alias("mx"),
+    )
+    gn, gsx, gsxx = F.col("gn"), F.col("gsx"), F.col("gsxx")
+    sd = F.sqrt((gsxx - gsx * gsx / gn) / (gn - F.lit(1.0)))
+    mu = gsx / gn
+
+    def z(col):
+        return F.floor(((col - mu) / sd) * 1e6) / 1e6
+
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            "o_orderpriority",
+            "n",
+            z(F.col("sx") / F.col("n")).alias("mean_z"),
+            z(F.col("mn")).alias("min_z"),
+            z(F.col("mx")).alias("max_z"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense month x status grid with zero-filled counts — the gap-filling
+# primitive (forecasting and cohort models need EVERY cell present,
+# including empty ones). Both grid sides are tiny DISTINCT aggregates, so
+# the cross join and the final join are broadcasts; the only real work is
+# the one grouped count over the fact table.
+# ---------------------------------------------------------------------------
+
+_GRID_ORACLE = """
+    WITH m AS (SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month FROM orders),
+         s AS (SELECT DISTINCT o_orderstatus AS status FROM orders),
+         c AS (
+           SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                  o_orderstatus AS status, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2
+         )
+    SELECT m.month, s.status, COALESCE(c.n, 0) AS n_orders
+    FROM m CROSS JOIN s
+    LEFT JOIN c ON c.month = m.month AND c.status = s.status
+    ORDER BY m.month, s.status
+"""
+
+
+@plan("dense_month_status_grid", _GRID_ORACLE)
+def dense_month_status_grid(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    months = o.select(month.alias("month")).distinct()
+    statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
+    counts = (
+        o.groupBy(month.alias("month"), F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        months.crossJoin(F.broadcast(statuses))
+        .join(F.broadcast(counts), ["month", "status"], "left")
+        .select("month", "status", F.coalesce("n", F.lit(0)).alias("n_orders"))
+        .orderBy("month", "status")
+    )
