@@ -99,3 +99,28 @@ def test_tfidf_ranks_within_doc(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_zscore_weighted_mean_is_zero(spark, sf_dir):
+    """Group mean z-scores, weighted by group size, must average to ~0
+    (z-scores are centered on the global mean by construction)."""
+    rows = plans.QUERIES["zscore_order_prices"](spark, sf_dir).collect()
+    total_n = sum(r["n"] for r in rows)
+    weighted = sum(r["n"] * r["mean_z"] for r in rows) / total_n
+    assert abs(weighted) < 1e-4  # floor-at-1e-6 rounding is the only slack
+    for r in rows:
+        assert r["min_z"] <= r["mean_z"] <= r["max_z"]
+
+
+def test_dense_grid_is_complete_and_zero_filled(spark, sf_dir):
+    """Every month x status cell exists exactly once, and cell counts sum
+    back to the table's row count (zero-fill adds no phantom rows)."""
+    out = plans.QUERIES["dense_month_status_grid"](spark, sf_dir)
+    rows = out.collect()
+    months = {r["month"] for r in rows}
+    statuses = {r["status"] for r in rows}
+    assert len(rows) == len(months) * len(statuses)  # dense: full cartesian
+    assert len({(r["month"], r["status"]) for r in rows}) == len(rows)
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    assert sum(r["n_orders"] for r in rows) == load_table(spark, sf_dir, "orders").count()
