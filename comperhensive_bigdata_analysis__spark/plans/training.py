@@ -646,3 +646,61 @@ def dense_month_status_grid(spark, sf_dir):
         .select("month", "status", F.coalesce("n", F.lit(0)).alias("n_orders"))
         .orderBy("month", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic downsampling — keep-rate depends on a
+# quality tier (longer docs kept at higher rates), decided per row by an
+# md5-prefix threshold instead of RNG. Entirely map-side: the keep
+# decision is a hex-string comparison, so re-runs, resharding, and
+# late-arriving shards never flip a doc's fate. One tiny grouped count.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+    WITH t AS (
+      SELECT CASE WHEN n_chars >= 1000 THEN 'long'
+                  WHEN n_chars >= 300 THEN 'mid'
+                  WHEN n_chars >= 100 THEN 'short'
+                  ELSE 'tiny' END AS tier,
+             CASE WHEN n_chars >= 1000 THEN 'g'
+                  WHEN n_chars >= 300 THEN '8'
+                  WHEN n_chars >= 100 THEN '4'
+                  ELSE '1' END AS thr,
+             substr(md5(doc_id::VARCHAR), 1, 1) AS h1,
+             n_chars
+      FROM documents
+    )
+    SELECT tier,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN h1 < thr THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN h1 < thr THEN n_chars ELSE 0 END) AS kept_chars
+    FROM t GROUP BY tier ORDER BY tier
+"""
+
+
+@plan("weighted_sample_docs", _WSAMPLE_ORACLE)
+def weighted_sample_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars")
+    tier = (
+        F.when(nc >= 1000, "long")
+        .when(nc >= 300, "mid")
+        .when(nc >= 100, "short")
+        .otherwise("tiny")
+    )
+    thr = (
+        F.when(nc >= 1000, "g")
+        .when(nc >= 300, "8")
+        .when(nc >= 100, "4")
+        .otherwise("1")
+    )
+    kept = F.substring(_md5_str(F.col("doc_id")), 1, 1) < thr
+    return (
+        d.groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, nc).otherwise(F.lit(0))).alias("kept_chars"),
+        )
+        .orderBy("tier")
+    )

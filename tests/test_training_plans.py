@@ -124,3 +124,17 @@ def test_dense_grid_is_complete_and_zero_filled(spark, sf_dir):
     from comperhensive_bigdata_analysis__spark.sources.tables import load_table
 
     assert sum(r["n_orders"] for r in rows) == load_table(spark, sf_dir, "orders").count()
+
+
+def test_weighted_sample_rates_track_tier_thresholds(spark, sf_dir):
+    """'long' docs are kept at 100% (every hex char < 'g'); lower tiers
+    keep close to their nominal 8/16, 4/16, 1/16 md5-prefix rates."""
+    rows = {r["tier"]: r for r in plans.QUERIES["weighted_sample_docs"](spark, sf_dir).collect()}
+    nominal = {"long": 1.0, "mid": 0.5, "short": 0.25, "tiny": 1 / 16}
+    for tier, r in rows.items():
+        rate = r["n_kept"] / r["n_docs"]
+        if tier == "long":
+            assert rate == 1.0
+        else:
+            assert abs(rate - nominal[tier]) < 0.15
+        assert r["kept_chars"] <= r["n_docs"] * 10**7  # sanity: bounded
