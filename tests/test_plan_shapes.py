@@ -75,3 +75,37 @@ def test_output_columns_unique(spark, sf_dir, name):
     duplicate or ambiguous output names would silently corrupt it."""
     cols = plans.QUERIES[name](spark, sf_dir).columns
     assert len(set(cols)) == len(cols), f"{name} duplicate columns: {cols}"
+
+
+def test_zscore_broadcasts_global_stats(spark, sf_dir):
+    """The 1-row global-moments aggregate joins via broadcast nested loop
+    (a broadcast of one row), never a shuffled cartesian; both aggregates
+    keep map-side partials."""
+    ex = _explain(plans.QUERIES["zscore_order_prices"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in ex
+    assert "CartesianProduct" not in ex
+    assert ex.count("HashAggregate") >= 4
+
+
+def test_dense_grid_joins_are_broadcast(spark, sf_dir):
+    """Grid sides are tiny DISTINCT aggregates: the month x status cross
+    join and the counts left-join must both broadcast — a sort-merge join
+    here would shuffle the fact-side counts for nothing."""
+    ex = _explain(plans.QUERIES["dense_month_status_grid"](spark, sf_dir))
+    assert "BroadcastHashJoin" in ex
+    assert "SortMergeJoin" not in ex
+
+
+def test_weighted_sample_is_single_scan(spark, sf_dir):
+    """Tier + keep decision are map-side expressions over one scan that
+    reads only (doc_id, n_chars) — never the text column."""
+    ex = _explain(plans.QUERIES["weighted_sample_docs"](spark, sf_dir))
+    assert "Join" not in ex
+    assert "text" not in ex  # column pruning: text never leaves parquet
+    assert ex.count("HashAggregate") >= 2
+
+
+def test_monthly_rollup_partial_agg(spark, sf_dir):
+    ex = _explain(plans.QUERIES["monthly_order_revenue"](spark, sf_dir))
+    assert ex.count("HashAggregate") >= 2
+    assert "o_comment" not in ex  # prunes to (o_orderdate, o_totalprice)
