@@ -704,3 +704,67 @@ def weighted_sample_docs(spark, sf_dir):
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sigma-clip outlier detection — the "drop the garbage rows before
+# training" primitive. Fences are mu +/- 3*sd derived from EXACT decimal
+# moments, so both engines materialize bit-identical fence doubles and
+# every row classifies identically (no percentile interpolation, whose
+# last-ulp differences could flip rows near the fence). The 1-row stats
+# frame broadcasts; classification is map-side; one grouped count.
+# ---------------------------------------------------------------------------
+
+_SIGMA_ORACLE = """
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS gn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS gsx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS gsxx
+      FROM orders
+    ), f AS (
+      SELECT gsx / gn - 3.0 * sqrt((gsxx - gsx * gsx / gn) / (gn - 1.0)) AS lo,
+             gsx / gn + 3.0 * sqrt((gsxx - gsx * gsx / gn) / (gn - 1.0)) AS hi
+      FROM g
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS n_high,
+           SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS n_low,
+           CAST(SUM(CASE WHEN o_totalprice BETWEEN lo AND hi
+                         THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+             AS inlier_revenue
+    FROM orders CROSS JOIN f
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@plan("sigma_clip_outliers", _SIGMA_ORACLE)
+def sigma_clip_outliers(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    g = o.agg(
+        F.count(F.lit(1)).cast("double").alias("gn"),
+        F.sum(x.cast(DEC)).cast("double").alias("gsx"),
+        F.sum((x * x).cast("decimal(28,8)")).cast("double").alias("gsxx"),
+    )
+    gn, gsx, gsxx = F.col("gn"), F.col("gsx"), F.col("gsxx")
+    sd = F.sqrt((gsxx - gsx * gsx / gn) / (gn - F.lit(1.0)))
+    f = g.select(
+        (gsx / gn - F.lit(3.0) * sd).alias("lo"),
+        (gsx / gn + F.lit(3.0) * sd).alias("hi"),
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+    return (
+        o.crossJoin(F.broadcast(f))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((x > hi).cast("bigint")).alias("n_high"),
+            F.sum((x < lo).cast("bigint")).alias("n_low"),
+            F.sum(F.when(x.between(lo, hi), x.cast(DEC)).otherwise(F.lit(0).cast(DEC)))
+            .cast("double")
+            .alias("inlier_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
