@@ -211,3 +211,37 @@ def daily_wide_sums(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis — the pre-flight check before any 100 TB
+# shuffle join: per-key frequencies (first agg, map-side combined)
+# reduced to distribution stats (second agg over one row per key).
+# skew_ratio = hottest key count / mean count; > ~20 means salt the join
+# or rely on AQE's skew split. All stats integer/decimal-exact.
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+    WITH k AS (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           SUM(cnt) AS n_rows,
+           MAX(cnt) AS max_cnt,
+           FLOOR(MAX(cnt) * COUNT(*) * 1e6 / SUM(cnt)) / 1e6 AS skew_ratio
+    FROM k
+"""
+
+
+@plan("join_key_skew", _SKEW_ORACLE)
+def join_key_skew(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        (F.floor(F.max("cnt") * F.count(F.lit(1)) * F.lit(1e6) / F.sum("cnt")) / 1e6).alias(
+            "skew_ratio"
+        ),
+    )
