@@ -264,3 +264,43 @@ def fuzzy_name_pairs(spark, sf_dir):
         .filter(F.col("dist") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist redaction audit — the regex-scrub primitive (same machinery
+# as PII/email/phone redaction: word-boundary regexp_replace; patterns
+# here are corpus terms so the rule actually fires on the test corpus).
+# Entirely map-side (regex over the text column), one small grouped agg;
+# chars_removed is a length delta, so every metric is integer-exact.
+# ---------------------------------------------------------------------------
+
+_REDACT_ORACLE = r"""
+    WITH r AS (
+      SELECT source,
+             length(text) AS len0,
+             length(regexp_replace(text, '\b(customer|vector)\b', '', 'g')) AS len1
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN len1 < len0 THEN 1 ELSE 0 END) AS n_docs_hit,
+           SUM(len0 - len1) AS chars_removed
+    FROM r GROUP BY source ORDER BY source
+"""
+
+
+@plan("blocklist_redact_stats", _REDACT_ORACLE)
+def blocklist_redact_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    len0 = F.length("text")
+    len1 = F.length(F.regexp_replace("text", r"\b(customer|vector)\b", ""))
+    return (
+        d.select("source", len0.alias("len0"), len1.alias("len1"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("len1") < F.col("len0")).cast("bigint")).alias("n_docs_hit"),
+            F.sum(F.col("len0") - F.col("len1")).alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
