@@ -17,5 +17,6 @@ from .similarity import (  # noqa: F401
     lsh_band_pairs_fast,
 )
 from .relational import as_of_join, sessionize  # noqa: F401
+from .merge import merge_upsert, scd2_apply  # noqa: F401
 from .bucketing import colocated_join, write_bucketed  # noqa: F401
 from .skew import salted_join  # noqa: F401
