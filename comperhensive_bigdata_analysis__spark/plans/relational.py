@@ -810,3 +810,63 @@ def monthly_order_revenue(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (SCD1 upsert) semantics under the oracle: a deterministic update
+# batch (every customer with c_custkey % 97 == 0 gets a +100.00 balance
+# credit — double-exact in both engines, unlike a 1.1x multiply where
+# DuckDB's decimal-literal math and Spark's double math can split an
+# ulp; 50 synthetic new keys insert) applied via
+# operators.merge.merge_upsert, then checksummed per nation. The oracle
+# replays the same MERGE as anti-join + union in SQL — value-hash
+# equality proves replace/insert/untouched semantics row-for-row.
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+    WITH upd AS (
+      SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT 10000000 + r AS c_custkey, r % 25 AS c_nationkey,
+             CAST(100.5 * r AS DOUBLE) AS c_acctbal
+      FROM (SELECT unnest(generate_series(1, 50)) AS r)
+    ), merged AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c ANTI JOIN upd u ON c.c_custkey = u.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_nationkey, c_acctbal FROM upd
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum
+    FROM merged GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@plan("upsert_customers", _UPSERT_ORACLE)
+def upsert_customers(spark, sf_dir):
+    from ..operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    bumped = c.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    fresh = spark.range(1, 51).select(
+        (F.col("id") + 10000000).alias("c_custkey"),
+        (F.col("id") % 25).alias("c_nationkey"),
+        (F.lit(100.5) * F.col("id")).alias("c_acctbal"),
+    )
+    merged = merge_upsert(c, bumped.unionByName(fresh), ["c_custkey"])
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("bal_sum"),
+        )
+        .orderBy("c_nationkey")
+    )
