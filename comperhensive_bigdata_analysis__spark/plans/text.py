@@ -21,6 +21,7 @@ from ..functions.text import (
     quality_score_col,
     stopword_count,
     token_count,
+    tokens,
 )
 from ..sources.tables import load_table
 from . import plan
@@ -301,6 +302,74 @@ def blocklist_redact_stats(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum((F.col("len1") < F.col("len0")).cast("bigint")).alias("n_docs_hit"),
             F.sum(F.col("len0") - F.col("len1")).alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule flags — the multi-rule document filter of a
+# pretraining pipeline (short-doc, repetition, word-length rules), with
+# every threshold an INTEGER cross-multiplication (max_cnt*5 > n_tokens
+# instead of max_cnt/n_tokens > 0.2), so rule outcomes are exact in both
+# engines — no double division anywhere. Token pass shuffles once on
+# (doc_id, term); doc- and source-level reductions follow.
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), tc AS (
+      SELECT doc_id, source, term, COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, source, term
+    ), doc AS (
+      SELECT doc_id, source,
+             SUM(cnt) AS n_tokens,
+             SUM(cnt * length(term)) AS sum_len,
+             MAX(cnt) AS max_cnt
+      FROM tc GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_tokens < 15 THEN 1 ELSE 0 END) AS n_short,
+           SUM(CASE WHEN max_cnt * 5 > n_tokens THEN 1 ELSE 0 END) AS n_repetitive,
+           SUM(CASE WHEN sum_len < 3 * n_tokens OR sum_len > 10 * n_tokens
+                    THEN 1 ELSE 0 END) AS n_wordlen,
+           SUM(CASE WHEN n_tokens >= 15 AND max_cnt * 5 <= n_tokens
+                     AND sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
+                    THEN 1 ELSE 0 END) AS n_pass
+    FROM doc GROUP BY source ORDER BY source
+"""
+
+
+@plan("gopher_quality_flags", _GOPHER_ORACLE)
+def gopher_quality_flags(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    doc = tc.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("term")).alias("sum_len"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    nt, sl, mc = F.col("n_tokens"), F.col("sum_len"), F.col("max_cnt")
+    short = nt < 15
+    repetitive = mc * 5 > nt
+    wordlen = (sl < 3 * nt) | (sl > 10 * nt)
+    return (
+        doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(short.cast("bigint")).alias("n_short"),
+            F.sum(repetitive.cast("bigint")).alias("n_repetitive"),
+            F.sum(wordlen.cast("bigint")).alias("n_wordlen"),
+            F.sum((~short & ~repetitive & ~wordlen).cast("bigint")).alias("n_pass"),
         )
         .orderBy("source")
     )
