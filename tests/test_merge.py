@@ -93,3 +93,41 @@ def test_scd2_replay_is_idempotent(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b                                # same batch applied twice: no-op
+
+
+def test_upsert_persists_via_partition_scoped_rewrite(spark, tmp_path):
+    """End-to-end CDC: a partitioned target + merge_upsert + dynamic
+    partition overwrite rewrites ONLY the partitions the batch touches —
+    untouched partition directories keep their original files."""
+    import os
+
+    from comperhensive_bigdata_analysis__spark.sources.layout import (
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [Row(k=i, region=r, v=i * 10) for i, r in
+         [(1, "eu"), (2, "eu"), (3, "us"), (4, "us"), (5, "ap")]]
+    )
+    write_partitioned(target, path, ["region"])
+    files_before = {
+        p: sorted(os.listdir(os.path.join(path, p)))
+        for p in os.listdir(path) if p.startswith("region=")
+    }
+
+    updates = spark.createDataFrame([Row(k=2, region="eu", v=999)])
+    current = spark.read.parquet(path).select("k", "region", "v")
+    touched = [r["region"] for r in updates.select("region").distinct().collect()]
+    merged = merge_upsert(
+        current.filter(F.col("region").isin(touched)), updates, ["k"]
+    )
+    overwrite_partitions(merged, path, ["region"])
+
+    out = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: 10, 2: 999, 3: 30, 4: 40, 5: 50}
+    # untouched partitions: identical file listings (no rewrite happened)
+    for p, listing in files_before.items():
+        if p != "region=eu":
+            assert sorted(os.listdir(os.path.join(path, p))) == listing
