@@ -245,3 +245,34 @@ def join_key_skew(spark, sf_dir):
             "skew_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact monthly active users — the exact twin of approx_distinct_users.
+# COUNT(DISTINCT user_id) plans as Spark's two-stage expand-distinct:
+# partial dedup on (month, user) map-side, then the month-level count —
+# the exact-distinct shape that stays shuffle-bounded at 100 TB because
+# stage one collapses to unique pairs before anything moves.
+# ---------------------------------------------------------------------------
+
+_MAU_ORACLE = """
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           COUNT(DISTINCT user_id) AS mau,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY date_trunc('month', ts)
+    ORDER BY month
+"""
+
+
+@plan("monthly_active_users", _MAU_ORACLE)
+def monthly_active_users(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"))
+        .agg(
+            F.countDistinct("user_id").alias("mau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("month")
+    )
