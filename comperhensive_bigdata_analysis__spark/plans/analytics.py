@@ -276,3 +276,35 @@ def monthly_active_users(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone-aware hour-of-day profile — the "local business hours" lens
+# over a UTC event stream. The conversion pins both engines to explicit
+# IANA zones (UTC -> Europe/Stockholm) rather than session timezone, so
+# the result is config-independent; bucketing is map-side, one 24-key
+# shuffle. Value sums ride decimals as usual.
+# ---------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+    SELECT strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Stockholm', '%H') AS local_hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY local_hour
+    ORDER BY local_hour
+"""
+
+
+@plan("local_hour_profile", _TZ_ORACLE)
+def local_hour_profile(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp("ts", "Europe/Stockholm")
+    return (
+        e.groupBy(F.date_format(local, "HH").alias("local_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .orderBy("local_hour")
+    )
