@@ -133,3 +133,58 @@ def embedding_near_dup(spark, sf_dir):
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding moments — the anisotropy diagnostic for an
+# embedding space: a dimension whose variance collapses (or whose mean
+# drifts from 0) degrades cosine separability and unbalances IVF/LSH
+# buckets. posexplode is map-side; ONE shuffle on the dimension index;
+# mean/var are scalar algebra over exact decimal sums (floored at 1e-6),
+# the same moment discipline as zscore_order_prices.
+#
+# The LINEAR sum casts x to DECIMAL(38,25): scale 25 exceeds the decimal
+# expansion length of any float32 at these magnitudes, so the cast is
+# EXACT and the HALF_UP-vs-half-even tie that scale-12 casts of raw
+# float32 values can hit (x = p/2^13) is structurally impossible.
+# Squares stay at (28,12), where ties are unsolvable (2q = 13 has no
+# integer solution).
+# ---------------------------------------------------------------------------
+
+_DIM_ORACLE = """
+    WITH v AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ), m AS (
+      SELECT pos,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,25))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM v GROUP BY pos
+    )
+    SELECT pos,
+           FLOOR((sx / n) * 1e6) / 1e6 AS dim_mean,
+           FLOOR(((sxx - sx * sx / n) / (n - 1.0)) * 1e6) / 1e6 AS dim_var
+    FROM m ORDER BY pos
+"""
+
+
+@plan("embedding_dim_moments", _DIM_ORACLE)
+def embedding_dim_moments(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").alias("x")
+    )
+    x = F.col("x")
+    m = v.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(38,25)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(28,12)")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return m.select(
+        "pos",
+        (F.floor((sx / n) * 1e6) / 1e6).alias("dim_mean"),
+        (F.floor(((sxx - sx * sx / n) / (n - F.lit(1.0))) * 1e6) / 1e6).alias("dim_var"),
+    ).orderBy("pos")
