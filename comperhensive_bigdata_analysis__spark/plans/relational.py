@@ -870,3 +870,63 @@ def upsert_customers(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation-pair trade matrix (the TPC-H Q7 shape): revenue between
+# (customer nation, supplier nation) pairs. The fact table collapses to
+# one decimal partial per (orderkey, suppkey) BELOW every join — the
+# same partial-agg pushdown as revenue_by_nation, so the 5-way join
+# moves group partials, not line items. Supplier and nation are
+# broadcast dims; orders/customer ride hash joins on their keys. The
+# final (cust_nation, supp_nation) re-aggregation is exact decimal.
+# ---------------------------------------------------------------------------
+
+_TRADE_ORACLE = """
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    ORDER BY cust_nation, supp_nation
+"""
+
+
+@plan("nation_trade_matrix", _TRADE_ORACLE)
+def nation_trade_matrix(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    prod = F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
+    )
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(prod).alias("__rev_dec"),
+        F.count(F.lit(1)).alias("__lines"),
+    )
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        per_os.join(o, per_os.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              per_os.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum("__lines").alias("n_lines"),
+            F.sum("__rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy("cust_nation", "supp_nation")
+    )
