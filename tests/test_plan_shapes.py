@@ -109,3 +109,13 @@ def test_monthly_rollup_partial_agg(spark, sf_dir):
     ex = _explain(plans.QUERIES["monthly_order_revenue"](spark, sf_dir))
     assert ex.count("HashAggregate") >= 2
     assert "o_comment" not in ex  # prunes to (o_orderdate, o_totalprice)
+
+
+def test_trade_matrix_partials_below_joins(spark, sf_dir):
+    """The Q7-shape matrix keeps lineitem partials below the 5-way join
+    (>= 4 HashAggregates: partial+final at both levels) and broadcasts
+    every dimension side — no cartesian, no nested loop."""
+    ex = _explain(plans.QUERIES["nation_trade_matrix"](spark, sf_dir))
+    assert ex.count("BroadcastHashJoin") >= 3
+    assert ex.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in ex and "BroadcastNestedLoopJoin" not in ex
