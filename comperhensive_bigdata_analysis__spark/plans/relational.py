@@ -930,3 +930,70 @@ def nation_trade_matrix(spark, sf_dir):
         )
         .orderBy("cust_nation", "supp_nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table diff / reconciliation — the migration-validation op: full outer
+# join two snapshots on the key and classify every row added / removed /
+# changed / unchanged. The "new" snapshot here is a deterministic
+# perturbation of orders (drop keys % 89 == 0, bump totalprice on keys
+# % 97 == 0, insert 50 synthetic keys), so the oracle can rebuild the
+# identical snapshot and every class is populated. At scale
+# both sides hash-partition on the key — one co-partitioned shuffle
+# each; the classification is a map-side CASE over the joined row.
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+    WITH new_snap AS (
+      SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 97 = 0 THEN 100.0 ELSE 0.0 END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0
+      UNION ALL
+      SELECT 10000000 + r AS o_orderkey, CAST(50.25 * r AS DOUBLE) AS o_totalprice
+      FROM (SELECT unnest(generate_series(1, 50)) AS r)
+    ), d AS (
+      SELECT CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM orders o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    )
+    SELECT status, COUNT(*) AS n FROM d GROUP BY status ORDER BY status
+"""
+
+
+@plan("snapshot_diff_orders", _DIFF_ORACLE)
+def snapshot_diff_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new_snap = (
+        o.filter(F.col("o_orderkey") % 89 != 0)
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 97 == 0, F.lit(100.0)).otherwise(F.lit(0.0))
+            ).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.range(1, 51).select(
+                (F.col("id") + 10000000).alias("o_orderkey"),
+                (F.lit(50.25) * F.col("id")).alias("o_totalprice"),
+            )
+        )
+    )
+    old = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("vo"))
+    new = new_snap.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("vn"))
+    joined = old.join(new, "k", "full_outer")
+    status = (
+        F.when(F.col("vn").isNull(), "removed")
+        .when(F.col("vo").isNull(), "added")
+        .when(F.col("vo") != F.col("vn"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
