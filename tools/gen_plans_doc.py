@@ -101,6 +101,16 @@ PICKS = {
         "ride the same partitioning; every rule threshold is an integer "
         "cross-multiplication, so no double division decides a flag."
     ),
+    "nation_trade_matrix": (
+        "the Q7 shape with lineitem collapsed to (orderkey, suppkey) "
+        "partials BELOW the 5-way join; supplier + both nation sides "
+        "broadcast, so only orders/customer hash-exchange."
+    ),
+    "snapshot_diff_orders": (
+        "reconciliation as ONE co-partitioned full-outer join — both "
+        "snapshots exchange once on the key; the 4-way classification "
+        "is a map-side CASE, the rollup a 4-key aggregate."
+    ),
 }
 
 
