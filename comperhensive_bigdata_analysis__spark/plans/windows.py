@@ -343,3 +343,57 @@ def percentile_prices(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent: each nation's fraction of its region's revenue — the
+# windowed-aggregate-over-an-aggregate shape (GROUP BY then SUM OVER
+# PARTITION). The grouped frame is ~25 rows, so the window pass is
+# trivial; all the weight is in the one fact aggregation below it. The
+# DECIMAL revenue flows INTO the window sum (exact, order-insensitive —
+# a double window sum would depend on per-engine row order) and only
+# the final division runs on doubles, floored at 1e-6.
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+    WITH nat AS (
+      SELECT r_name AS region, n_name AS nation,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT region, nation,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           FLOOR(CAST(rev_dec AS DOUBLE) * 1e6
+                 / CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE)) / 1e6
+             AS region_share
+    FROM nat
+    ORDER BY region, nation
+"""
+
+
+@plan("revenue_share_within_region", _SHARE_ORACLE)
+def revenue_share_within_region(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    )
+    w = Window.partitionBy("region")
+    rev = F.col("rev_dec").cast("double")
+    tot = F.sum("rev_dec").over(w).cast("double")
+    return nat.select(
+        "region",
+        "nation",
+        rev.alias("revenue"),
+        (F.floor(rev * 1e6 / tot) / 1e6).alias("region_share"),
+    ).orderBy("region", "nation")
