@@ -308,3 +308,48 @@ def local_hour_profile(spark, sf_dir):
         )
         .orderBy("local_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users — sliding DISTINCT, the aggregate a window
+# frame CANNOT express (COUNT(DISTINCT) over a moving range). The
+# standard scale pattern: collapse events to unique (day, user) pairs
+# FIRST (the big shrink), fan each pair out to the <=7 window-end days
+# it belongs to via a range join on the tiny day grid, then a two-level
+# distinct count per window day. The fan-out factor is bounded by the
+# window length, never the data.
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS window_end,
+           COUNT(DISTINCT u.user_id) AS active_7d
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    ORDER BY window_end
+"""
+
+
+@plan("rolling_7d_active_users", _ROLLING_ORACLE)
+def rolling_7d_active_users(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = du.select(F.col("day").alias("wend")).distinct()
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("wend"))
+            & (F.col("day") >= F.date_sub(F.col("wend"), 6)),
+        )
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(
+            F.date_format("wend", "yyyy-MM-dd").alias("window_end"), "active_7d"
+        )
+        .orderBy("window_end")
+    )
