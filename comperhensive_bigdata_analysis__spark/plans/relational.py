@@ -997,3 +997,74 @@ def snapshot_diff_orders(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract integrity audit — the nightly validation pass: foreign
+# keys resolve (anti-join orphan counts), primary keys are unique, and
+# required columns are non-null, unioned into one check report. Each
+# check is an independent aggregate/anti-join; Spark runs the union's
+# branches as parallel jobs, and every count is integer-exact.
+# ---------------------------------------------------------------------------
+
+_INTEGRITY_ORACLE = """
+    SELECT 'customer_null_nationkey' AS check_name,
+           COUNT(*) FILTER (WHERE c_nationkey IS NULL) AS violations
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+            ON l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+            ON o.o_custkey = c.c_custkey)
+    ORDER BY check_name
+"""
+
+
+@plan("integrity_audit", _INTEGRITY_ORACLE)
+def integrity_audit(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"), F.col("violations").cast("bigint")
+        )
+
+    checks = [
+        one(
+            "customer_null_nationkey",
+            c.agg(
+                F.count(F.when(F.col("c_nationkey").isNull(), 1)).alias("violations")
+            ),
+        ),
+        one(
+            "lineitem_orphan_orderkey",
+            l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+        one(
+            "orders_dup_orderkey",
+            o.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations")
+            ),
+        ),
+        one(
+            "orders_orphan_custkey",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("check_name")
