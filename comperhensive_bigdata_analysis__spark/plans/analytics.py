@@ -11,6 +11,7 @@ then runs in scalar double on identical operands in both engines.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from . import plan
@@ -352,4 +353,49 @@ def rolling_7d_active_users(spark, sf_dir):
             F.date_format("wend", "yyyy-MM-dd").alias("window_end"), "active_7d"
         )
         .orderBy("window_end")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group MODE (most frequent value) with a deterministic tie-break
+# (higher count wins, then lexicographic value) — implemented as
+# count-then-rank so the answer is exact and engine-stable, never the
+# sampling-dependent `mode()` builtins. Two shuffles: (group, value)
+# counts, then the rank exchange on ~|groups x values|.
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), r AS (
+      SELECT o_orderpriority, o_orderstatus, cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cnt DESC, o_orderstatus) AS rn
+      FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS n
+    FROM r WHERE rn = 1
+    ORDER BY o_orderpriority
+"""
+
+
+@plan("mode_status_by_priority", _MODE_ORACLE)
+def mode_status_by_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), "o_orderstatus"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("cnt").alias("n"),
+        )
+        .orderBy("o_orderpriority")
     )
