@@ -1068,3 +1068,76 @@ def integrity_audit(spark, sf_dir):
     for df in checks[1:]:
         out = out.unionByName(df)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine table fingerprint — the migration-reconciliation primitive
+# (same family as snapshot_diff_orders, but one aggregate instead of a
+# join: compare a 100 TB table across two systems by shipping 5 rows).
+# Each row is rendered to a canonical string (shortest round-trip
+# rendering for the double column — Java and DuckDB both print the
+# minimal digits that round-trip, verified identical over every distinct
+# o_totalprice at sf0.001/0.01; ISO date for the timestamp — NOTE a
+# decimal cast would NOT work here: DuckDB's double->decimal is
+# bit-exact while Spark's goes through the shortest string),
+# digested with md5, and
+# the digests are folded with order-insensitive aggregates (XOR + exact
+# decimal sum + min/max). Entirely map-side until a 5-group combine.
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_ORACLE = """
+    WITH r AS (
+      SELECT o_orderpriority,
+             md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 COALESCE(o_orderstatus, '~null~'),
+                 COALESCE(CAST(o_totalprice AS VARCHAR), '~null~'),
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                 COALESCE(o_orderpriority, '~null~'))) AS d
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority, d,
+             CAST(('0x' || substr(d, 1, 15)) AS BIGINT) AS sig
+      FROM r
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           bit_xor(sig) AS xor_sig,
+           CAST(SUM(CAST(sig AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sig,
+           MIN(d) AS min_digest,
+           MAX(d) AS max_digest
+    FROM s
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@plan("checksum_orders", _CHECKSUM_ORACLE)
+def checksum_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("~null~")),
+        F.coalesce(F.col("o_totalprice").cast("string"), F.lit("~null~")),
+        F.to_date("o_orderdate").cast("string"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("~null~")),
+    )
+    d = F.md5(row)
+    sig = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+    return (
+        o.select("o_orderpriority", d.alias("d"), sig.alias("sig"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor("sig").alias("xor_sig"),
+            F.sum(F.col("sig").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sum_sig"),
+            F.min("d").alias("min_digest"),
+            F.max("d").alias("max_digest"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -768,3 +768,50 @@ def sigma_clip_outliers(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram vocabulary head — collocation counting for tokenizer/LM prep,
+# completing the unigram Zipf profile (vocab_top_terms). Spark builds
+# bigrams INSIDE the token array with zip_with over two slices (no
+# positional self-join, no extra shuffle: explode -> two hash aggs ->
+# TakeOrdered(40)); the oracle reconstructs positions with
+# generate_subscripts (1-based) and a pos+1 self-join.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t
+    ), b AS (
+      SELECT a.tok || ' ' || c.tok AS bigram
+      FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 40
+"""
+
+
+@plan("bigram_top_terms", _BIGRAM_ORACLE)
+def bigram_top_terms(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(40)
+    )

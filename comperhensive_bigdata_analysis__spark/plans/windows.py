@@ -397,3 +397,89 @@ def revenue_share_within_region(spark, sf_dir):
         rev.alias("revenue"),
         (F.floor(rev * 1e6 / tot) / 1e6).alias("region_share"),
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands MERGE, not gap sessionization):
+# each event opens a fixed 5-minute activity interval; overlapping or
+# touching intervals per user are merged with the classic running-max-end
+# island scan, then reduced to per-user coverage stats. All arithmetic is
+# on BIGINT epoch-microseconds, so both engines agree bit-for-bit. One
+# exchange on user_id, two ordered window passes over it, one combine.
+# ---------------------------------------------------------------------------
+
+_IVL_US = 300_000_000  # 5 minutes in microseconds
+
+_INTERVALS_ORACLE = f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_IVL_US} AS e_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us > COALESCE(
+                    MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_iv,
+             event_id
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s_us, e_us,
+             SUM(new_iv) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island, MIN(s_us) AS ivs, MAX(e_us) AS ive
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           SUM(ive - ivs) AS covered_us,
+           MAX(ive - ivs) AS longest_us
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@plan("merge_event_intervals", _INTERVALS_ORACLE)
+def merge_event_intervals(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s_us.alias("s_us"),
+        (s_us + F.lit(_IVL_US)).alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_iv",
+        F.when(
+            F.col("s_us")
+            > F.coalesce(prev_max_end, F.lit(-(2**63))),
+            1,
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("ivs"), F.max("e_us").alias("ive")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("ive") - F.col("ivs")).alias("covered_us"),
+            F.max(F.col("ive") - F.col("ivs")).alias("longest_us"),
+        )
+        .orderBy("user_id")
+    )
