@@ -1082,7 +1082,11 @@ def integrity_audit(spark, sf_dir):
 # bit-exact while Spark's goes through the shortest string),
 # digested with md5, and
 # the digests are folded with order-insensitive aggregates (XOR + exact
-# decimal sum + min/max). Entirely map-side until a 5-group combine.
+# decimal sum + numeric min/max of the 60-bit sig). All four folds keep
+# fixed-width buffers, so the whole plan is ONE HashAggregate pair
+# (map-side combine to 5 partial rows per task) — a string min/max of
+# the hex digest would demote the aggregate to SortAggregate (declarative
+# agg + variable-width buffer), i.e. a per-partition sort at 100 TB.
 # ---------------------------------------------------------------------------
 
 _CHECKSUM_ORACLE = """
@@ -1097,7 +1101,7 @@ _CHECKSUM_ORACLE = """
                  COALESCE(o_orderpriority, '~null~'))) AS d
       FROM orders
     ), s AS (
-      SELECT o_orderpriority, d,
+      SELECT o_orderpriority,
              CAST(('0x' || substr(d, 1, 15)) AS BIGINT) AS sig
       FROM r
     )
@@ -1105,8 +1109,8 @@ _CHECKSUM_ORACLE = """
            COUNT(*) AS n,
            bit_xor(sig) AS xor_sig,
            CAST(SUM(CAST(sig AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sig,
-           MIN(d) AS min_digest,
-           MAX(d) AS max_digest
+           MIN(sig) AS min_sig,
+           MAX(sig) AS max_sig
     FROM s
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1125,10 +1129,9 @@ def checksum_orders(spark, sf_dir):
         F.to_date("o_orderdate").cast("string"),
         F.coalesce(F.col("o_orderpriority"), F.lit("~null~")),
     )
-    d = F.md5(row)
-    sig = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+    sig = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
     return (
-        o.select("o_orderpriority", d.alias("d"), sig.alias("sig"))
+        o.select("o_orderpriority", sig.alias("sig"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1136,8 +1139,8 @@ def checksum_orders(spark, sf_dir):
             F.sum(F.col("sig").cast("decimal(38,0)"))
             .cast("decimal(38,0)")
             .alias("sum_sig"),
-            F.min("d").alias("min_digest"),
-            F.max("d").alias("max_digest"),
+            F.min("sig").alias("min_sig"),
+            F.max("sig").alias("max_sig"),
         )
         .orderBy("o_orderpriority")
     )

@@ -119,3 +119,35 @@ def test_trade_matrix_partials_below_joins(spark, sf_dir):
     assert ex.count("BroadcastHashJoin") >= 3
     assert ex.count("HashAggregate") >= 4
     assert "CartesianProduct" not in ex and "BroadcastNestedLoopJoin" not in ex
+
+
+def test_checksum_is_pure_hash_aggregate(spark, sf_dir):
+    """The table fingerprint must stay a single-scan map-side-combined
+    HashAggregate: a string min/max in the fold would demote it to
+    SortAggregate (per-partition sort of every row at 100 TB)."""
+    ex = _explain(plans.QUERIES["checksum_orders"](spark, sf_dir))
+    assert "SortAggregate" not in ex
+    assert "ObjectHashAggregate" not in ex
+    assert ex.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in ex
+
+
+def test_interval_merge_single_hash_exchange(spark, sf_dir):
+    """Gaps-and-islands reuses ONE user_id exchange end-to-end: both
+    window passes and both groupBys run on the same partitioning
+    (HashPartitioning(user_id) satisfies the (user_id, island)
+    clustering), so the only other exchange is the final sort's range
+    partitioning."""
+    ex = _explain(plans.QUERIES["merge_event_intervals"](spark, sf_dir))
+    assert ex.count("hashpartitioning") <= 2  # tree + details, same node
+    assert "CartesianProduct" not in ex and "Join" not in ex
+
+
+def test_bigram_has_no_positional_self_join(spark, sf_dir):
+    """Bigrams are built inside the token array (zip_with over slices),
+    so the plan is one text-only scan -> explode -> hash aggs ->
+    TakeOrdered, never a positional self-join."""
+    ex = _explain(plans.QUERIES["bigram_top_terms"](spark, sf_dir))
+    assert "Join" not in ex
+    assert "TakeOrderedAndProject" in ex
+    assert "doc_id" not in ex  # column pruning: only text is read
