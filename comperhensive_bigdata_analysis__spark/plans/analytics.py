@@ -399,3 +399,46 @@ def mode_status_by_priority(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue delta — LAG over the monthly aggregate. The
+# subtraction happens IN DECIMAL (exact on both engines) and only the
+# final values cast to double. The global LAG window runs on post-agg
+# rows (one per month), so the single-partition window is ~100 rows even
+# at 100 TB — the heavy lifting is the map-side-combined monthly agg.
+# ---------------------------------------------------------------------------
+
+_MOM_DELTA_ORACLE = """
+    WITH m AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
+    FROM m ORDER BY month
+"""
+
+
+@plan("monthly_revenue_delta", _MOM_DELTA_ORACLE)
+def monthly_revenue_delta(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"),
+    )
+    w = Window.orderBy("month")
+    return (
+        m.select(
+            "month",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("mom_delta"),
+        )
+        .orderBy("month")
+    )

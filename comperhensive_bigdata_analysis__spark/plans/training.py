@@ -815,3 +815,62 @@ def bigram_top_terms(spark, sf_dir):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration by customer decile — the Pareto/lift profile.
+# Customers aggregate first (map-side combine to |customers| rows), THEN
+# the global NTILE ranks the small aggregate; per-decile sums stay
+# decimal-exact and the share divides two identically-derived doubles
+# (bit-identical IEEE division on both engines). Same global-window
+# caveat as ntile_price_quartiles: at 100 TB the ranking runs on the
+# post-agg relation, orders of magnitude smaller than the fact table.
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+    WITH cr AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), d AS (
+      SELECT rev, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM cr
+    ), g AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             SUM(CAST(rev AS DECIMAL(38,6))) AS drev
+      FROM d GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           CAST(drev AS DOUBLE) AS revenue,
+           CAST(drev AS DOUBLE) / CAST(SUM(drev) OVER () AS DOUBLE) AS rev_share
+    FROM g ORDER BY decile
+"""
+
+
+@plan("decile_revenue_share", _DECILE_ORACLE)
+def decile_revenue_share(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    g = (
+        cr.select("rev", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("rev").cast("decimal(38,6)")).alias("drev"),
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        g.select(
+            "decile",
+            "n_customers",
+            F.col("drev").cast("double").alias("revenue"),
+            (
+                F.col("drev").cast("double")
+                / F.sum("drev").over(wall).cast("double")
+            ).alias("rev_share"),
+        )
+        .orderBy("decile")
+    )
