@@ -111,6 +111,23 @@ PICKS = {
         "snapshots exchange once on the key; the 4-way classification "
         "is a map-side CASE, the rollup a 4-key aggregate."
     ),
+    "checksum_orders": (
+        "cross-engine fingerprint: md5 row digests folded by XOR / exact "
+        "decimal sum / numeric min-max — all fixed-width buffers, so the "
+        "whole table reduces in ONE map-side-combined HashAggregate pair "
+        "(a string min/max here would demote to SortAggregate)."
+    ),
+    "merge_event_intervals": (
+        "gaps-and-islands on BIGINT epoch-micros: one user_id exchange "
+        "feeds both window passes AND both groupBys (partitioning on "
+        "user_id satisfies the (user_id, island) clustering) — the only "
+        "other exchange is the final sort."
+    ),
+    "bigram_top_terms": (
+        "bigrams built INSIDE the token array (zip_with over two slices): "
+        "one text-only scan, explode, partial+final agg, TakeOrdered(40) — "
+        "no positional self-join, no global sort."
+    ),
 }
 
 
