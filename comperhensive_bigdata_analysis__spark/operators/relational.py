@@ -102,3 +102,38 @@ def sessionize(
         .withColumn("session_id", F.sum("__new").over(w_run) - 1)
         .drop("__prev_us", "__new")
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Merge overlapping or touching ``[start, end]`` intervals per key
+    (gaps-and-islands): the classic running-max-end island scan. Returns
+    one row per merged interval: ``(key, island, start_col, end_col)``
+    with island ids 1-based in start order.
+
+    Start/end must be orderable and comparable (bigint epoch-micros in
+    the plan tier, so both engines agree bit-for-bit). One exchange on
+    ``key``; both window passes and the reducing groupBy reuse that
+    partitioning (HashPartitioning(key) satisfies the (key, island)
+    clustering), so no further shuffle.
+    """
+    tiebreak = [order_tiebreak] if order_tiebreak else []
+    w = Window.partitionBy(key).orderBy(start_col, *tiebreak)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_iv = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    return (
+        df.withColumn("__new_iv", new_iv)
+        .withColumn(
+            "island",
+            F.sum("__new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(key, "island")
+        .agg(F.min(start_col).alias(start_col), F.max(end_col).alias(end_col))
+    )

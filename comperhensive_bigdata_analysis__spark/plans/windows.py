@@ -447,6 +447,8 @@ _INTERVALS_ORACLE = f"""
 
 @plan("merge_event_intervals", _INTERVALS_ORACLE)
 def merge_event_intervals(spark, sf_dir):
+    from ..operators.relational import coalesce_intervals
+
     e = load_table(spark, sf_dir, "events")
     s_us = F.unix_micros(F.col("ts").cast("timestamp"))
     iv = e.select(
@@ -455,25 +457,9 @@ def merge_event_intervals(spark, sf_dir):
         s_us.alias("s_us"),
         (s_us + F.lit(_IVL_US)).alias("e_us"),
     )
-    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
-    prev_max_end = F.max("e_us").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.withColumn(
-        "new_iv",
-        F.when(
-            F.col("s_us")
-            > F.coalesce(prev_max_end, F.lit(-(2**63))),
-            1,
-        ).otherwise(0),
-    )
-    isl = flagged.withColumn(
-        "island",
-        F.sum("new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    merged = isl.groupBy("user_id", "island").agg(
-        F.min("s_us").alias("ivs"), F.max("e_us").alias("ive")
-    )
+    merged = coalesce_intervals(
+        iv, "user_id", "s_us", "e_us", order_tiebreak="event_id"
+    ).select("user_id", F.col("s_us").alias("ivs"), F.col("e_us").alias("ive"))
     return (
         merged.groupBy("user_id")
         .agg(
