@@ -12,6 +12,7 @@ driver except the final small result.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from . import plan
@@ -112,4 +113,41 @@ def funnel_view_click_purchase(spark, sf_dir):
         v.agg(F.count(F.lit(1)).alias("n_viewed"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts): LAG the event
+# type within each user's time-ordered stream, count (prev -> next)
+# pairs. One exchange on user_id for the window, then a map-side-combined
+# count on the tiny |event_types|^2 key space.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+"""
+
+
+@plan("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
     )

@@ -469,3 +469,71 @@ def merge_event_intervals(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily value series with LOCF (last-observation-carried-forward) over a
+# dense user x day spine — the time-series densification forecasting
+# pipelines need (dense_month_status_grid fills zeros; this carries the
+# last EXACT DECIMAL observation forward, so the fill is engine-exact
+# and only the final cast emits a double). The spine cross-join is
+# |users| x |days| (both tiny relative to events); the fill is one
+# ordered window pass inside the user_id partitioning.
+# ---------------------------------------------------------------------------
+
+_LOCF_ORACLE = """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+    ), days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), spine AS (
+      SELECT u.user_id, d.day FROM users u CROSS JOIN days d
+    )
+    SELECT spine.user_id, CAST(spine.day AS VARCHAR) AS day,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY spine.user_id ORDER BY spine.day
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS v_filled,
+           (v IS NOT NULL) AS observed
+    FROM spine LEFT JOIN daily
+      ON spine.user_id = daily.user_id AND spine.day = daily.day
+    ORDER BY spine.user_id, spine.day
+"""
+
+
+@plan("daily_value_locf", _LOCF_ORACLE)
+def daily_value_locf(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    bounds = e.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    users = e.select("user_id").distinct()
+    daily = e.groupBy("user_id", day.alias("day")).agg(
+        F.sum(F.col("value").cast(DEC)).alias("v")
+    )
+    spine = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.last("v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+        .orderBy("user_id", "day")
+    )
