@@ -1,0 +1,64 @@
+"""Cross-system table fingerprinting: reduce any relation to a few
+order-insensitive digest scalars so two copies of a 100 TB table can be
+compared by shipping a handful of rows (the aggregate twin of the
+full-outer snapshot diff).
+
+Method: render each row to a canonical '|'-joined string (caller
+pre-shapes columns — e.g. dates to ISO, see plans/relational.py
+checksum_orders for the cross-engine rendering rules), md5 it, take the
+first 60 bits as a BIGINT sig, and fold sigs with XOR + exact decimal
+SUM + MIN/MAX plus COUNT. Every fold keeps a fixed-width buffer, so the
+whole reduction is one map-side-combined HashAggregate pair — never
+SortAggregate (which a string min/max would force), never a shuffle of
+data rows.
+
+Collision posture: the 60-bit sig keeps SUM/XOR exact in BIGINT/decimal
+arithmetic; equal (n, xor, sum, min, max) across engines is a
+probabilistic but overwhelming match certificate, and any single-row
+difference flips xor_sig and sum_sig with certainty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NULL_MARKER = "~null~"
+
+
+def row_sig(cols, null_marker: str = NULL_MARKER):
+    """60-bit BIGINT digest of the canonical row rendering of ``cols``."""
+    rendered = [
+        F.coalesce(F.col(c).cast("string"), F.lit(null_marker)) for c in cols
+    ]
+    d = F.md5(F.concat_ws("|", *rendered))
+    return F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(
+    df: DataFrame,
+    cols: list[str],
+    group_by: list[str] | None = None,
+    null_marker: str = NULL_MARKER,
+) -> DataFrame:
+    """Digest-fold ``df[cols]`` into (n, xor_sig, sum_sig, min_sig,
+    max_sig), optionally per ``group_by`` key (e.g. a partition column,
+    so mismatches localize to a partition)."""
+    sig = row_sig(cols, null_marker).alias("__sig")
+    folded = df.select(*(group_by or []), sig).groupBy(*(group_by or [])).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor("__sig").alias("xor_sig"),
+        F.sum(F.col("__sig").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_sig"),
+        F.min("__sig").alias("min_sig"),
+        F.max("__sig").alias("max_sig"),
+    )
+    return folded
+
+
+def fingerprints_match(a: DataFrame, b: DataFrame) -> bool:
+    """Driver-side equality of two (small) fingerprint frames."""
+    ka = {tuple(r) for r in a.collect()}
+    kb = {tuple(r) for r in b.collect()}
+    return ka == kb

@@ -1119,28 +1119,21 @@ _CHECKSUM_ORACLE = """
 
 @plan("checksum_orders", _CHECKSUM_ORACLE)
 def checksum_orders(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    row = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.coalesce(F.col("o_orderstatus"), F.lit("~null~")),
-        F.coalesce(F.col("o_totalprice").cast("string"), F.lit("~null~")),
-        F.to_date("o_orderdate").cast("string"),
-        F.coalesce(F.col("o_orderpriority"), F.lit("~null~")),
+    from ..operators.fingerprint import fingerprint
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        # shortest round-trip double rendering (matches DuckDB; a decimal
+        # cast would NOT — see module docstring note above)
+        F.col("o_totalprice").alias("o_price"),
+        F.to_date("o_orderdate").alias("o_date"),
+        "o_orderpriority",
     )
-    sig = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
-    return (
-        o.select("o_orderpriority", sig.alias("sig"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor("sig").alias("xor_sig"),
-            F.sum(F.col("sig").cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
-            .alias("sum_sig"),
-            F.min("sig").alias("min_sig"),
-            F.max("sig").alias("max_sig"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return fingerprint(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_price", "o_date",
+         "o_orderpriority"],
+        group_by=["o_orderpriority"],
+    ).orderBy("o_orderpriority")
