@@ -442,3 +442,52 @@ def monthly_revenue_delta(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct users at THREE grains in one pass — COUNT(DISTINCT)
+# under GROUPING SETS (by event type, by month, global). Spark expands
+# each row once per grouping set, then runs its standard two-stage exact
+# distinct: partial dedup on (grain, user) before the count, all
+# map-side combined. GROUPING() disambiguates the rollup slots from a
+# genuinely NULL group value.
+# ---------------------------------------------------------------------------
+
+_GRAIN_MAU_ORACLE = """
+    WITH e2 AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m') AS month, user_id
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+             AS etype,
+           CASE WHEN GROUPING(month) = 1 THEN 'ALL' ELSE month END AS month,
+           COUNT(DISTINCT user_id) AS active_users,
+           COUNT(*) AS n_events
+    FROM e2
+    GROUP BY GROUPING SETS ((event_type), (month), ())
+    ORDER BY etype, month
+"""
+
+
+@plan("active_users_by_grain", _GRAIN_MAU_ORACLE)
+def active_users_by_grain(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("ev_month"),
+        "user_id",
+    )
+    return (
+        e.groupingSets([["event_type"], ["ev_month"], []], "event_type", "ev_month")
+        .agg(
+            F.when(F.grouping("event_type") == 1, "ALL")
+            .otherwise(F.col("event_type"))
+            .alias("etype"),
+            F.when(F.grouping("ev_month") == 1, "ALL")
+            .otherwise(F.col("ev_month"))
+            .alias("month"),
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("etype", "month", "active_users", "n_events")
+        .orderBy("etype", "month")
+    )

@@ -373,3 +373,35 @@ def gopher_quality_flags(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON key census over the props tail column: parse to MAP<string,string>
+# and explode the KEYS — schema discovery for semi-structured columns
+# (what fields exist, how often, over how many users), the complement of
+# events_json_extract's single-path probe. Map parse + explode are
+# JVM-side codegen; counts are map-side combined on the tiny key space.
+# ---------------------------------------------------------------------------
+
+_JSON_KEYS_ORACLE = """
+    WITH k AS (
+      SELECT user_id, unnest(json_keys(props)) AS key FROM events
+    )
+    SELECT key, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM k GROUP BY key ORDER BY key
+"""
+
+
+@plan("events_json_key_census", _JSON_KEYS_ORACLE)
+def events_json_key_census(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select("user_id", F.explode(F.map_keys(m)).alias("key"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("key")
+    )
