@@ -151,3 +151,91 @@ def event_transition_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel: view -> click within 1h -> purchase within 1h of
+# the qualifying click. Two ordered window passes inside ONE user_id
+# exchange: (1) each click learns the latest view at-or-before it
+# (running conditional max of epoch-micros), (2) each purchase learns
+# the latest QUALIFIED click the same way. All bound checks are BIGINT
+# microsecond arithmetic — engine-exact. Contrast with
+# funnel_view_click_purchase, which is sequence-only (no time bound).
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+_FUNNEL_1H_ORACLE = f"""
+    WITH e2 AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), w1 AS (
+      SELECT user_id, event_id, event_type, us,
+             MAX(CASE WHEN event_type = 'view' THEN us END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_view_us
+      FROM e2
+    ), w2 AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN event_type = 'click' AND last_view_us IS NOT NULL
+                       AND us - last_view_us <= {_HOUR_US}
+                  THEN us END AS qc_us,
+             event_id
+      FROM w1
+    ), w3 AS (
+      SELECT user_id, event_type, us, qc_us,
+             MAX(qc_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS last_qc_us
+      FROM w2
+    )
+    SELECT COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+             AS n_viewed,
+           COUNT(DISTINCT CASE WHEN qc_us IS NOT NULL THEN user_id END)
+             AS n_clicked_1h,
+           COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    AND last_qc_us IS NOT NULL
+                                    AND us - last_qc_us <= {_HOUR_US}
+                               THEN user_id END) AS n_purchased_1h
+    FROM w3
+"""
+
+
+@plan("funnel_within_1h", _FUNNEL_1H_ORACLE)
+def funnel_within_1h(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e2 = e.select("user_id", "event_id", "event_type", us.alias("us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w1 = e2.withColumn(
+        "last_view_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+    )
+    w2 = w1.withColumn(
+        "qc_us",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("last_view_us").isNotNull()
+            & (F.col("us") - F.col("last_view_us") <= _HOUR_US),
+            F.col("us"),
+        ),
+    )
+    w3 = w2.withColumn("last_qc_us", F.max("qc_us").over(w))
+    return w3.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_viewed"),
+        F.countDistinct(
+            F.when(F.col("qc_us").isNotNull(), F.col("user_id"))
+        ).alias("n_clicked_1h"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("last_qc_us").isNotNull()
+                & (F.col("us") - F.col("last_qc_us") <= _HOUR_US),
+                F.col("user_id"),
+            )
+        ).alias("n_purchased_1h"),
+    )
