@@ -239,3 +239,62 @@ def funnel_within_1h(spark, sf_dir):
             )
         ).alias("n_purchased_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user — gaps-and-islands by
+# the date-minus-row_number trick: within a user's DISTINCT active days,
+# (day_number - row_number) is constant exactly along a consecutive run.
+# One exchange on user_id; the distinct, both windows, and both
+# reductions all ride that partitioning. Everything is integer day
+# arithmetic. Top-20 by (streak, user) with a deterministic tie-break.
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             (day - DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d
+    ), runs AS (
+      SELECT user_id, grp, COUNT(*) AS streak_days,
+             CAST(MIN(day) AS VARCHAR) AS streak_start
+      FROM r GROUP BY user_id, grp
+    ), best AS (
+      SELECT user_id, streak_days, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start) AS rn
+      FROM runs
+    )
+    SELECT user_id, streak_days, streak_start
+    FROM best WHERE rn = 1
+    ORDER BY streak_days DESC, user_id LIMIT 20
+"""
+
+
+@plan("longest_daily_streak", _STREAK_ORACLE)
+def longest_daily_streak(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn(
+        "grp",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    runs = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").cast("string").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+        .orderBy(F.col("streak_days").desc(), "user_id")
+        .limit(20)
+    )
