@@ -298,3 +298,43 @@ def longest_daily_streak(spark, sf_dir):
         .orderBy(F.col("streak_days").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap histogram: the distribution of time between a user's
+# consecutive events, bucketed per minute (capped at 60+). Bucketing is
+# integer division of BIGINT micros — no float ever decides a bucket.
+# One user_id exchange for the LAG, then a map-side-combined count on
+# ~61 keys.
+# ---------------------------------------------------------------------------
+
+_GAP_HIST_ORACLE = """
+    WITH g AS (
+      SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT LEAST(gap_us // 60000000, 60) AS gap_minutes,
+           COUNT(*) AS n
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1 ORDER BY gap_minutes
+"""
+
+
+@plan("inter_event_gap_histogram", _GAP_HIST_ORACLE)
+def inter_event_gap_histogram(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select((us - F.lag(us).over(w)).alias("gap_us"))
+    return (
+        g.filter(F.col("gap_us").isNotNull())
+        .select(
+            F.least(
+                F.expr("gap_us div 60000000"), F.lit(60).cast("bigint")
+            ).alias("gap_minutes")
+        )
+        .groupBy("gap_minutes")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("gap_minutes")
+    )

@@ -188,3 +188,37 @@ def embedding_dim_moments(spark, sf_dir):
         (F.floor((sx / n) * 1e6) / 1e6).alias("dim_mean"),
         (F.floor(((sxx - sx * sx / n) / (n - F.lit(1.0))) * 1e6) / 1e6).alias("dim_var"),
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# Dominant-dimension census: which coordinate carries each vector's max
+# value (1-based), counted across the corpus — an anisotropy/collapse
+# diagnostic that complements embedding_dim_moments. Pure map-side
+# array_max + array_position (first match on ties, same rule as
+# DuckDB's list_indexof; float32 comparisons are bit-exact on both
+# engines), then one tiny-key aggregate.
+# ---------------------------------------------------------------------------
+
+_ARGMAX_DIM_ORACLE = """
+    WITH d AS (
+      SELECT list_indexof(embedding, list_aggregate(embedding, 'max')) AS dim
+      FROM embeddings
+    )
+    SELECT dim, COUNT(*) AS n
+    FROM d GROUP BY dim ORDER BY dim
+"""
+
+
+@plan("embedding_argmax_dim", _ARGMAX_DIM_ORACLE)
+def embedding_argmax_dim(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            F.array_position(
+                F.col("embedding"), F.array_max("embedding")
+            ).alias("dim")
+        )
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dim")
+    )

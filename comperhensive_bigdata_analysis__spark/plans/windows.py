@@ -537,3 +537,44 @@ def daily_value_locf(spark, sf_dir):
         )
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust dispersion: median absolute deviation per group. Two exact
+# percentile passes — medians per group, broadcast back, then the median
+# of |x - med|. ROUND(...,6) absorbs the engines' last-ulp interpolation
+# difference (same dodge as percentile_prices). Both aggregations are
+# per-group percentiles, not global sorts.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(MAX(m.p50), 6) AS median_price,
+           ROUND(quantile_cont(abs(o.o_totalprice - m.p50), 0.5), 6) AS mad
+    FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@plan("mad_order_prices", _MAD_ORACLE)
+def mad_order_prices(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.max("p50"), 6).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(o_totalprice - p50), 0.5)"), 6
+            ).alias("mad"),
+        )
+        .orderBy("o_orderpriority")
+    )
