@@ -150,12 +150,20 @@ def char_jaccard_pairs(
 
 
 def _salted_hash(seed: int, hash_fn: str = "md5"):
-    """Two hash tiers: 'md5' (hex string — portable, DuckDB oracles
-    replay it exactly) and 'xxhash64' (native 64-bit long — ~2x faster
-    end-to-end: cheaper hashing AND long mins instead of lexicographic
-    32-char string mins). Same LSH guarantees either way."""
+    """Two hash tiers: 'md5' (60-bit BIGINT from the md5 hex prefix —
+    portable, DuckDB oracles replay it exactly via CAST('0x'||substr))
+    and 'xxhash64' (native 64-bit long — ~2x faster hashing). BOTH tiers
+    min over fixed-width longs, so the signature aggregate stays a
+    HashAggregate; a hex-string min here would demote the grouped agg to
+    SortAggregate and sort every exploded shingle row per partition."""
     if hash_fn == "md5":
-        return lambda col: F.md5(F.concat(F.lit(f"mh{seed}:"), col).cast("binary"))
+        return lambda col: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"mh{seed}:"), col).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
     return lambda col: F.xxhash64(F.lit(f"mh{seed}:"), col)
 
 

@@ -121,7 +121,8 @@ def char_jaccard_dedup(spark, sf_dir):
 def _minhash_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
     r = k // bands
     mins = ",\n             ".join(
-        f"MIN(md5('mh{i}:' || s)) AS mh_{i}" for i in range(k)
+        f"MIN(CAST('0x' || substr(md5('mh{i}:' || s), 1, 15) AS BIGINT)) AS mh_{i}"
+        for i in range(k)
     )
     band_eq = "\n       OR ".join(
         "("

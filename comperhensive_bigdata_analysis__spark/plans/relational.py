@@ -726,15 +726,23 @@ def orders_profile(spark, sf_dir):
             return F.date_format(inner, "yyyy-MM-dd HH:mm:ss")
         return inner.cast("string")
 
+    # Two branches so neither poisons the other's aggregate strategy:
+    # (1) counts + min/max in one KEY-LESS aggregate — key-less
+    #     SortAggregate needs no sort (empty ordering requirement), so
+    #     the string min/max partials sit directly on the scan;
+    # (2) the multi-distinct counts alone — Spark's Expand rewrite stays
+    #     pure HashAggregate when no var-width min/max rides along.
+    # Fused, the old plan SORTED every expanded row per partition.
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    dist_aggs = []
     for c, t in _PROFILE_COLS:
         aggs += [
             F.count(F.col(c)).alias(f"nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
             render(c, t, F.min).alias(f"mn_{c}"),
             render(c, t, F.max).alias(f"mx_{c}"),
         ]
-    s = o.agg(*aggs)
+        dist_aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    s = o.agg(*aggs).crossJoin(F.broadcast(o.agg(*dist_aggs)))
     stack_args = ", ".join(
         f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
     )

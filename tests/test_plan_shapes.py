@@ -151,3 +151,20 @@ def test_bigram_has_no_positional_self_join(spark, sf_dir):
     assert "Join" not in ex
     assert "TakeOrderedAndProject" in ex
     assert "doc_id" not in ex  # column pruning: only text is read
+
+
+import re
+
+import pytest  # noqa: F811 (module-level import also exists above)
+
+_KEYED_SORTAGG = re.compile(r"\(\d+\) SortAggregate\n(?:[^\n]+\n)*?Keys \[[1-9]")
+
+
+@pytest.mark.parametrize("name", sorted(plans.QUERIES))
+def test_no_keyed_sort_aggregate_anywhere(spark, sf_dir, name):
+    """A keyed SortAggregate sorts its input per partition — at 100 TB
+    that is a silent O(n log n) regression (var-width buffers like string
+    min/max under a grouped agg cause it). Key-less SortAggregates are
+    fine: an empty ordering requirement inserts no sort."""
+    ex = _explain(plans.QUERIES[name](spark, sf_dir))
+    assert not _KEYED_SORTAGG.search(ex)
