@@ -150,3 +150,37 @@ def approx_percentile_prices(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGEABLE distinct sketches (Apache DataSketches HLL via
+# hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-group
+# sketches built once, then UNIONED to coarser grains without touching
+# raw data — the 100 TB pattern for distinct counts over arbitrary
+# rollups (pre-sketch per partition/day, merge on demand; re-scanning
+# for each grain is what it replaces). approx_count_distinct's HLL++ is
+# aggregate-only — its sketch can't be stored or merged; these can.
+# Engine-specific binary -> rows-only check + tolerance test
+# (tests/test_sketch_and_bucketing.py) like the other sketches.
+# ---------------------------------------------------------------------------
+
+
+@plan("hll_mergeable_distinct")
+def hll_mergeable_distinct(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_type_est = per_type.select(
+        F.col("event_type").alias("grain"),
+        "n_events",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    merged = per_type.agg(
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("approx_users"),
+    ).select(F.lit("ALL").alias("grain"), "n_events", "approx_users")
+    return per_type_est.unionByName(merged).orderBy("grain")

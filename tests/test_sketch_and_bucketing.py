@@ -82,3 +82,23 @@ def test_bucketed_join_eliminates_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         for t in ("b_orders", "b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hll_mergeable_union_within_tolerance(spark, sf_dir):
+    """The UNIONED sketch's global estimate must land within 5% of the
+    exact global distinct — the merge path, not just per-group accuracy
+    (a wrong union would double-count shared users across groups)."""
+    from pyspark.sql import functions as F
+
+    from comperhensive_bigdata_analysis__spark.plans.sketch import (
+        hll_mergeable_distinct,
+    )
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    rows = {r["grain"]: r["approx_users"] for r in
+            hll_mergeable_distinct(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    exact_all = e.select("user_id").distinct().count()
+    assert abs(rows["ALL"] - exact_all) / exact_all <= 0.05
+    # union can never exceed the sum of the parts
+    assert rows["ALL"] <= sum(v for k, v in rows.items() if k != "ALL")
