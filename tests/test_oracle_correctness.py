@@ -33,7 +33,14 @@ def test_plan_matches_oracle(spark, con, name):
 #:   estimator, pinned to <=5% relative error in test_sketch_and_bucketing.
 #: - approx_percentile_prices: GK/KLL sketch percentiles — pinned to the
 #:   exact percentile plan within 1% in test_sketch_and_bucketing.
-NO_ORACLE_ALLOWED = {"approx_distinct_users", "approx_percentile_prices"}
+#: - hll_mergeable_distinct: DataSketches HLL union — engine-specific
+#:   binary sketches; pinned to the exact two-stage distinct plan within
+#:   5% in test_sketch_and_bucketing.
+NO_ORACLE_ALLOWED = {
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "hll_mergeable_distinct",
+}
 
 
 def test_every_plan_has_oracle():
