@@ -48,3 +48,4 @@ from . import graph  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
 from . import behavior  # noqa: E402,F401
+from . import audit  # noqa: E402,F401

@@ -338,3 +338,145 @@ def inter_event_gap_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("gap_minutes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase is credited to the nearest
+# PRECEDING non-purchase event of the same user (the marketing-channel
+# question). One per-user ordered window — no self-join, no driver
+# loop; (ts, event_id) is a total order so ties are deterministic.
+# ---------------------------------------------------------------------------
+
+_LAST_TOUCH_ORACLE = """
+    WITH tagged AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+"""
+
+
+@plan("last_touch_attribution", _LAST_TOUCH_ORACLE)
+def last_touch_attribution(spark, sf_dir):
+    """Purchase count and decimal-exact value credited to the last
+    preceding non-purchase event type per user ('direct' when none).
+
+    100 TB: one exchange on user_id; the window frame is a running
+    last-non-null carry (no per-partition re-sort beyond the window
+    sort, bounded by per-user event counts); the final aggregate has
+    ~|event_type| groups with map-side combine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM census: per-customer Recency / Frequency / Monetary scored against
+# FIXED business thresholds (quantile-free on purpose: threshold scoring
+# is a pure map over the per-customer aggregate, so the plan stays fully
+# parallel at any customer cardinality — no global NTILE sort; the
+# quantile variant of this shape lives in decile_revenue_share /
+# ntile_price_quartiles).
+# ---------------------------------------------------------------------------
+
+_RFM_ANCHOR = "2001-08-02"
+_RFM_ORACLE = f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       DATE '{_RFM_ANCHOR}') AS rec_days,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT CASE WHEN rec_days <= 180 THEN 3
+                  WHEN rec_days <= 720 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN freq >= 12 THEN 3
+                  WHEN freq >= 6 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary >= 3000000 THEN 3
+                  WHEN monetary >= 1500000 THEN 2 ELSE 1 END AS m_score,
+             monetary
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS total_value
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+"""
+
+
+@plan("rfm_segments", _RFM_ORACLE)
+def rfm_segments(spark, sf_dir):
+    """Customer count and decimal-exact value per (R,F,M) segment cell,
+    scored by fixed thresholds against the day after the corpus' last
+    order date.
+
+    100 TB: one exchange on o_custkey for the per-customer aggregate
+    (map-side partial MAX/COUNT/SUM), threshold scoring map-side, then
+    a 27-cell final aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        F.when(F.col("rec_days") <= 180, 3)
+        .when(F.col("rec_days") <= 720, 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("freq") >= 12, 3)
+        .when(F.col("freq") >= 6, 2)
+        .otherwise(1)
+        .alias("f_score"),
+        F.when(F.col("monetary") >= 3000000, 3)
+        .when(F.col("monetary") >= 1500000, 2)
+        .otherwise(1)
+        .alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
