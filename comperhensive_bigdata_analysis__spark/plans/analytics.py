@@ -491,3 +491,65 @@ def active_users_by_grain(spark, sf_dir):
         .select("etype", "month", "active_users", "n_events")
         .orderBy("etype", "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal index — avg daily event value per weekday over
+# the all-days average. Exact: both engines sum decimals; the only
+# doubles are the final division chain on identical operands. Weekday
+# numbering pinned Monday=0 (Spark weekday() == DuckDB isodow()-1;
+# neither side's locale-dependent day NAMES are used).
+# ---------------------------------------------------------------------------
+
+_DOW_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS day_rev
+      FROM events GROUP BY 1
+    ),
+    by_dow AS (
+      SELECT isodow(day) - 1 AS dow,
+             SUM(day_rev) AS dow_rev,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY 1
+    )
+    SELECT dow, n_days,
+           CAST(dow_rev AS DOUBLE) AS dow_revenue,
+           (CAST(dow_rev AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(SUM(dow_rev) OVER () AS DOUBLE)
+                  / CAST(SUM(n_days) OVER () AS DOUBLE)) AS seasonal_index
+    FROM by_dow
+    ORDER BY dow
+"""
+
+
+@plan("dow_seasonality", _DOW_ORACLE)
+def dow_seasonality(spark, sf_dir):
+    """Per-weekday average daily revenue as an index against the
+    all-days average (index > 1 = above-trend weekday).
+
+    100 TB: two cascaded hash aggregates (day grain, then 7 weekday
+    groups), both map-side combined; the normalizing windows run on the
+    7-row aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("day_rev")
+    )
+    by_dow = daily.groupBy(F.weekday("day").alias("dow")).agg(
+        F.sum("day_rev").alias("dow_rev"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.partitionBy()
+    return by_dow.select(
+        "dow",
+        "n_days",
+        F.col("dow_rev").cast("double").alias("dow_revenue"),
+        (
+            (F.col("dow_rev").cast("double") / F.col("n_days").cast("double"))
+            / (
+                F.sum("dow_rev").over(w).cast("double")
+                / F.sum("n_days").over(w).cast("double")
+            )
+        ).alias("seasonal_index"),
+    ).orderBy("dow")

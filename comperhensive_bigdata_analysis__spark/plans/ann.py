@@ -301,3 +301,84 @@ def ivf_knn(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — the hybrid-retrieval merge step (combine a
+# lexical and a semantic ranking into one list, score = sum over lists
+# of 1/(K + rank)). Retriever A ranks documents by length (n_chars
+# desc); retriever B by md5(text) — a deterministic stand-in for any
+# second scorer, identical hex in both engines. K=60 per the RRF paper
+# (Cormack et al., SIGIR'09).
+#
+# Spark-first scale shape: each retriever is orderBy().limit(k) —
+# TakeOrderedAndProject, a per-partition top-k + driver merge, NO
+# global sort — and ranks are assigned by a window over the k
+# survivors only. The DuckDB oracle writes the same thing as
+# rank-then-filter; both produce the identical top-k under the same
+# total order (ties broken by doc_id).
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 100
+
+_RRF_ORACLE = f"""
+    WITH a AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents
+      ) WHERE r <= {_RRF_TOPK}
+    ),
+    b AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS r
+        FROM documents
+      ) WHERE r <= {_RRF_TOPK}
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           a.r AS rank_len, b.r AS rank_hash,
+           COALESCE(1.0 / ({_RRF_K} + CAST(a.r AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + CAST(b.r AS DOUBLE)), 0.0) AS rrf
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ORDER BY rrf DESC, doc_id
+"""
+
+
+@plan("rrf_rank_fusion", _RRF_ORACLE)
+def rrf_rank_fusion(spark, sf_dir):
+    """Fuse two top-100 document rankings by reciprocal-rank fusion.
+
+    100 TB: each retriever leg is a parallel top-k (per-partition heads
+    merged on the driver, never a full sort); ranking and the full-outer
+    fusion join run on <=100 rows per leg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(_RRF_TOPK)
+        .withColumn(
+            "rank_len",
+            F.row_number().over(Window.orderBy(F.col("n_chars").desc(), "doc_id")),
+        )
+        .select("doc_id", "rank_len")
+    )
+    b = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(_RRF_TOPK)
+        .withColumn("rank_hash", F.row_number().over(Window.orderBy("h", "doc_id")))
+        .select("doc_id", "rank_hash")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_len").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_hash").cast("double")), F.lit(0.0)
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select("doc_id", "rank_len", "rank_hash", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+    )

@@ -578,3 +578,69 @@ def mad_order_prices(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) per order priority: orders strictly more
+# expensive than EVERY strictly-earlier order in their priority class.
+# Classic skyline needs an O(n^2) dominance self-join; on a total
+# date order it collapses to one running-max window with a RANGE frame
+# ending 1 day before the current row (the range frame — not ROWS —
+# is what keeps same-day peers out of each other's comparison set).
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+    WITH d AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS epoch_day
+      FROM orders
+    ),
+    m AS (
+      SELECT *,
+             MAX(o_totalprice) OVER (
+               PARTITION BY o_orderpriority ORDER BY epoch_day
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM d
+    )
+    SELECT o_orderpriority, epoch_day, o_orderkey, o_totalprice
+    FROM m
+    WHERE prev_max IS NULL OR o_totalprice > prev_max
+    ORDER BY o_orderpriority, epoch_day, o_orderkey
+"""
+
+
+@plan("pareto_frontier_orders", _PARETO_ORACLE)
+def pareto_frontier_orders(spark, sf_dir):
+    """Per-priority skyline: orders not dominated by any strictly
+    earlier, strictly pricier order.
+
+    100 TB: one exchange on o_orderpriority + per-partition window
+    sort on the integer day key; no self-join (the naive dominance
+    formulation is a quadratic theta-join). Output is the frontier
+    only — expected O(log n) rows per partition for exchangeable
+    arrivals.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("epoch_day")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m = d.withColumn("prev_max", F.max("o_totalprice").over(w))
+    return (
+        m.filter(
+            F.col("prev_max").isNull() | (F.col("o_totalprice") > F.col("prev_max"))
+        )
+        .select("o_orderpriority", "epoch_day", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "epoch_day", "o_orderkey")
+    )
