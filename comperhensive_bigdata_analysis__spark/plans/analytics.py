@@ -553,3 +553,162 @@ def dow_seasonality(spark, sf_dir):
             )
         ).alias("seasonal_index"),
     ).orderBy("dow")
+
+
+# ---------------------------------------------------------------------------
+# 30-day WEIGHTED moving average of daily revenue (weight = 30 - age,
+# linear decay). SQL window frames can't weight by position inside the
+# frame, so each source day fans out to the <=30 target days it
+# contributes to (explode of a 30-element sequence — the weighted twin
+# of rolling_7d_active_users' day-grid trick) and the target-day
+# aggregate folds value*weight and the weight mass in exact decimal.
+# Fan-out factor is the window length, never the data size.
+# ---------------------------------------------------------------------------
+
+_WMA_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS day_rev
+      FROM events GROUP BY 1
+    ),
+    fan AS (
+      SELECT day + TO_DAYS(CAST(k AS INTEGER)) AS target_day,
+             30 - k AS w,
+             day_rev
+      FROM daily, UNNEST(generate_series(0, 29)) AS t(k)
+    )
+    SELECT strftime(target_day, '%Y-%m-%d') AS day,
+           CAST(SUM(w) AS BIGINT) AS weight_mass,
+           CAST(SUM(day_rev * w) AS DOUBLE)
+             / CAST(SUM(w) AS DOUBLE) AS wma30
+    FROM fan
+    WHERE target_day <= (SELECT MAX(day) FROM daily)
+    GROUP BY target_day
+    ORDER BY day
+"""
+
+
+@plan("weighted_moving_average", _WMA_ORACLE)
+def weighted_moving_average(spark, sf_dir):
+    """Linear-decay 30-day weighted moving average of daily event
+    revenue; weight_mass records how much of the window each day saw
+    (edges ramp up).
+
+    100 TB: the fan-out happens AFTER the day-grain aggregate, so it
+    multiplies ~|days| rows by 30, not the event count; both aggregates
+    are map-side combined; no window sort anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("day_rev")
+    )
+    max_day = daily.agg(F.max("day").alias("max_day"))
+    fan = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("k"),
+        "day",
+        "day_rev",
+    ).select(
+        F.date_add("day", F.col("k")).alias("target_day"),
+        (F.lit(30) - F.col("k")).alias("w"),
+        "day_rev",
+    )
+    return (
+        fan.join(F.broadcast(max_day), F.col("target_day") <= F.col("max_day"))
+        .groupBy("target_day")
+        .agg(
+            F.sum("w").cast("bigint").alias("weight_mass"),
+            (
+                F.sum(F.col("day_rev") * F.col("w")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("wma30"),
+        )
+        .select(
+            F.date_format("target_day", "yyyy-MM-dd").alias("day"),
+            "weight_mass",
+            "wma30",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-7 autocorrelation of daily revenue — Pearson r between the daily
+# series and itself shifted a week, via a self-EQUI-join on day-7 (the
+# Spark-first spelling: no global-window LAG over the whole series, so
+# the pairing parallelizes like any hash join). Moments accumulate in
+# exact decimal; only the final scalar algebra runs in double (+,-,*,/
+# and sqrt — IEEE-deterministic).
+#
+# Cast discipline: each moment goes through FLOOR before the double
+# cast. DuckDB casts wide decimals via int128 -> double -> /10^scale
+# (two roundings) while Spark's BigDecimal cast rounds once, so a
+# scale-12 moment whose scaled integer exceeds 2^53 can differ in the
+# last ulp — and a decimal RESCALE doesn't help because the engines
+# disagree there too (DuckDB truncates, Spark rounds half-up). FLOOR
+# is defined identically in both, and casting the resulting scale-0
+# decimal to double is a single identical rounding. The sub-unit
+# truncation is noise at moment magnitude.
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.y AS x, b.y AS y
+      FROM daily a JOIN daily b ON b.day = a.day + TO_DAYS(7)
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(FLOOR(SUM(x)) AS DOUBLE) AS sx,
+             CAST(FLOOR(SUM(y)) AS DOUBLE) AS sy,
+             CAST(FLOOR(SUM(x * y)) AS DOUBLE) AS sxy,
+             CAST(FLOOR(SUM(x * x)) AS DOUBLE) AS sxx,
+             CAST(FLOOR(SUM(y * y)) AS DOUBLE) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS acf_7
+    FROM m
+"""
+
+
+@plan("autocorr_lag7_revenue", _AUTOCORR_ORACLE)
+def autocorr_lag7_revenue(spark, sf_dir):
+    """Weekly autocorrelation of the daily revenue series (one row:
+    pair count + Pearson r at lag 7).
+
+    100 TB: day-grain aggregate (map-side combined), then a self
+    equi-join on the shifted day key — both sides are the ~|days|-row
+    aggregate — and a single all-reduce of six decimal moments.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("y")
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("y").alias("x"))
+    b = daily.select(F.date_sub("day", 7).alias("day_a"), F.col("y").alias("y"))
+    pairs = a.join(b, "day_a")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("x")).cast("double").alias("sx"),
+        F.floor(F.sum("y")).cast("double").alias("sy"),
+        F.floor(F.sum(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.floor(F.sum(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.floor(F.sum(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("acf_7"),
+    )
