@@ -206,3 +206,40 @@ def union_evolving(dfs: list[DataFrame]) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def ingest_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    table: str | None = None,
+    register_view: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced CSV ingest that QUARANTINES malformed rows
+    instead of silently nulling (Spark's PERMISSIVE default) or
+    dropping (DROPMALFORMED) them — the posture a 100 TB ingest needs:
+    bad input is data, not noise.
+
+    ``schema`` is a DDL string (``"a INT, b STRING"``); the corrupt
+    capture column is appended internally. Returns ``(clean, rejects)``
+    where ``rejects`` carries the raw offending line for replay after a
+    schema fix. Both frames are lazy single-pass scans — no driver
+    materialization. Generalizes the reference's sanitize-only pipeline
+    (helper_utils.py:83-95), which assumes every row parses.
+    """
+    full = f"{schema}, _corrupt_record STRING"
+    raw = spark.read.options(
+        header=True,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).csv(path, schema=full)
+    # Spark leaves _corrupt_record null for clean rows and sets it to the
+    # raw line when any field failed to parse under the declared schema.
+    raw = raw.cache()  # one scan feeds both split sides
+    clean = sanitize_columns(raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record"))
+    rejects = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    if register_view:
+        clean.createOrReplaceTempView(table or table_name_for(path))
+    return clean, rejects

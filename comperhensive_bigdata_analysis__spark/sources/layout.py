@@ -106,3 +106,69 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of the rank-bucketed values of
+    ``cols`` (each a numeric Column already scaled to [0, 2^bits)) into
+    one BIGINT sort key. Pure JVM bit arithmetic (shiftleft/bitwise OR
+    folded per bit) — no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column data-skipping layout: bucket each column to its
+    approximate rank percentile (equi-width over the observed min/max —
+    rank-free, so computing the scale is one tiny agg, not a sort),
+    Morton-interleave the buckets into a z-key, then range-partition and
+    sort the files by it.
+
+    Why: write_range_sorted makes ONE column's file min/max disjoint;
+    z-ordering makes EVERY interleaved column's per-file range narrow
+    (~n_files^(-1/len(cols)) of the domain), so parquet row-group stats
+    skip files for predicates on ANY of the columns — the standard
+    multi-dimensional clustering trick (same layout Delta OPTIMIZE
+    ZORDER produces). Linear scale buckets are skew-sensitive; for
+    heavy-tailed columns pre-transform (log/clip) or raise ``bits``.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+                F.lit(top),
+            )
+        )
+    zdf = df.withColumn("__zkey", zorder_key(scaled, bits))
+    (
+        zdf.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

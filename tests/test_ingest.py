@@ -153,3 +153,31 @@ def test_format_roundtrips(spark, tmp_path):
         assert key(tuple(r) for r in back.collect()) == want, fmt
     with _pytest.raises(ValueError):
         write_table(src, str(tmp_path / "x"), "avro")
+
+
+def test_audited_ingest_quarantines_malformed_rows(spark, tmp_path):
+    """PERMISSIVE + corrupt-record capture: clean rows parse under the
+    declared schema, malformed rows come back verbatim for replay."""
+    from comperhensive_bigdata_analysis__spark.sources.ingest import (
+        ingest_csv_audited,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,amount,when\n"
+        "1,10.5,2024-01-01T00:00:00\n"
+        "2,not_a_number,2024-01-02T00:00:00\n"
+        "3,30.25,2024-01-03T00:00:00\n"
+        "4,40.0,never\n"
+    )
+    clean, rejects = ingest_csv_audited(
+        spark, str(p), "id INT, amount DOUBLE, when TIMESTAMP", table="dirty"
+    )
+    assert clean.count() == 2
+    assert [r["id"] for r in clean.orderBy("id").collect()] == [1, 3]
+    bad = sorted(r["raw_line"] for r in rejects.collect())
+    assert len(bad) == 2
+    assert any("not_a_number" in b for b in bad)
+    assert any("never" in b for b in bad)
+    # registered and queryable
+    assert spark.table("dirty").count() == 2

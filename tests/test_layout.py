@@ -100,3 +100,44 @@ def test_range_sorted_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next  # disjoint -> min/max stats prune files
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_zordered_write_narrows_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordering on (o_totalprice, o_orderdate) must make the average
+    per-file extent of EACH column materially narrower than its global
+    domain — the property multi-column min/max skipping needs. A
+    single-column sort can't do this for the second column."""
+    import pyspark.sql.functions as F
+
+    from comperhensive_bigdata_analysis__spark.sources.layout import write_zordered
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "o_epoch_day",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")),
+    )
+    out = str(tmp_path / "z_orders")
+    write_zordered(src, out, ["o_totalprice", "o_epoch_day"], n_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("span_price"),
+            (F.max("o_epoch_day") - F.min("o_epoch_day")).alias("span_day"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 8
+    glob = src.agg(
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("p"),
+        (F.max("o_epoch_day") - F.min("o_epoch_day")).alias("d"),
+    ).collect()[0]
+    avg_p = sum(r["span_price"] for r in per_file) / len(per_file)
+    avg_d = sum(r["span_day"] for r in per_file) / len(per_file)
+    # With 16 files and 2 dims, ideal extent is ~1/4 of the domain per
+    # column; allow generous slack for bucket-boundary straddle.
+    assert avg_p < 0.6 * glob["p"]
+    assert avg_d < 0.6 * glob["d"]
