@@ -251,3 +251,88 @@ def ab_conversion_z(spark, sf_dir):
         p1.alias("p1"),
         z.alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence audit between order priority and status. All
+# inputs are exact BIGINT counts; each cell's (o-e)^2/e term is IEEE
+# arithmetic on identical operands — but the TERMS must not be summed
+# as raw doubles (double addition isn't associative and neither engine
+# guarantees an order), and they must not detour through a wide decimal
+# either (the engines' double<->decimal conversions disagree beyond
+# ~15 digits — see the cast-discipline note on autocorr_lag7_revenue).
+# Deterministic fold: DYADIC FIXED-POINT. term * 2^20 is an exact
+# exponent shift, FLOOR of it is an integer-valued double, and adding
+# integer-valued doubles (totals << 2^53) is EXACT, hence order-free;
+# the final /2^20 is again exact scaling. The statistic loses only
+# sub-2^-20 precision, identically in both engines.
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT r, c, o,
+             SUM(o) OVER (PARTITION BY r) AS rt,
+             SUM(o) OVER (PARTITION BY c) AS ct,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT r, c,
+             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+             CAST(o AS DOUBLE) AS od
+      FROM m
+    )
+    SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols,
+           CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT)
+             AS dof,
+           CAST(SUM(CAST(FLOOR((od - e) * (od - e) / e * 1048576) AS BIGINT))
+                AS DOUBLE) / 1048576 AS chi2
+    FROM terms
+"""
+
+
+@plan("chi2_priority_status", _CHI2_ORACLE)
+def chi2_priority_status(spark, sf_dir):
+    """Pearson chi-square statistic (plus table shape and degrees of
+    freedom) for independence of order priority and order status.
+
+    100 TB: one scan collapses to the |priorities| x |statuses|
+    contingency table via map-side combine; the margin windows and the
+    term fold run on those ~15 cells.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    m = cells.select(
+        "r",
+        "c",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("r")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("c")).alias("ct"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast(
+        "double"
+    )
+    od = F.col("obs").cast("double")
+    terms = m.select(
+        "r",
+        "c",
+        F.floor((od - e) * (od - e) / e * F.lit(1048576))
+        .cast("bigint")
+        .alias("term_fp"),
+    )
+    return terms.agg(
+        F.countDistinct("r").cast("bigint").alias("n_rows"),
+        F.countDistinct("c").cast("bigint").alias("n_cols"),
+        ((F.countDistinct("r") - 1) * (F.countDistinct("c") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        (F.sum("term_fp").cast("double") / F.lit(1048576.0)).alias("chi2"),
+    )
