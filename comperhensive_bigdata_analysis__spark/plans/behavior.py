@@ -480,3 +480,124 @@ def rfm_segments(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix — pairwise Jaccard between the USER SETS of
+# each event type. Intersections via a user-keyed self-join of the
+# distinct (type, user) relation (per-user fan-out bounded by the
+# number of types, never the event count); unions by inclusion-
+# exclusion from the per-type distinct counts, so no second join pass.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_common
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+"""
+
+
+@plan("audience_overlap_matrix", _OVERLAP_ORACLE)
+def audience_overlap_matrix(spark, sf_dir):
+    """Jaccard overlap between every pair of event-type audiences.
+
+    100 TB: the distinct (type, user) relation shrinks events to at
+    most |types| rows per user; the self-join shuffles on user_id once;
+    the size lookup is a broadcast of |types| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining, simplest useful form: the top-20 most
+# common consecutive 3-event paths (trigrams) across users. Two LAGs
+# per user replace any subsequence self-join; the global head is a
+# TakeOrderedAndProject under the (count desc, path) total order.
+# ---------------------------------------------------------------------------
+
+_PATH_ORACLE = """
+    WITH seq AS (
+      SELECT user_id,
+             LAG(event_type, 2) OVER w AS e1,
+             LAG(event_type, 1) OVER w AS e2,
+             event_type AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM seq
+    WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+"""
+
+
+@plan("top_event_paths", _PATH_ORACLE)
+def top_event_paths(spark, sf_dir):
+    """Top-20 consecutive view>click>... 3-step paths by frequency.
+
+    100 TB: one exchange on user_id for the lag window, a path-keyed
+    aggregate bounded by |types|^3 groups, then a parallel top-k —
+    no global sort of the path table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
