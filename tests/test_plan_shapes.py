@@ -168,3 +168,47 @@ def test_no_keyed_sort_aggregate_anywhere(spark, sf_dir, name):
     fine: an empty ordering requirement inserts no sort."""
     ex = _explain(plans.QUERIES[name](spark, sf_dir))
     assert not _KEYED_SORTAGG.search(ex)
+
+
+def test_rrf_legs_are_parallel_topk(spark, sf_dir):
+    """Both retriever legs must compile to TakeOrderedAndProject (the
+    parallel top-k), never a full global sort of documents."""
+    ex = _explain(plans.QUERIES["rrf_rank_fusion"](spark, sf_dir))
+    assert ex.count("TakeOrderedAndProject") >= 2
+
+
+def test_pareto_frontier_has_no_self_join(spark, sf_dir):
+    """The skyline must be the single-window rewrite — one scan of
+    orders, no join of any kind (the naive form is a quadratic
+    dominance theta-join)."""
+    ex = _explain(plans.QUERIES["pareto_frontier_orders"](spark, sf_dir))
+    assert "Join" not in ex
+    # one source scan (formatted explain names each scan twice: once in
+    # the tree, once in the detail section)
+    assert ex.count("Scan parquet") == 2
+
+
+def test_wma_fanout_happens_after_aggregate(spark, sf_dir):
+    """weighted_moving_average: the 30x fan-out must sit ABOVE the
+    day-grain aggregate (explode of the aggregated relation), so the
+    multiplier applies to ~|days| rows, not raw events; the max-day
+    bound joins as a broadcast single row."""
+    ex = _explain(plans.QUERIES["weighted_moving_average"](spark, sf_dir))
+    gen = ex.index("Generate")  # the explode
+    agg = ex.index("HashAggregate")
+    # formatted explain lists operators top-down: the explode appears
+    # above at least one aggregate (the day rollup feeding it)
+    assert "BroadcastNestedLoopJoin" in ex  # single-row bound, broadcast
+    assert gen < ex.rindex("HashAggregate")
+
+
+def test_audience_overlap_sizes_are_broadcast(spark, sf_dir):
+    """The |types|-row size lookups must broadcast; only the user-keyed
+    self-join may shuffle."""
+    ex = _explain(plans.QUERIES["audience_overlap_matrix"](spark, sf_dir))
+    assert ex.count("BroadcastHashJoin") >= 2
+
+
+def test_top_event_paths_is_take_ordered(spark, sf_dir):
+    ex = _explain(plans.QUERIES["top_event_paths"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in ex
