@@ -184,3 +184,41 @@ def hll_mergeable_distinct(spark, sf_dir):
         .alias("approx_users"),
     ).select(F.lit("ALL").alias("grain"), "n_events", "approx_users")
     return per_type_est.unionByName(merged).orderBy("grain")
+
+
+# ---------------------------------------------------------------------------
+# EXACT distinct via bitmap fold — the roaring-bitmap idea in pure SQL
+# ops: user_id maps to (word, bit); per (group, word) the bits OR
+# together (bit_or has a map-side partial, and the word space is
+# |ids|/64 AT MOST — sparse ids collapse to the words actually
+# present); popcount-sum the words per group. Deliberately oracled
+# against DuckDB's plain COUNT(DISTINCT): the check proves the bitmap
+# algebra EQUALS distinct counting, not that two copies of the same
+# query agree. At 100 TB this shuffles 64x fewer rows than the
+# expand-distinct rewrite whenever ids are locally dense (the common
+# case for dictionary-encoded / sequential ids).
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@plan("bitmap_distinct_users", _BITMAP_ORACLE)
+def bitmap_distinct_users(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 64").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 64 as int))").alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )

@@ -644,3 +644,72 @@ def pareto_frontier_orders(spark, sf_dir):
         .select("o_orderpriority", "epoch_day", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "epoch_day", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly score: each day's revenue z-scored against its own
+# trailing 30-day window. Frame sums stay DECIMAL (exact, associative,
+# order-free); the per-row moments go through the FLOOR-then-cast
+# discipline (see autocorr_lag7_revenue) before the double algebra, so
+# both engines compute identical z values. Degenerate windows (fewer
+# than 10 days, or zero variance after flooring) yield NULL rather than
+# a divide-by-zero.
+# ---------------------------------------------------------------------------
+
+_ROLLZ_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS y
+      FROM events GROUP BY 1
+    ),
+    fr AS (
+      SELECT day, y,
+             COUNT(*) OVER w AS n,
+             CAST(FLOOR(SUM(y) OVER w) AS DOUBLE) AS s1,
+             CAST(FLOOR(SUM(y * y) OVER w) AS DOUBLE) AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(y AS DOUBLE) AS revenue,
+           CASE WHEN n >= 10
+                 AND CAST(n AS DOUBLE) * s2 - s1 * s1 > 0
+                THEN (CAST(y AS DOUBLE) - s1 / CAST(n AS DOUBLE))
+                       / SQRT((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+           END AS z
+    FROM fr
+    ORDER BY day
+"""
+
+
+@plan("rolling_zscore_days", _ROLLZ_ORACLE)
+def rolling_zscore_days(spark, sf_dir):
+    """Trailing-30-day z-score of daily revenue (NULL during warm-up).
+
+    100 TB: the window runs on the day-grain aggregate (~|days| rows,
+    already map-side combined), never raw events; decimal frame sums
+    are exact regardless of the engine's accumulation order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    fr = daily.select(
+        "day",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.floor(F.sum("y").over(w)).cast("double").alias("s1"),
+        F.floor(F.sum(F.col("y") * F.col("y")).over(w)).cast("double").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    var_num = nd * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("y").cast("double") - F.col("s1") / nd) / F.sqrt(
+        var_num / (nd * (F.col("n") - 1).cast("double"))
+    )
+    return fr.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("y").cast("double").alias("revenue"),
+        F.when((F.col("n") >= 10) & (var_num > 0), z).alias("z"),
+    ).orderBy("day")
