@@ -33,3 +33,14 @@ def test_register_and_existence_probe(spark, sf_dir):
     assert spark.table("cba_probe_view").count() == n.count()
     spark.catalog.dropTempView("cba_probe_view")
     assert not table_exists(spark, "cba_probe_view")
+
+
+def test_cli_list_names_all_plans(capsys):
+    from comperhensive_bigdata_analysis__spark import plans
+    from comperhensive_bigdata_analysis__spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in ("pricing_summary", "bitmap_distinct_users"):
+        assert name in out
+    assert len(out.strip().splitlines()) == len(plans.QUERIES)
