@@ -201,3 +201,91 @@ def copurchase_triangles(spark, sf_dir):
         .join(e3, ["x", "z"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank power-iteration step on the co-purchase graph, in EXACT
+# INTEGER fixed-point. Floating-point PageRank can't be oracle-checked
+# bit-for-bit (contribution sums are order-dependent doubles), so ranks
+# live at scale 2^30: contribution = (rank_fp * 85) div (100 * outdeg)
+# — integer floor division, identical in both engines — and the damped
+# sum is an exact BIGINT fold, order-free. One iteration from the
+# uniform vector is the oracle-checkable unit; operators/graph.py-style
+# looping (checkpoint per round) extends it to convergence exactly like
+# connected_components.
+#
+# 100 TB: edges come from the per-order part self-join (bounded by
+# basket size squared per order, same shape as copurchase_pairs); each
+# iteration is one exchange on dst + a broadcast-or-shuffle join of the
+# rank vector with the edge list — the standard distributed PageRank
+# layout, here with deterministic arithmetic on top.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_FP = 1 << 30  # fixed-point one
+_PAGERANK_ORACLE = f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey FROM lineitem l
+    ),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ),
+    contrib AS (
+      SELECT e.dst,
+             SUM((CAST({_PAGERANK_FP} AS BIGINT) * 85) // (100 * o.d))
+               AS got
+      FROM edges e JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT dst AS part_id,
+           CAST((CAST({_PAGERANK_FP} AS BIGINT) * 15) // 100 + got AS BIGINT)
+             AS rank_fp
+    FROM contrib
+    ORDER BY rank_fp DESC, part_id
+    LIMIT 20
+"""
+
+
+@plan("pagerank_step_parts", _PAGERANK_ORACLE)
+def pagerank_step_parts(spark, sf_dir):
+    """Top-20 parts after one damped PageRank step (d=0.85) from the
+    uniform vector, in exact 2^30 fixed-point."""
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # True integer `div` (not `/` + cast: that routes through double
+    # division and truncation, which can disagree with floor division
+    # at quotient boundaries).
+    contrib = (
+        edges.join(outdeg, "src")
+        .select(
+            "dst",
+            F.expr(f"(cast({_PAGERANK_FP} as bigint) * 85) div (100 * d)").alias(
+                "part_contrib"
+            ),
+        )
+        .groupBy("dst")
+        .agg(F.sum("part_contrib").alias("got"))
+    )
+    base = (_PAGERANK_FP * 15) // 100
+    return (
+        contrib.select(
+            F.col("dst").alias("part_id"),
+            (F.lit(base).cast("bigint") + F.col("got")).cast("bigint").alias("rank_fp"),
+        )
+        .orderBy(F.col("rank_fp").desc(), "part_id")
+        .limit(20)
+    )

@@ -405,3 +405,95 @@ def events_json_key_census(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus similarity matrix — pairwise cosine between each SOURCE's
+# term-frequency vector, computed the inverted-index way: one token-
+# keyed self-join of the per-(source, term) count table yields every
+# pair's dot product; norms come from one more aggregate of the same
+# table. No vector is ever materialized driver-side. Counts are exact
+# integers; dot products and squared norms are exact BIGINTs; only the
+# final cosine divides doubles (sqrt is IEEE correctly-rounded).
+#
+# 100 TB: |sources| x |vocab| is the shuffled relation — already the
+# collapsed aggregate, not raw tokens. The token-keyed join is skewed
+# by stopword-like terms; at scale prune the ultra-common head (they
+# carry no discriminative signal) or salt — the same treatment
+# minhash_lsh_dedup documents for its band keys.
+# ---------------------------------------------------------------------------
+
+_CORPUS_SIM_ORACLE = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tf GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM tf a JOIN tf b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT d.src_a, d.src_b, d.dot,
+           CAST(d.dot AS DOUBLE)
+             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN norms na ON na.source = d.src_a
+    JOIN norms nb ON nb.source = d.src_b
+    ORDER BY src_a, src_b
+"""
+
+
+@plan("corpus_similarity_matrix", _CORPUS_SIM_ORACLE)
+def corpus_similarity_matrix(spark, sf_dir):
+    """Pairwise cosine similarity of per-source term-frequency vectors.
+
+    100 TB: tokens collapse to (source, term) counts map-side before
+    any join; the dot-product join shuffles the aggregate on term; the
+    |sources|-row norm table broadcasts.
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    norms = tf.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    a = tf.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
+    b = tf.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    na = F.broadcast(norms.select(F.col("source").alias("src_a"), F.col("n2").alias("na2")))
+    nb = F.broadcast(norms.select(F.col("source").alias("src_b"), F.col("n2").alias("nb2")))
+    return (
+        dots.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cosine"),
+        )
+        .orderBy("src_a", "src_b")
+    )
