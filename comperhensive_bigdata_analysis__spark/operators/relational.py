@@ -137,3 +137,61 @@ def coalesce_intervals(
         .groupBy(key, "island")
         .agg(F.min(start_col).alias(start_col), F.max(end_col).alias(end_col))
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Strict-sequence funnel over an arbitrary step list: how many
+    users reached step k via events in order (each step strictly after
+    the previous one; optionally all within ``within_seconds`` of that
+    user's FIRST step). Returns (step_idx, step, n_users).
+
+    Generalizes the fixed 3-step plans (funnel_view_click_purchase,
+    funnel_within_1h) into the engine API. Per stage: one filtered scan
+    joined to the survivors-so-far on the user key, reduced to one row
+    per user (min qualifying ts) before the next join — so the joined
+    relation never exceeds |users| rows regardless of event volume, the
+    same discipline the plan versions document.
+    """
+    if not steps:
+        raise ValueError("funnel_counts: empty step list")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    if within_seconds is not None:
+        cur = cur.withColumn(
+            "_deadline",
+            (
+                F.col("_t").cast("timestamp").cast("double")
+                + F.lit(float(within_seconds))
+            ).cast("timestamp"),
+        )
+    counts = [cur.agg(F.count(F.lit(1)).alias("n"))]
+    for step in steps[1:]:
+        nxt = events.filter(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("_ts_next")
+        )
+        joined = nxt.join(cur, user_col).filter(F.col("_ts_next") > F.col("_t"))
+        if within_seconds is not None:
+            joined = joined.filter(F.col("_ts_next") <= F.col("_deadline"))
+        agg = [F.min("_ts_next").alias("_t")]
+        if within_seconds is not None:
+            agg.append(F.first("_deadline").alias("_deadline"))
+        cur = joined.groupBy(user_col).agg(*agg)
+        counts.append(cur.agg(F.count(F.lit(1)).alias("n")))
+    spark = events.sparkSession
+    out = None
+    for i, (step, c) in enumerate(zip(steps, counts)):
+        row = c.select(
+            F.lit(i).alias("step_idx"), F.lit(step).alias("step"), F.col("n").alias("n_users")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
