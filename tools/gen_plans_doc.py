@@ -128,6 +128,32 @@ PICKS = {
         "one text-only scan, explode, partial+final agg, TakeOrdered(40) — "
         "no positional self-join, no global sort."
     ),
+    "bitmap_distinct_users": (
+        "roaring-style exact distinct: (type, word) bit_or fold with "
+        "map-side partial combine — up to 64x fewer shuffled rows than "
+        "expand-distinct on locally dense ids; popcount-sum per type."
+    ),
+    "pagerank_step_parts": (
+        "edge build = per-order basket self-join (bounded by basket^2 per "
+        "order); rank propagation = one exchange on dst with an exact "
+        "BIGINT fixed-point fold; TakeOrdered(20) head — the standard "
+        "distributed PageRank layout with deterministic arithmetic."
+    ),
+    "pareto_frontier_orders": (
+        "skyline via one running-max RANGE window per priority partition — "
+        "the quadratic dominance self-join never materializes; output is "
+        "the frontier only."
+    ),
+    "corpus_similarity_matrix": (
+        "inverted-index cosine: tokens collapse to (source, term) counts "
+        "BEFORE the term-keyed pair join; dot products are exact BIGINTs; "
+        "the |sources|-row norm table broadcasts."
+    ),
+    "weighted_moving_average": (
+        "weighted frame via fan-out ABOVE the day-grain aggregate (30x "
+        "~|days| rows, never raw events); the max-day bound is a "
+        "single-row broadcast."
+    ),
 }
 
 
