@@ -1145,3 +1145,105 @@ def checksum_orders(spark, sf_dir):
          "o_orderpriority"],
         group_by=["o_orderpriority"],
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Exact financial proration — allocate each order's total to its line
+# items proportionally by quantity, in integer CENTS with the
+# largest-remainder method: base_i = (cents * qty_i) div sum_qty, and
+# the div-truncation leftover goes +1 cent at a time to the lines with
+# the largest remainders (linenumber breaks ties). Every operation is
+# integer div/mod/rank, so allocation is exact, conservation
+# (sum(alloc) == cents per order) holds by construction, and both
+# engines agree bit-for-bit — the property double-based proration can
+# never give. The plan reports the per-returnflag rollup; the per-order
+# conservation invariant is pinned in tests/test_proration.py.
+# ---------------------------------------------------------------------------
+
+_PRORATION_ORACLE = """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    o AS (
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    j AS (
+      SELECT li.*, o.cents,
+             SUM(qty) OVER (PARTITION BY l_orderkey) AS sum_qty
+      FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+    ),
+    based AS (
+      SELECT *,
+             (cents * qty) // sum_qty AS base,
+             (cents * qty) % sum_qty AS rem,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY (cents * qty) % sum_qty DESC,
+                                         l_linenumber) AS rk,
+             cents - SUM((cents * qty) // sum_qty)
+                       OVER (PARTITION BY l_orderkey) AS leftover
+      FROM j
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                AS BIGINT) AS allocated_cents,
+           CAST(SUM(CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bumped
+    FROM based
+    GROUP BY 1
+    ORDER BY l_returnflag
+"""
+
+
+@plan("prorate_order_cents", _PRORATION_ORACLE)
+def prorate_order_cents(spark, sf_dir):
+    """Largest-remainder allocation of order cents over line items,
+    rolled up by return flag.
+
+    100 TB: one exchange on the order key serves the join, both
+    per-order windows, and the rank (bounded by lines-per-order); the
+    rollup is map-side combined.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.floor("l_quantity").cast("bigint").alias("qty"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wo = W.partitionBy("l_orderkey")
+    j = li.join(o, "l_orderkey").withColumn("sum_qty", F.sum("qty").over(wo))
+    j = (
+        j.withColumn("base", F.expr("(cents * qty) div sum_qty"))
+        .withColumn("rem", (F.col("cents") * F.col("qty")) % F.col("sum_qty"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                wo.orderBy(F.col("rem").desc(), "l_linenumber")
+            ),
+        )
+        .withColumn("leftover", F.col("cents") - F.sum("base").over(wo))
+    )
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocated_cents"),
+            F.sum(F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bumped"),
+        )
+        .orderBy("l_returnflag")
+    )
