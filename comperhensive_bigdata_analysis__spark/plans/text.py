@@ -497,3 +497,78 @@ def corpus_similarity_matrix(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source top-3 terms, computed the ARRAY-NATIVE way: per (source,
+# term) counts -> collect_list of (n, term) structs per source ->
+# sort_array + slice -> posexplode. collect_list order is
+# nondeterministic, which is exactly why the sort_array step exists —
+# determinism comes from sorting the materialized array, not from
+# collection order. The DuckDB oracle uses the classic row_number()<=3
+# formulation instead: two formulations, one answer, so the pair
+# checks the array pipeline's semantics rather than mirroring it.
+# Struct comparison sorts by (n desc via negation, term asc).
+# ---------------------------------------------------------------------------
+
+_TOP_TERMS_SRC_ORACLE = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, term, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, term) AS rk
+      FROM tf
+    )
+    SELECT source, CAST(rk AS INTEGER) AS rk, term, n
+    FROM ranked WHERE rk <= 3
+    ORDER BY source, rk
+"""
+
+
+@plan("top_terms_per_source", _TOP_TERMS_SRC_ORACLE)
+def top_terms_per_source(spark, sf_dir):
+    """Top-3 terms per document source via the array-native pipeline.
+
+    100 TB: counts collapse map-side before the collect; each source's
+    array is |vocab-per-source| structs — bounded state per group, no
+    rank window over the full term table. (The window formulation the
+    oracle uses shuffles identically but sorts every group's full term
+    list; slice-after-sort does the same work array-side — the win is
+    that the array form composes inside ONE aggregation pass when the
+    consumer wants the list itself, e.g. a features column.)
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    arr = tf.groupBy("source").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "term"))
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return (
+        arr.select("source", F.posexplode("top").alias("pos", "entry"))
+        .select(
+            "source",
+            (F.col("pos") + 1).cast("int").alias("rk"),
+            F.col("entry.term").alias("term"),
+            (-F.col("entry.neg_n")).cast("bigint").alias("n"),
+        )
+        .orderBy("source", "rk")
+    )
