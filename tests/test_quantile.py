@@ -1,0 +1,48 @@
+"""exact_quantile_disc vs brute-force sorted rank — equality at every
+probed q, including tie-heavy columns (l_quantity has 50 distinct
+values over tens of thousands of rows)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from comperhensive_bigdata_analysis__spark.operators.quantile import (
+    exact_quantile_disc,
+)
+from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+
+def _brute(df, col, q):
+    vals = sorted(r[0] for r in df.select(F.col(col).cast("double")).collect())
+    return vals[max(1, math.ceil(q * len(vals))) - 1]
+
+
+@pytest.mark.parametrize("q", [0.01, 0.25, 0.5, 0.9, 0.99, 1.0])
+def test_quantile_continuous_column(spark, sf_dir, q):
+    o = load_table(spark, sf_dir, "orders")
+    assert exact_quantile_disc(o, "o_totalprice", q) == _brute(o, "o_totalprice", q)
+
+
+@pytest.mark.parametrize("q", [0.1, 0.5, 0.95])
+def test_quantile_tie_heavy_column(spark, sf_dir, q):
+    """Massive ties: the stuck-bucket early exit must still be exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    assert exact_quantile_disc(l, "l_quantity", q, buckets=16) == _brute(
+        l, "l_quantity", q
+    )
+
+
+def test_quantile_small_bucket_count_still_exact(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    assert exact_quantile_disc(o, "o_totalprice", 0.5, buckets=8, max_refine=6) == _brute(
+        o, "o_totalprice", 0.5
+    )
+
+
+def test_quantile_rejects_bad_q(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        exact_quantile_disc(o, "o_totalprice", 0.0)
