@@ -1247,3 +1247,48 @@ def prorate_order_cents(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tail-of-distribution report gated on an EXACT percentile threshold.
+# Spark side: operators/quantile.py:exact_quantile_disc finds the P99
+# by iterative histogram refinement (no global sort, bounded driver
+# traffic — the 100 TB path), then one scan aggregates the tail. The
+# oracle finds the same threshold with the rank-window formulation a
+# single-node engine can afford (ROW_NUMBER to rank ceil(0.99*n)).
+# Two algorithms, one answer — the pair checks the refinement logic
+# itself, not a mirrored query.
+# ---------------------------------------------------------------------------
+
+_P99_ORACLE = """
+    WITH ranked AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    thr AS (
+      SELECT v FROM ranked WHERE rn = CAST(CEIL(0.99 * n) AS BIGINT)
+    )
+    SELECT CAST((SELECT v FROM thr) AS DOUBLE) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS tail_revenue
+    FROM orders
+    WHERE o_totalprice >= (SELECT v FROM thr)
+"""
+
+
+@plan("orders_above_exact_p99", _P99_ORACLE)
+def orders_above_exact_p99(spark, sf_dir):
+    from ..operators.quantile import exact_quantile_disc
+
+    o = load_table(spark, sf_dir, "orders")
+    p99 = exact_quantile_disc(o, "o_totalprice", 0.99)
+    return o.filter(F.col("o_totalprice") >= p99).agg(
+        F.lit(p99).alias("p99"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("tail_revenue"),
+    )
