@@ -288,3 +288,54 @@ def running_user_totals(events: DataFrame, timeout_duration: str = "30 minutes")
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; absent in this container (no installs allowed), so the
+    TWS tier is import-gated exactly like Prophet/geopandas and the
+    applyInPandasWithState tier above stays the always-runnable path."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas twin of running_user_totals —
+    Spark 4's arbitrary-state API (SPARK-49564): typed ValueState
+    replaces the single opaque tuple, the processor object owns its
+    lifecycle (init/rows/close), and state TTL/timers are first-class
+    when needed. Same semantics: per-user running (count, value total),
+    one update row per user per micro-batch. Gate on tws_available().
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = "user_id long, n_events long, value_total double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -232,3 +232,34 @@ def test_running_user_totals(spark, stream_dir):
     for u in want:
         assert last[u][0] == want[u][0]
         assert abs(last[u][1] - want[u][1]) < 1e-6
+
+
+def test_running_user_totals_tws_matches_batch(spark, stream_dir):
+    """The transformWithStateInPandas tier agrees with the batch rollup
+    (same contract as the applyInPandasWithState tier)."""
+    import pytest
+
+    if not ops.tws_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (absent here)")
+    stream = ops.events_stream(spark, stream_dir)
+    got = _run_stream(
+        spark,
+        ops.running_user_totals_tws(stream),
+        f"u_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    batch = (
+        _batch_events(spark, stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    want = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
+    last = {}
+    for r in got.collect():
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] >= cur[0]:
+            last[r["user_id"]] = (r["n_events"], r["value_total"])
+    assert set(last) == set(want)
+    for u in want:
+        assert last[u][0] == want[u][0]
+        assert abs(last[u][1] - want[u][1]) < 1e-6
