@@ -1292,3 +1292,36 @@ def orders_above_exact_p99(spark, sf_dir):
         .cast("double")
         .alias("tail_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-priority exact median through the grouped histogram-refinement
+# operator (operators/quantile.py) — the scale path that never buffers
+# a group's values in one place — checked against the oracle's
+# rank-window formulation. Companion to orders_above_exact_p99 (the
+# global variant); together they pin both refinement code paths.
+# ---------------------------------------------------------------------------
+
+_GROUPED_MEDIAN_ORACLE = """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(v AS DOUBLE) AS value
+    FROM ranked
+    WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+    ORDER BY o_orderpriority
+"""
+
+
+@plan("grouped_exact_median", _GROUPED_MEDIAN_ORACLE)
+def grouped_exact_median(spark, sf_dir):
+    from ..operators.quantile import grouped_exact_quantile_disc
+
+    o = load_table(spark, sf_dir, "orders")
+    return grouped_exact_quantile_disc(
+        o, "o_orderpriority", "o_totalprice", 0.5
+    ).orderBy("o_orderpriority")
