@@ -601,3 +601,76 @@ def top_event_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution — every preceding touch within 100 minutes of
+# a purchase gets credit that HALVES per 10 elapsed minutes. The decay
+# weight is deliberately dyadic: w = 2^-k with k = floor(dt/10min), so
+# w scaled by 2^40 is the integer 2^(40-k) (shiftleft — no pow(), no
+# libm), the per-channel credit fold is an exact BIGINT sum
+# (order-free), and one final division by 2^40 (exact power-of-two
+# scaling) produces the double. The touch<-purchase pairing is a
+# user-keyed banded self-join whose fan-out the 100-minute cap bounds.
+# ---------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+    ),
+    credits AS (
+      SELECT t.event_type AS channel,
+             CAST(date_diff('microseconds', t.ts, p.pts)
+                  // 600000000 AS BIGINT) AS k
+      FROM t JOIN p ON p.user_id = t.user_id
+       AND t.ts < p.pts
+       AND date_diff('microseconds', t.ts, p.pts) <= 6000000000
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - k AS INTEGER)) AS DOUBLE)
+             / 1099511627776 AS credit
+    FROM credits
+    GROUP BY 1
+    ORDER BY channel
+"""
+
+
+@plan("time_decay_attribution", _DECAY_ORACLE)
+def time_decay_attribution(spark, sf_dir):
+    """Per-channel decayed credit for touches preceding purchases
+    (half-life 10 min, horizon 100 min).
+
+    100 TB: one exchange on user_id; pair fan-out bounded by touches
+    per 100-minute window; the credit fold is an integer sum with
+    map-side combine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us")
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.col("event_type").alias("channel"),
+    )
+    dt = F.col("p_us") - F.col("t_us")
+    pairs = t.join(p, "user_id").filter((dt > 0) & (dt <= 6000000000))
+    credits = pairs.select(
+        "channel",
+        F.expr(
+            "shiftleft(1L, cast(40 - ((p_us - t_us) div 600000000) as int))"
+        ).alias("w_fp"),
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            (F.sum("w_fp").cast("double") / F.lit(1099511627776.0)).alias("credit"),
+        )
+        .orderBy("channel")
+    )
