@@ -289,3 +289,92 @@ def pagerank_step_parts(spark, sf_dir):
         .orderBy(F.col("rank_fp").desc(), "part_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules — the support/confidence/lift triple over the same
+# basket pairs copurchase_pairs mines. Everything derives from exact
+# integer counts (pair baskets, item baskets, total baskets); the three
+# ratios are single IEEE divisions on identical operands, so the plan
+# carries a full oracle. Rules are kept where the pair appears in >= 2
+# baskets, reported for both directions (a->b and b->a confidence
+# differ), top-20 by lift.
+# ---------------------------------------------------------------------------
+
+_ASSOC_ORACLE = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_total AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    item_n AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1
+    ),
+    pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a AS antecedent, p.part_b AS consequent,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(p.n_pair AS DOUBLE) / CAST(t.n AS DOUBLE) AS support,
+           CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+           CAST(p.n_pair AS DOUBLE) * CAST(t.n AS DOUBLE)
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+    FROM pair_n p
+    JOIN item_n ia ON ia.l_partkey = p.part_a
+    JOIN item_n ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n_total t
+    WHERE p.n_pair >= 2
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20
+"""
+
+
+@plan("association_rules", _ASSOC_ORACLE)
+def association_rules(spark, sf_dir):
+    """Top-20 a->b rules by lift with support and confidence.
+
+    100 TB: pair counts shuffle on the order key (fan-out bounded by
+    basket size squared); item counts and the scalar basket total
+    broadcast into the rule assembly; the head is a parallel top-k.
+    """
+    items = _basket_items(spark, sf_dir)
+    n_total = items.select("l_orderkey").distinct().count()
+    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("antecedent"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("consequent"))
+    pair_n = (
+        a.join(b, "k")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ia = F.broadcast(
+        item_n.select(F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a"))
+    )
+    ib = F.broadcast(
+        item_n.select(F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_b"))
+    )
+    nt = F.lit(float(n_total))
+    return (
+        pair_n.join(ia, "antecedent")
+        .join(ib, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            (F.col("n_pair").cast("double") / nt).alias("support"),
+            (F.col("n_pair").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_pair").cast("double")
+                * nt
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
