@@ -674,3 +674,86 @@ def time_decay_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve — cumulative purchase value per user by cohort day
+# and days-since-signup (first-seen day). The cumulative step runs on
+# the (cohort, days_since) AGGREGATE (bounded by days^2/2 cells, not
+# events) in exact decimal; per-user division happens once at the end
+# in double on identical operands. Retention's revenue twin.
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort, COUNT(*) AS n_users FROM firsts GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort,
+             CAST(CAST(e.ts AS DATE) - f.cohort AS BIGINT) AS days_since,
+             SUM(CAST(e.value AS DECIMAL(18,6))) AS day_rev
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, days_since,
+             SUM(day_rev) OVER (PARTITION BY cohort ORDER BY days_since
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rev
+      FROM rev
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+           c.days_since,
+           CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+           CAST(c.cum_rev AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+             AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort)
+    ORDER BY cohort_day, days_since
+"""
+
+
+@plan("cohort_ltv", _LTV_ORACLE)
+def cohort_ltv(spark, sf_dir):
+    """Cumulative revenue and LTV-per-user by cohort day and age.
+
+    100 TB: firsts and the day-grain revenue aggregate shuffle on
+    user_id/cohort with map-side combine; the running sum windows over
+    the per-(cohort, age) aggregate (~days^2/2 rows max); cohort sizes
+    broadcast into the final divide.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).cast("bigint").alias(
+                "days_since"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("days_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("cum_rev", F.sum("day_rev").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            "days_since",
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            (F.col("cum_rev").cast("double") / F.col("n_users").cast("double")).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_day", "days_since")
+    )
