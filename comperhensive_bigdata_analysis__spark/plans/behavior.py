@@ -757,3 +757,86 @@ def cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_day", "days_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine model evaluation: a first-order Markov next-event predictor
+# FIT on the first 20 days (mode next-type per prev-type, deterministic
+# count-desc/name-asc tie-break) and SCORED on the remainder — the
+# train/eval split (SURVEY §2.9 M1) applied to a pure-SQL model. The
+# "model" is a |types|-row table that broadcasts into the scoring join;
+# accuracy is one conditional aggregate.
+# ---------------------------------------------------------------------------
+
+_MARKOV_SPLIT = "2024-01-21"
+_MARKOV_ORACLE = f"""
+    WITH pairs AS (
+      SELECT ts, user_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    train AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM pairs
+      WHERE prev_type IS NOT NULL AND ts < TIMESTAMP '{_MARKOV_SPLIT}'
+      GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT prev_type, next_type AS predicted FROM (
+        SELECT prev_type, next_type,
+               ROW_NUMBER() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, next_type) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    test AS (
+      SELECT prev_type, next_type FROM pairs
+      WHERE prev_type IS NOT NULL AND ts >= TIMESTAMP '{_MARKOV_SPLIT}'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN m.predicted = t.next_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN m.predicted = t.next_type THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM test t JOIN model m USING (prev_type)
+"""
+
+
+@plan("markov_next_event_accuracy", _MARKOV_ORACLE)
+def markov_next_event_accuracy(spark, sf_dir):
+    """Holdout accuracy of the majority-transition predictor.
+
+    100 TB: one user_id exchange builds all (prev, next) pairs; the
+    fitted model is |types| rows and broadcasts into the scoring join;
+    train/test split is a timestamp predicate, not a shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    split = F.lit(_MARKOV_SPLIT).cast("timestamp")
+    train = (
+        pairs.filter(F.col("ts") < split)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("prev_type").orderBy(F.col("n").desc(), "next_type")
+    model = (
+        train.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = pairs.filter(F.col("ts") >= split).select("prev_type", "next_type")
+    hit = F.when(F.col("predicted") == F.col("next_type"), 1).otherwise(0)
+    return test.join(F.broadcast(model), "prev_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "accuracy"
+        ),
+    )
