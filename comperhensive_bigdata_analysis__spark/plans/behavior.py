@@ -840,3 +840,84 @@ def markov_next_event_accuracy(spark, sf_dir):
             "accuracy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn hazard table — the discrete survival-analysis primitive. Per
+# lifetime day d: users still at risk (lifetime >= d), users churned at
+# d (last activity exactly d days after first, and censoring-aware:
+# users last seen on the corpus' final day are censored, not churned),
+# and the hazard ratio. The Kaplan-Meier survival curve is the running
+# product of (1 - hazard); products of doubles are order-dependent, so
+# like the PSI log term it is left to the consumer — every emitted
+# number here is an exact count or a single division.
+# ---------------------------------------------------------------------------
+
+_HAZARD_ORACLE = """
+    WITH span AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_day,
+             MAX(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    lives AS (
+      SELECT CAST(s.last_day - s.first_day AS BIGINT) AS lifetime,
+             CASE WHEN s.last_day < b.max_day THEN 1 ELSE 0 END AS uncensored
+      FROM span s CROSS JOIN bounds b
+    ),
+    days AS (
+      SELECT DISTINCT lifetime AS d FROM lives
+    )
+    SELECT d.d AS lifetime_day,
+           CAST(SUM(CASE WHEN l.lifetime >= d.d THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_at_risk,
+           CAST(SUM(CASE WHEN l.lifetime = d.d AND l.uncensored = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           CAST(SUM(CASE WHEN l.lifetime = d.d AND l.uncensored = 1
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN l.lifetime >= d.d THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS hazard
+    FROM days d JOIN lives l ON l.lifetime >= 0
+    GROUP BY d.d
+    ORDER BY lifetime_day
+"""
+
+
+@plan("churn_hazard_table", _HAZARD_ORACLE)
+def churn_hazard_table(spark, sf_dir):
+    """Discrete churn hazards by lifetime day, censoring-aware.
+
+    100 TB: per-user spans are one user_id exchange; the grid join fans
+    each user's ROW (not events) out over observed lifetime days —
+    bounded by the corpus day span — with map-side combined counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    bounds = e.agg(F.max(F.to_date("ts")).alias("max_day"))
+    lives = span.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_day", "first_day").cast("bigint").alias("lifetime"),
+        F.when(F.col("last_day") < F.col("max_day"), 1).otherwise(0).alias(
+            "uncensored"
+        ),
+    )
+    days = lives.select(F.col("lifetime").alias("d")).distinct()
+    at_risk = F.sum(F.when(F.col("lifetime") >= F.col("d"), 1).otherwise(0))
+    churned = F.sum(
+        F.when((F.col("lifetime") == F.col("d")) & (F.col("uncensored") == 1), 1)
+        .otherwise(0)
+    )
+    return (
+        F.broadcast(days)
+        .join(lives, F.col("lifetime") >= 0)
+        .groupBy(F.col("d").alias("lifetime_day"))
+        .agg(
+            at_risk.cast("bigint").alias("n_at_risk"),
+            churned.cast("bigint").alias("n_churned"),
+            (churned.cast("double") / at_risk.cast("double")).alias("hazard"),
+        )
+        .orderBy("lifetime_day")
+    )
