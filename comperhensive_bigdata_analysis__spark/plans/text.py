@@ -572,3 +572,66 @@ def top_terms_per_source(spark, sf_dir):
         )
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per language — type-token ratio plus hapax share
+# (terms seen exactly once), the standard corpus-quality pair: low TTR
+# flags templated/duplicated text, high hapax share flags noise. All
+# counts exact; the two ratios are single IEEE divisions.
+# ---------------------------------------------------------------------------
+
+_TTR_ORACLE = r"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ttr,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+    FROM tf
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@plan("lexical_diversity_by_lang", _TTR_ORACLE)
+def lexical_diversity_by_lang(spark, sf_dir):
+    """Type-token ratio and hapax-legomenon share per language.
+
+    100 TB: tokens collapse to (lang, term) counts map-side; the
+    per-language rollup is |langs| groups. The shape is the first half
+    of corpus_similarity_matrix, reused as a quality signal.
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            hapax.cast("bigint").alias("n_hapax"),
+            (F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")).alias(
+                "ttr"
+            ),
+            (hapax.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "hapax_share"
+            ),
+        )
+        .orderBy("lang")
+    )
