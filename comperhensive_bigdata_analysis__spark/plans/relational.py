@@ -1325,3 +1325,52 @@ def grouped_exact_median(spark, sf_dir):
     return grouped_exact_quantile_disc(
         o, "o_orderpriority", "o_totalprice", 0.5
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Basket-size distribution — lines-per-order histogram with share and
+# cumulative share. The cumulative window runs over the <=|max basket|
+# rows of the final aggregate; the running numerator is an exact BIGINT
+# sum, so the shares are single divisions on identical operands.
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+    ),
+    dist AS (
+      SELECT n_lines, COUNT(*) AS n_orders FROM per_order GROUP BY 1
+    )
+    SELECT n_lines,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE)
+             AS share,
+           CAST(SUM(n_orders) OVER (ORDER BY n_lines
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS DOUBLE) AS cum_share
+    FROM dist
+    ORDER BY n_lines
+"""
+
+
+@plan("basket_size_distribution", _BASKET_ORACLE)
+def basket_size_distribution(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    dist = (
+        l.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("n_lines").rowsBetween(Window.unboundedPreceding, 0)
+    total = F.sum("n_orders").over(w_all).cast("double")
+    return dist.select(
+        "n_lines",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (F.col("n_orders").cast("double") / total).alias("share"),
+        (F.sum("n_orders").over(w_cum).cast("double") / total).alias("cum_share"),
+    ).orderBy("n_lines")
