@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 #: Minimal English stopword head — enough for a heuristic language vote.
 STOPWORDS_EN = ("the", "and", "of", "to", "in", "is", "a")
 
-_STOPWORD_RE = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+#: DuckDB rendering of stopword_count for plan oracles — MUST stay the
+#: same tokenize-and-compare contract as the Spark expression below.
+SQL_STOPWORD_COUNT = (
+    r"len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "t -> t IN (" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")))"
+)
+
 _PUNCT_RE = r"[^.,!?;:]"
 
 
@@ -41,9 +47,15 @@ def punct_count(col) -> Column:
 
 
 def stopword_count(col) -> Column:
-    """Occurrences of the English stopword head (regexp_count is
-    codegen'd; the \\b boundaries match RE2/DuckDB semantics)."""
-    return F.regexp_count(F.lower(_c(col)), F.lit(_STOPWORD_RE))
+    """Occurrences of the English stopword head, by tokenize-and-compare:
+    split the lowercased text on runs of non-[a-z0-9] and count tokens
+    in the stopword set. Deliberately NOT a ``\\b`` boundary regex —
+    Java's ``\\b`` and RE2/DuckDB's disagree on non-ASCII word
+    boundaries (the r1 lang_id_stats hash-fail class), while an ASCII
+    character class splits identically on every engine. split+filter+
+    size are all codegen'd JVM built-ins."""
+    toks = F.split(F.lower(_c(col)), "[^a-z0-9]+")
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
 
 
 def quality_score_col(n_tokens, n_chars, n_stop) -> Column:

@@ -7,17 +7,24 @@ leave the executor and flow batch-at-a-time (bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch, NOT whole-partition
 materialization).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-the decode kernel is pluggable: `fake_decoder` is a deterministic
-stand-in (bytes -> pseudo image dims/features from the content hash)
-and `codec_decoder` raises NotImplementedError until a real codec is
-registered. Everything Spark-side — schemas, batching, partitioning,
-UDF signatures — is real and tested.
+The pixel-level codecs (PIL/ffmpeg/librosa) are NOT in this container,
+so the decode kernel is pluggable: `fake_decoder` is a deterministic
+stand-in (bytes -> pseudo image dims/features from the content hash).
+`codec_decoder` IS a real decoder for the DECODE_SCHEMA contract
+(width/height/channels/digest): it parses actual PNG / GIF / BMP / JPEG
+container headers with the stdlib — the same bytes PIL would decode —
+and raises NotImplementedError only for formats it doesn't know, which
+is exactly where a pixel codec plugs in. `png_bytes` is a matching
+real (zlib+struct) PNG encoder so tests and plans can round-trip real
+image files without external packages. Everything Spark-side —
+schemas, batching, partitioning, UDF signatures — is real and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,10 +64,83 @@ def fake_decoder(content: bytes, media_type: str) -> dict:
     return {"width": w, "height": h, "channels": ch, "digest": digest}
 
 
+#: PNG color type -> sample channels (greyscale, rgb, palette, ga, rgba)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# JPEG SOF markers that carry frame dimensions (all SOFn except
+# DHT/DAC/markers C4, C8, CC).
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def png_bytes(width: int, height: int, rgb: tuple[int, int, int] = (0, 0, 0)) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib+struct): a solid-color
+    8-bit RGB image, valid per the PNG spec — PIL/browsers open it.
+    Exists so tests and plans can produce genuine image files in a
+    container without codec packages."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width  # filter byte 0 + pixels
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def codec_decoder(content: bytes, media_type: str) -> dict:
-    """Real-codec slot — wire PIL/ffmpeg/librosa here when available."""
+    """REAL header decode for PNG / GIF87a/89a / BMP / JPEG: parses the
+    actual container format for width, height and channel count — the
+    full DECODE_SCHEMA contract — using only the stdlib. Pixel-level
+    decoding (resampling, frame extraction) still needs PIL/ffmpeg;
+    unknown formats raise NotImplementedError, which is the plug-in
+    seam for such a codec."""
+    digest = hashlib.md5(content).hexdigest()
+
+    def out(w: int, h: int, ch: int) -> dict:
+        return {"width": w, "height": h, "channels": ch, "digest": digest}
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", content[16:24])
+        color_type = content[25]
+        return out(w, h, _PNG_CHANNELS.get(color_type, 3))
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return out(w, h, 3)  # palette-expanded RGB
+    if content[:2] == b"BM" and len(content) >= 30:
+        w, h = struct.unpack("<ii", content[18:26])
+        bpp = struct.unpack("<H", content[28:30])[0]
+        return out(w, abs(h), max(1, bpp // 8))
+    if content[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOFn
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                i += 1
+                continue
+            marker = content[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                return out(w, h, content[i + 9])
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        raise NotImplementedError("JPEG without SOF frame header")
     raise NotImplementedError(
-        "no media codec in this environment; use fake_decoder or register one"
+        "unrecognized media format; plug a pixel codec (PIL/ffmpeg) in via "
+        "decode_media(..., decoder=...)"
     )
 
 

@@ -46,7 +46,12 @@ def exact_quantile_disc(
     if not (0.0 < q <= 1.0):
         raise ValueError("q must be in (0, 1]")
     c = F.col(col).cast("double")
-    base = df.select(c.alias("v")).filter(F.col("v").isNotNull())
+    # NaN must go too: Spark's max ranks NaN above every double, so one
+    # NaN would make hi=NaN, width=NaN, and the bucket expression NULL —
+    # the histogram loop would then die on the rank invariant.
+    base = df.select(c.alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
     ).first()
@@ -135,8 +140,10 @@ def grouped_exact_quantile_disc(
     if not (0.0 < q <= 1.0):
         raise ValueError("q must be in (0, 1]")
     v = F.col(col).cast("double")
+    # NaN filtered with NULL for the same reason as exact_quantile_disc:
+    # a NaN hi poisons width and would silently drop the key's rows.
     base = df.select(F.col(key).alias("k"), v.alias("v")).filter(
-        F.col("v").isNotNull()
+        F.col("v").isNotNull() & ~F.isnan("v")
     )
     state = (
         base.groupBy("k")

@@ -156,8 +156,11 @@ def funnel_counts(
     funnel_within_1h) into the engine API. Per stage: one filtered scan
     joined to the survivors-so-far on the user key, reduced to one row
     per user (min qualifying ts) before the next join — so the joined
-    relation never exceeds |users| rows regardless of event volume, the
-    same discipline the plan versions document.
+    relation never exceeds |users| rows regardless of event volume.
+    Each stage's survivor set is cached and its count taken eagerly
+    before the next stage builds on it, so the whole funnel costs one
+    events scan per stage (O(S)), never O(S^2) re-execution of the
+    prefix chain; driver traffic is S scalar counts.
     """
     if not steps:
         raise ValueError("funnel_counts: empty step list")
@@ -174,7 +177,9 @@ def funnel_counts(
                 + F.lit(float(within_seconds))
             ).cast("timestamp"),
         )
-    counts = [cur.agg(F.count(F.lit(1)).alias("n"))]
+    cur = cur.persist()
+    counts = [cur.count()]
+    prev = cur
     for step in steps[1:]:
         nxt = events.filter(F.col(type_col) == step).select(
             user_col, F.col(ts_col).alias("_ts_next")
@@ -185,13 +190,11 @@ def funnel_counts(
         agg = [F.min("_ts_next").alias("_t")]
         if within_seconds is not None:
             agg.append(F.first("_deadline").alias("_deadline"))
-        cur = joined.groupBy(user_col).agg(*agg)
-        counts.append(cur.agg(F.count(F.lit(1)).alias("n")))
+        cur = joined.groupBy(user_col).agg(*agg).persist()
+        counts.append(cur.count())  # materializes cur's cache
+        prev.unpersist()
+        prev = cur
+    prev.unpersist()
     spark = events.sparkSession
-    out = None
-    for i, (step, c) in enumerate(zip(steps, counts)):
-        row = c.select(
-            F.lit(i).alias("step_idx"), F.lit(step).alias("step"), F.col("n").alias("n_users")
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    rows = [(i, step, n) for i, (step, n) in enumerate(zip(steps, counts))]
+    return spark.createDataFrame(rows, "step_idx int, step string, n_users bigint")

@@ -219,7 +219,14 @@ def daily_wide_sums(spark, sf_dir):
 # shuffle join: per-key frequencies (first agg, map-side combined)
 # reduced to distribution stats (second agg over one row per key).
 # skew_ratio = hottest key count / mean count; > ~20 means salt the join
-# or rely on AQE's skew split. All stats integer/decimal-exact.
+# or rely on AQE's skew split. All stats integer/decimal-exact: the
+# ratio's FLOOR runs on an exact wide-integer division (Spark
+# decimal(38,0) div -> bigint; DuckDB HUGEINT //), never on a double —
+# a double multiply before FLOOR can land 1 ulp either side of the
+# boundary and flip the last micro-digit between engines (the r1
+# hash-fail class). The quotient is micro-units (ppm), <= n_keys*1e6,
+# so it fits bigint to ~9e18 keys; the single int->double conversion +
+# one IEEE divide at the end are bit-identical everywhere.
 # ---------------------------------------------------------------------------
 
 _SKEW_ORACLE = """
@@ -229,7 +236,8 @@ _SKEW_ORACLE = """
     SELECT COUNT(*) AS n_keys,
            SUM(cnt) AS n_rows,
            MAX(cnt) AS max_cnt,
-           FLOOR(MAX(cnt) * COUNT(*) * 1e6 / SUM(cnt)) / 1e6 AS skew_ratio
+           CAST((CAST(MAX(cnt) AS HUGEINT) * COUNT(*) * 1000000)
+                // SUM(cnt) AS DOUBLE) / 1e6 AS skew_ratio
     FROM k
 """
 
@@ -238,13 +246,21 @@ _SKEW_ORACLE = """
 def join_key_skew(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
-    return k.agg(
+    agg = k.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        (F.floor(F.max("cnt") * F.count(F.lit(1)) * F.lit(1e6) / F.sum("cnt")) / 1e6).alias(
-            "skew_ratio"
-        ),
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        (
+            F.expr(
+                "cast(max_cnt as decimal(38,0)) * n_keys * 1000000 div n_rows"
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("skew_ratio"),
     )
 
 

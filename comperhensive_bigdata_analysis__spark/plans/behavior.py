@@ -608,10 +608,14 @@ def top_event_paths(spark, sf_dir):
 # a purchase gets credit that HALVES per 10 elapsed minutes. The decay
 # weight is deliberately dyadic: w = 2^-k with k = floor(dt/10min), so
 # w scaled by 2^40 is the integer 2^(40-k) (shiftleft — no pow(), no
-# libm), the per-channel credit fold is an exact BIGINT sum
-# (order-free), and one final division by 2^40 (exact power-of-two
-# scaling) produces the double. The touch<-purchase pairing is a
-# user-keyed banded self-join whose fan-out the 100-minute cap bounds.
+# libm), the per-channel credit fold is an exact DECIMAL(38,0) sum
+# (order-free; BIGINT would silently wrap past ~2^23 credits per
+# channel under Spark's non-ANSI overflow while DuckDB promotes to
+# HUGEINT — decimal keeps both engines exact to ~10^38 ≈ 2^126, i.e.
+# ~10^26 credits per channel), and one final division by 2^40 (exact
+# power-of-two scaling) produces the double. The touch<-purchase
+# pairing is a user-keyed banded self-join whose fan-out the
+# 100-minute cap bounds.
 # ---------------------------------------------------------------------------
 
 _DECAY_ORACLE = """
@@ -632,7 +636,8 @@ _DECAY_ORACLE = """
     )
     SELECT channel,
            CAST(COUNT(*) AS BIGINT) AS n_credits,
-           CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - k AS INTEGER)) AS DOUBLE)
+           CAST(SUM(CAST(CAST(1 AS BIGINT) << CAST(40 - k AS INTEGER)
+                         AS DECIMAL(38,0))) AS DOUBLE)
              / 1099511627776 AS credit
     FROM credits
     GROUP BY 1
@@ -646,8 +651,9 @@ def time_decay_attribution(spark, sf_dir):
     (half-life 10 min, horizon 100 min).
 
     100 TB: one exchange on user_id; pair fan-out bounded by touches
-    per 100-minute window; the credit fold is an integer sum with
-    map-side combine.
+    per 100-minute window; the credit fold is an exact decimal(38,0)
+    sum with map-side combine (bound: ~10^26 credits per channel
+    before 38 digits overflow — BIGINT would wrap at ~2^23).
     """
     e = load_table(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
@@ -663,7 +669,8 @@ def time_decay_attribution(spark, sf_dir):
     credits = pairs.select(
         "channel",
         F.expr(
-            "shiftleft(1L, cast(40 - ((p_us - t_us) div 600000000) as int))"
+            "cast(shiftleft(1L, cast(40 - ((p_us - t_us) div 600000000)"
+            " as int)) as decimal(38,0))"
         ).alias("w_fp"),
     )
     return (

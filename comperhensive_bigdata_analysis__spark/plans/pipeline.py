@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import quality_score_col, stopword_count, token_count
+from ..functions.text import (
+    SQL_STOPWORD_COUNT,
+    quality_score_col,
+    stopword_count,
+    token_count,
+)
 from ..sources.tables import load_table
 from . import plan
 
@@ -29,7 +34,9 @@ QUALITY_CUTOFF = 0.5
 # Stage spellings shared with plans/text.py oracles (keep in sync).
 _SQL_TOKENS = r"""CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
-_SQL_STOP = r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))"
+# tokenize-and-compare, never \b — Java vs RE2 word boundaries diverge
+# on non-ASCII (the r1 lang_id_stats hash-fail class)
+_SQL_STOP = SQL_STOPWORD_COUNT
 
 _PIPELINE_ORACLE = rf"""
     WITH deduped AS (

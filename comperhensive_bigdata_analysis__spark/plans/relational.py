@@ -1082,13 +1082,18 @@ def integrity_audit(spark, sf_dir):
 # Cross-engine table fingerprint — the migration-reconciliation primitive
 # (same family as snapshot_diff_orders, but one aggregate instead of a
 # join: compare a 100 TB table across two systems by shipping 5 rows).
-# Each row is rendered to a canonical string (shortest round-trip
-# rendering for the double column — Java and DuckDB both print the
-# minimal digits that round-trip, verified identical over every distinct
-# o_totalprice at sf0.001/0.01; ISO date for the timestamp — NOTE a
-# decimal cast would NOT work here: DuckDB's double->decimal is
-# bit-exact while Spark's goes through the shortest string),
-# digested with md5, and
+# Each row is rendered to a canonical string. The double column is
+# canonicalized as FLOOR(price*100) cents — an integer — because BOTH
+# float-rendering contracts are engine-hazardous: shortest round-trip
+# double->string depends on the JVM vs DuckDB renderer agreeing in the
+# last digit, and double->decimal casts differ (DuckDB converts the
+# bit-exact binary value, Spark goes through the shortest string). The
+# *100 multiply and FLOOR are single IEEE-754 ops, bit-identical on
+# any engine, and bigint->string has one spelling — so the digest can
+# never drift across JVM/DuckDB versions (the r1 hash-fail class).
+# Contract: prices differing only below truncated cents collide —
+# documented precision of the fingerprint, not a bug. Dates render ISO.
+# Rows are digested with md5, and
 # the digests are folded with order-insensitive aggregates (XOR + exact
 # decimal sum + numeric min/max of the 60-bit sig). All four folds keep
 # fixed-width buffers, so the whole plan is ONE HashAggregate pair
@@ -1104,7 +1109,8 @@ _CHECKSUM_ORACLE = """
                  CAST(o_orderkey AS VARCHAR),
                  CAST(o_custkey AS VARCHAR),
                  COALESCE(o_orderstatus, '~null~'),
-                 COALESCE(CAST(o_totalprice AS VARCHAR), '~null~'),
+                 COALESCE(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR), '~null~'),
                  CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
                  COALESCE(o_orderpriority, '~null~'))) AS d
       FROM orders
@@ -1133,9 +1139,10 @@ def checksum_orders(spark, sf_dir):
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        # shortest round-trip double rendering (matches DuckDB; a decimal
-        # cast would NOT — see module docstring note above)
-        F.col("o_totalprice").alias("o_price"),
+        # integer-cents canonicalization: FLOOR(x*100) is one IEEE
+        # multiply + one floor, bit-identical on JVM and DuckDB — no
+        # float rendering in the digest (see block comment above)
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("o_price"),
         F.to_date("o_orderdate").alias("o_date"),
         "o_orderpriority",
     )

@@ -41,7 +41,7 @@ from . import plan
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
            length(text) AS n_chars_actual,
            length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
-           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS n_stopwords
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) AS n_stopwords
     FROM documents
     ORDER BY doc_id
     """,
@@ -70,7 +70,7 @@ _QUALITY_ORACLE = r"""
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
              length(text) AS n_chars_actual,
-             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS n_stop
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) AS n_stop
       FROM documents
     )
     SELECT doc_id, lang, source, n_tokens,
@@ -120,7 +120,7 @@ def doc_quality(spark, sf_dir):
 _LANGID_ORACLE = r"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) >= 3
+           SUM(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) >= 3
                     THEN 1 ELSE 0 END) AS n_pred_en
     FROM documents
     GROUP BY lang
@@ -269,17 +269,27 @@ def fuzzy_name_pairs(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Blocklist redaction audit — the regex-scrub primitive (same machinery
-# as PII/email/phone redaction: word-boundary regexp_replace; patterns
-# here are corpus terms so the rule actually fires on the test corpus).
-# Entirely map-side (regex over the text column), one small grouped agg;
-# chars_removed is a length delta, so every metric is integer-exact.
+# as PII/email/phone redaction: boundary-anchored regexp_replace;
+# patterns here are corpus terms so the rule actually fires on the test
+# corpus). Boundaries are EXPLICIT consuming groups ((^|[^word])term
+# ([^word]|$), put back via backreference), not \b: Java and RE2
+# disagree on \b at non-ASCII boundaries (the r1 hash-fail class), and
+# RE2 has no lookarounds, so a consuming ASCII-class group is the one
+# spelling both engines execute identically. Contract note: like any
+# single-pass consuming-boundary scrub, immediately adjacent terms
+# ("customer customer") redact only the first occurrence per pass —
+# identically on both engines. Entirely map-side (regex over the text
+# column), one small grouped agg; chars_removed is a length delta, so
+# every metric is integer-exact.
 # ---------------------------------------------------------------------------
 
 _REDACT_ORACLE = r"""
     WITH r AS (
       SELECT source,
              length(text) AS len0,
-             length(regexp_replace(text, '\b(customer|vector)\b', '', 'g')) AS len1
+             length(regexp_replace(text,
+                 '(^|[^A-Za-z0-9_])(customer|vector)([^A-Za-z0-9_]|$)',
+                 '\1\3', 'g')) AS len1
       FROM documents
     )
     SELECT source,
@@ -294,7 +304,13 @@ _REDACT_ORACLE = r"""
 def blocklist_redact_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     len0 = F.length("text")
-    len1 = F.length(F.regexp_replace("text", r"\b(customer|vector)\b", ""))
+    len1 = F.length(
+        F.regexp_replace(
+            "text",
+            r"(^|[^A-Za-z0-9_])(customer|vector)([^A-Za-z0-9_]|$)",
+            r"$1$3",
+        )
+    )
     return (
         d.select("source", len0.alias("len0"), len1.alias("len1"))
         .groupBy("source")

@@ -160,19 +160,28 @@ def tfidf_top_terms(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Boilerplate/stopword scrub: remove filler tokens, collapse whitespace,
-# fingerprint the scrubbed text. Pure map-side expression chain (zero
-# shuffles before the final ORDER BY) — whole-stage codegen end to end.
+# fingerprint the scrubbed text. Token-level contract (split on \s+,
+# drop tokens equal to a filler word, rejoin with single spaces) — NOT
+# a \b regex delete: Java and RE2 \b diverge on non-ASCII word
+# boundaries (the r1 hash-fail class), while whitespace splitting and
+# exact string compare are engine-independent. Pure map-side expression
+# chain (zero shuffles before the final ORDER BY) — whole-stage codegen
+# end to end.
 # ---------------------------------------------------------------------------
 
-_STOP_PAT = r"\b(a|the)\b"
+_STOP_TOKENS = ("a", "the")
 
 _SCRUB_ORACLE = rf"""
-    WITH scrubbed AS (
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    scrubbed AS (
       SELECT doc_id,
-             len(regexp_extract_all(text, '{_STOP_PAT}')) AS n_stopwords,
-             trim(regexp_replace(regexp_replace(text, '{_STOP_PAT}', '', 'g'),
-                                 '\s+', ' ', 'g')) AS clean
-      FROM documents
+             len(list_filter(t, x -> x IN ('a', 'the'))) AS n_stopwords,
+             array_to_string(
+               list_filter(t, x -> len(x) > 0 AND x NOT IN ('a', 'the')),
+               ' ') AS clean
+      FROM toks
     )
     SELECT doc_id, n_stopwords, length(clean) AS clean_chars,
            md5(clean) AS clean_sig
@@ -183,19 +192,14 @@ _SCRUB_ORACLE = rf"""
 @plan("boilerplate_scrub", _SCRUB_ORACLE)
 def boilerplate_scrub(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _STOP_PAT, ""), r"\s+", " "
-        )
+    toks = F.split(F.col("text"), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOP_TOKENS)))
+    clean = F.array_join(
+        F.filter(toks, lambda x: (F.length(x) > 0) & ~x.isin(*_STOP_TOKENS)),
+        " ",
     )
     return (
-        d.select(
-            "doc_id",
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOP_PAT), F.lit(0))).alias(
-                "n_stopwords"
-            ),
-            clean.alias("__clean"),
-        )
+        d.select("doc_id", n_stop.alias("n_stopwords"), clean.alias("__clean"))
         .select(
             "doc_id",
             "n_stopwords",

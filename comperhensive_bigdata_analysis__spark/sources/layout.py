@@ -113,10 +113,23 @@ def zorder_key(cols: list, bits: int = 16):
     ``cols`` (each a numeric Column already scaled to [0, 2^bits)) into
     one BIGINT sort key. Pure JVM bit arithmetic (shiftleft/bitwise OR
     folded per bit) — no UDF.
+
+    Raises ValueError when ``bits * len(cols) > 63``: the interleaved
+    key would need more than the 63 value bits of a signed BIGINT, and
+    the JVM's shiftleft wraps the shift amount mod 64, silently
+    aliasing high-order bits into low positions and corrupting the
+    Morton ordering. Lower ``bits`` or drop columns instead.
     """
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * n} exceeds 63 — the "
+            f"interleaved key overflows a signed BIGINT (JVM shiftleft "
+            f"wraps shift amounts mod 64). Use bits <= {63 // n} for "
+            f"{n} columns."
+        )
     key = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -146,9 +159,13 @@ def write_zordered(
     multi-dimensional clustering trick (same layout Delta OPTIMIZE
     ZORDER produces). Linear scale buckets are skew-sensitive; for
     heavy-tailed columns pre-transform (log/clip) or raise ``bits``.
+
+    ``bits`` is clamped to ``63 // len(cols)`` so the interleaved key
+    always fits a signed BIGINT (see zorder_key).
     """
     from pyspark.sql import functions as F
 
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],

@@ -141,3 +141,37 @@ def test_zordered_write_narrows_both_columns(spark, sf_dir, tmp_path):
     # column; allow generous slack for bucket-boundary straddle.
     assert avg_p < 0.6 * glob["p"]
     assert avg_d < 0.6 * glob["d"]
+
+
+def test_zorder_key_rejects_bigint_overflow(spark):
+    """bits*len(cols) > 63 would wrap JVM shiftleft amounts mod 64 and
+    corrupt the Morton ordering — must refuse loudly (ADVICE r1)."""
+    import pytest as _pytest
+
+    from comperhensive_bigdata_analysis__spark.sources.layout import zorder_key
+
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(cols, bits=16)  # 64 bits of key
+
+
+def test_write_zordered_clamps_bits(spark, sf_dir, tmp_path):
+    """Six columns at default bits=12 would need 72 key bits; the clamp
+    to 63//6=10 must keep the write working."""
+    from comperhensive_bigdata_analysis__spark.sources.layout import write_zordered
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn(
+            "o_epoch_day",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ),
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_epoch_day")
+        .limit(500)
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_epoch_day"]
+    out = str(tmp_path / "z6")
+    write_zordered(o, out, cols, n_files=2, bits=16)
+    assert spark.read.parquet(out).count() == 500

@@ -106,3 +106,30 @@ def test_grouped_quantile_single_row_groups(spark):
         for r in grouped_exact_quantile_disc(df, "k", "x", 0.5).collect()
     }
     assert got == {"a": 5.0, "b": 7.0, "c": 1.0}
+
+
+def test_quantile_ignores_nan(spark):
+    """NaN must be filtered with NULL: Spark's max ranks NaN above every
+    double, so an unfiltered NaN poisons hi/width and kills the
+    histogram loop (ADVICE r1)."""
+    df = spark.createDataFrame(
+        [(float("nan"),), (1.0,), (2.0,), (3.0,), (None,)], "x double"
+    )
+    assert exact_quantile_disc(df, "x", 0.5) == 2.0
+
+
+def test_grouped_quantile_ignores_nan(spark):
+    from comperhensive_bigdata_analysis__spark.operators.quantile import (
+        grouped_exact_quantile_disc,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float("nan")), ("a", 1.0), ("a", 3.0), ("b", float("nan"))],
+        "k string, x double",
+    )
+    got = {
+        r["k"]: r["value"]
+        for r in grouped_exact_quantile_disc(df, "k", "x", 0.5).collect()
+    }
+    # 'b' has only NaN -> no non-NaN values -> key absent, not wrong
+    assert got == {"a": 1.0}
