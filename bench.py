@@ -58,6 +58,27 @@ def _minhash_fast(spark, sf_dir):
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, min_est=0.25, hash_fn="xxhash64")
 
 
+def _minhash_k64(spark, sf_dir):
+    """Production-scale signature: K=64 / 16 bands of 4, xxhash64."""
+    from comperhensive_bigdata_analysis__spark.operators.dedup import (
+        MINHASH_BANDS_PROD,
+        MINHASH_K_PROD,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        k=MINHASH_K_PROD,
+        bands=MINHASH_BANDS_PROD,
+        min_est=0.25,
+        hash_fn="xxhash64",
+    )
+
+
 def _lsh_fast(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_band_pairs_np(e, _SIGNS, BITS_PER_BAND, threshold=0.35)
@@ -88,6 +109,7 @@ HEADLINE = {
     "q12_lsh_band_pairs": _lsh_fast,
     "q13_ivf_knn": _ivf_fast,
     "q14_corpus_pipeline": plans.QUERIES["corpus_clean_pipeline"],
+    "q15_minhash_k64": _minhash_k64,
 }
 
 

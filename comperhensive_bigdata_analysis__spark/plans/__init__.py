@@ -49,3 +49,4 @@ from . import training  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
 from . import behavior  # noqa: E402,F401
 from . import audit  # noqa: E402,F401
+from . import sqldoor  # noqa: E402,F401

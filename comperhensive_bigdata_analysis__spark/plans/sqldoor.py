@@ -1,0 +1,179 @@
+"""SQL-front-door plans: the Presto-dialect surface driven end-to-end
+over the driver corpus (VERDICT r1 #7).
+
+The reference's analysts speak SQL text through
+`PrestoConnector.execute_db_query` (ipynb:36-41); our equivalent is
+`query.Engine.sql`. tests/test_reference_queries.py replays the
+reference's own notebook queries on a reference-shaped fixture — these
+plans additionally put the dialect features the reference leans on
+(ordinal ORDER BY per ipynb:549, implicit column alias without AS,
+`date()` cast-function per ipynb:351) through the DRIVER's oracle gate
+on /root/testdata, so the front door has external correctness rows, not
+just local parity.
+
+Each plan registers the tables it needs as temp views via
+Engine.register (the catalog path, S5) and hands the query TEXT to
+Engine.sql — nothing here touches the DataFrame API, which is the
+point: text in, verified relation out.
+
+Scale posture: these are ordinary Catalyst plans once parsed — same
+broadcast/partial-agg/pushdown properties as their DataFrame twins;
+the front door adds zero execution overhead.
+"""
+
+from __future__ import annotations
+
+from ..query import Engine
+from ..sources.tables import load_table
+from . import plan
+
+
+def _engine(spark, sf_dir, *tables: str) -> Engine:
+    eng = Engine(spark)
+    for t in tables:
+        eng.register(load_table(spark, sf_dir, t), t)
+    return eng
+
+
+# -- ordinal ORDER BY + implicit alias (reference ipynb:549 pattern) -------
+
+_ORDINAL_ORACLE = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY 2 DESC, 1
+"""
+
+
+@plan("sql_ordinal_orderby", _ORDINAL_ORACLE)
+def sql_ordinal_orderby(spark, sf_dir):
+    """Presto-style `ORDER BY 2 DESC, 1` with an implicit (no-AS) column
+    alias, through the SQL text front door (spark.sql.orderByOrdinal
+    pinned on by session.RUNTIME_CONFS)."""
+    return _engine(spark, sf_dir, "orders").sql(
+        """
+        SELECT o_orderpriority, count(*) n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY 2 DESC, 1
+        """
+    )
+
+
+# -- date() cast-function on literals (reference ipynb:351 pattern) --------
+
+_DATE_FN_ORACLE = """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= CAST('1995-01-01' AS DATE)
+      AND CAST(o_orderdate AS DATE) <  CAST('1996-01-01' AS DATE)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@plan("sql_date_literal_filter", _DATE_FN_ORACLE)
+def sql_date_literal_filter(spark, sf_dir):
+    """Presto `date('1995-01-01')` literal casts in a range predicate —
+    Spark accepts the same spelling natively; the filter still reaches
+    the parquet scan as a pushed predicate."""
+    return _engine(spark, sf_dir, "orders").sql(
+        """
+        SELECT o_orderstatus, count(*) n
+        FROM orders
+        WHERE date(o_orderdate) >= date('1995-01-01')
+          AND date(o_orderdate) <  date('1996-01-01')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+# -- date(col) on the events timestamp + IN list ---------------------------
+
+_DATE_COL_ORACLE = """
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@plan("sql_date_col_groupby", _DATE_COL_ORACLE)
+def sql_date_col_groupby(spark, sf_dir):
+    """`date(ts)` as both group key and ordinal target over an IN-list
+    filter — the reference's daily-rollup SQL shape via text."""
+    return _engine(spark, sf_dir, "events").sql(
+        """
+        SELECT date(ts) d, count(*) n
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+        ORDER BY 1
+        """
+    )
+
+
+# -- join + implicit alias + decimal-exact aggregate + ordinal -------------
+
+_JOIN_ORACLE = """
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY 2 DESC, 1
+    LIMIT 10
+"""
+
+
+@plan("sql_join_implicit_alias", _JOIN_ORACLE)
+def sql_join_implicit_alias(spark, sf_dir):
+    """Two-table join written as SQL text: implicit aliases, ordinal
+    DESC sort with a name tiebreak, LIMIT — the nation dimension still
+    broadcasts (Catalyst sees through the text)."""
+    return _engine(spark, sf_dir, "customer", "nation").sql(
+        """
+        SELECT n_name nation,
+               cast(sum(cast(c_acctbal as decimal(18,2))) as double) total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY 2 DESC, 1
+        LIMIT 10
+        """
+    )
+
+
+# -- scalar subquery in HAVING ---------------------------------------------
+
+_HAVING_ORACLE = """
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n
+    FROM per_cust
+    WHERE n > (SELECT AVG(n) FROM per_cust)
+    ORDER BY n DESC, o_custkey
+    LIMIT 20
+"""
+
+
+@plan("sql_having_scalar_subquery", _HAVING_ORACLE)
+def sql_having_scalar_subquery(spark, sf_dir):
+    """HAVING against a scalar subquery (above-average filter) in SQL
+    text — the subquery plans as its own tiny aggregate broadcast into
+    the main aggregate's filter."""
+    return _engine(spark, sf_dir, "orders").sql(
+        """
+        SELECT o_custkey, count(*) n
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) > (
+          SELECT avg(cnt) FROM (
+            SELECT count(*) cnt FROM orders GROUP BY o_custkey
+          )
+        )
+        ORDER BY 2 DESC, 1
+        LIMIT 20
+        """
+    )

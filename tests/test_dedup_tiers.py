@@ -44,3 +44,36 @@ def test_xxhash_tier_on_corpus(spark, sf_dir):
     assert fast, "tier found no candidate pairs"
     assert all(a < b for a, b in fast)
     assert all(0.0 <= v <= 1.0 for v in fast.values())
+
+
+def test_k64_production_tier(spark):
+    """K=64/16-band production signature honors the same contract, with
+    tighter est_jaccard: exact dups still 1.0, near-dups estimated
+    within sd ~ sqrt(j(1-j)/64) of the small-K estimate's target band,
+    disjoint docs absent."""
+    from comperhensive_bigdata_analysis__spark.operators.dedup import (
+        MINHASH_BANDS_PROD,
+        MINHASH_K_PROD,
+    )
+
+    d = _fixture(spark)
+    for fn in ("md5", "xxhash64"):
+        got = _pairs(
+            minhash_lsh_pairs(
+                d,
+                "doc_id",
+                "text",
+                k=MINHASH_K_PROD,
+                bands=MINHASH_BANDS_PROD,
+                min_est=0.0,
+                hash_fn=fn,
+            )
+        )
+        assert got[(1, 2)] == 1.0
+        assert got[(4, 5)] == 1.0
+        assert (1, 4) not in got and (1, 5) not in got
+        # near-dup (1,3): true jaccard ~ 12/(12+4)=0.75; K=64 estimate
+        # must land within 4 sd (~0.22) of it
+        assert abs(got[(1, 3)] - 0.75) < 0.25
+        # est granularity is 1/64 steps
+        assert all(round(v * MINHASH_K_PROD, 6) == round(v * MINHASH_K_PROD) for v in got.values())
