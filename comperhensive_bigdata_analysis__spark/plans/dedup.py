@@ -201,3 +201,91 @@ _SIMHASH_ORACLE = r"""
 def simhash_docs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return simhash_signatures(d, "doc_id", "text", bits=16).orderBy("doc")
+
+
+# ---------------------------------------------------------------------------
+# Sub-document segment dedup — the CCNet/RefinedWeb-style pass that
+# exact-dedups at SEGMENT granularity (here non-overlapping 16-token
+# windows standing in for paragraphs; the corpus has no newlines), so
+# repeated boilerplate inside otherwise-distinct documents is counted
+# and removable. Complements whole-doc exact_dedup (md5 of everything)
+# and MinHash (near-dup docs): this one finds the repeated PARTS.
+# ---------------------------------------------------------------------------
+
+_SEG_W = 16
+
+_SEGMENT_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source,
+             array_to_string(t[(i-1)*{_SEG_W}+1:i*{_SEG_W}], ' ') AS seg
+      FROM toks,
+           UNNEST(range(1, GREATEST((len(t)+{_SEG_W}-1)//{_SEG_W}, 1) + 1)) AS u(i)
+      WHERE (i-1)*{_SEG_W} < len(t)
+    ),
+    freq AS (
+      SELECT seg, COUNT(*) AS f FROM segs GROUP BY seg
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           CAST(COUNT(DISTINCT CASE WHEN f.f > 1 THEN s.doc_id END) AS BIGINT)
+             AS n_docs_with_dups
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY s.source
+    ORDER BY s.source
+"""
+
+
+@plan("segment_dedup_stats", _SEGMENT_ORACLE)
+def segment_dedup_stats(spark, sf_dir):
+    """Per-source census of exactly-repeated 16-token segments (corpus-
+    wide frequency > 1): segment totals, duplicated-segment count, and
+    docs containing at least one duplicated segment.
+
+    100 TB: segments collapse to (seg, count) with map-side combine —
+    one shuffle on the segment string (uniform md5-like distribution of
+    keys; templated corpora make a hot head, cap or hash-prefix-salt
+    then). The frequency table joins back on the same key, so the
+    exchange is reused; rollup is per-source.
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    with_toks = d.select(
+        "doc_id", "source", tokens(F.col("text")).alias("__toks")
+    )
+    t = F.col("__toks")
+    n_segs = F.ceil(F.size(t) / _SEG_W).cast("int")
+    segs = with_toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, (i - F.lit(1)) * _SEG_W + 1, _SEG_W)
+                ),
+            )
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum((F.col("f") > 1).cast("int")).cast("bigint").alias(
+                "n_dup_segments"
+            ),
+            F.countDistinct(
+                F.when(F.col("f") > 1, F.col("doc_id"))
+            ).cast("bigint").alias("n_docs_with_dups"),
+        )
+        .orderBy("source")
+    )

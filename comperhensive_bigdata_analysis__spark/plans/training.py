@@ -878,3 +878,81 @@ def decile_revenue_share(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check — the eval-leakage gate every serious
+# pretraining pipeline runs (8-gram overlap between the training split
+# and a held-out eval set, the GPT-3/PaLM decontamination recipe). The
+# eval set here is the deterministic doc_id % 20 == 0 slice; a train
+# doc is contaminated if ANY of its distinct word 8-grams appears in
+# any eval doc. Inverted-index equality join on the gram — never
+# all-pairs.
+# ---------------------------------------------------------------------------
+
+_CONTAM_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 7, 1) + 1)) AS u(i)
+    ),
+    ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+    ),
+    hits AS (
+      SELECT DISTINCT gr.doc_id
+      FROM grams gr JOIN ev ON gr.g = ev.g
+      WHERE gr.doc_id % 20 <> 0
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 20 <> 0
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+@plan("benchmark_contamination", _CONTAM_ORACLE)
+def benchmark_contamination(spark, sf_dir):
+    """Per-source count of training docs sharing >= 1 word 8-gram with
+    the eval split (doc_id % 20 == 0) — eval-set decontamination.
+
+    100 TB: the gram inverted index shuffles once on the gram string
+    (uniform keys); the eval gram set is the small side and broadcasts,
+    so training grams never shuffle for the probe itself; the hit set
+    collapses to distinct doc_ids before the per-source rollup.
+    Repeated boilerplate grams are the skew hazard — cap gram document
+    frequency upstream (same max_df treatment as ngram_jaccard_pairs)
+    if the corpus has templated text.
+    """
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("text"), 8)).alias("g"),
+    )
+    is_eval = F.col("doc_id") % 20 == 0
+    ev = grams.filter(is_eval).select("g").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(~is_eval)
+        .join(hits.withColumn("__hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.count("__hit").cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
