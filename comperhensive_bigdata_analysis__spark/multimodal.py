@@ -103,70 +103,99 @@ def codec_decoder(content: bytes, media_type: str) -> dict:
     """REAL header decode for PNG / GIF87a/89a / BMP / JPEG: parses the
     actual container format for width, height and channel count — the
     full DECODE_SCHEMA contract — using only the stdlib. Pixel-level
-    decoding (resampling, frame extraction) still needs PIL/ffmpeg;
-    unknown formats raise NotImplementedError, which is the plug-in
-    seam for such a codec."""
+    decoding (resampling, frame extraction) still needs PIL/ffmpeg.
+
+    Error contract: NotImplementedError for formats this codec doesn't
+    recognize (the plug-in seam for a pixel codec); ValueError for a
+    recognized container that is truncated/corrupt — so one bad file in
+    a corpus is distinguishable from a missing codec, and
+    decode_media(on_error="skip") can drop it instead of failing the
+    whole job."""
     digest = hashlib.md5(content).hexdigest()
 
     def out(w: int, h: int, ch: int) -> dict:
         return {"width": w, "height": h, "channels": ch, "digest": digest}
 
-    if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
-        w, h = struct.unpack(">II", content[16:24])
-        color_type = content[25]
-        return out(w, h, _PNG_CHANNELS.get(color_type, 3))
-    if content[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = struct.unpack("<HH", content[6:10])
-        return out(w, h, 3)  # palette-expanded RGB
-    if content[:2] == b"BM" and len(content) >= 30:
-        w, h = struct.unpack("<ii", content[18:26])
-        bpp = struct.unpack("<H", content[28:30])[0]
-        return out(w, abs(h), max(1, bpp // 8))
-    if content[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOFn
-        i = 2
-        while i + 9 < len(content):
-            if content[i] != 0xFF:
-                i += 1
-                continue
-            marker = content[i + 1]
-            if marker in _JPEG_SOF:
-                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
-                return out(w, h, content[i + 9])
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone marker, no length field
-                continue
-            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
-            i += 2 + seg_len
-        raise NotImplementedError("JPEG without SOF frame header")
+    try:
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            if content[12:16] != b"IHDR":
+                raise ValueError("PNG magic without IHDR chunk")
+            w, h = struct.unpack(">II", content[16:24])
+            color_type = content[25]
+            return out(w, h, _PNG_CHANNELS.get(color_type, 3))
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", content[6:10])
+            return out(w, h, 3)  # palette-expanded RGB
+        if content[:2] == b"BM" and len(content) >= 30:
+            w, h = struct.unpack("<ii", content[18:26])
+            bpp = struct.unpack("<H", content[28:30])[0]
+            return out(w, abs(h), max(1, bpp // 8))
+        if content[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOFn
+            i = 2
+            while i + 9 < len(content):
+                if content[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = content[i + 1]
+                if marker == 0xFF:
+                    i += 1  # 0xFF fill byte (ISO 10918 B.1.1.2 padding)
+                    continue
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                    return out(w, h, content[i + 9])
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone marker, no length field
+                    continue
+                seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            raise ValueError("JPEG without SOF frame header")
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or corrupt media container: {e}") from e
     raise NotImplementedError(
         "unrecognized media format; plug a pixel codec (PIL/ffmpeg) in via "
         "decode_media(..., decoder=...)"
     )
 
 
-def decode_media(media: DataFrame, decoder=fake_decoder) -> DataFrame:
+def decode_media(
+    media: DataFrame, decoder=fake_decoder, on_error: str = "raise"
+) -> DataFrame:
     """(id, content, media_type) -> DECODE_SCHEMA via Arrow-batched
     mapInPandas. One Python worker per partition; bytes stay columnar in
-    Arrow buffers between JVM and Python."""
+    Arrow buffers between JVM and Python.
+
+    ``on_error``: "raise" (default) fails the job on the first decode
+    error — right for curated inputs; "skip" drops undecodable rows —
+    right for a crawled 100 TB corpus, where one truncated file must
+    not kill a million-task job (count the dropped rows by diffing
+    input/output counts)."""
     import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def run(batches):
         for pdf in batches:
-            metas = [
-                decoder(bytes(c), t)
-                for c, t in zip(pdf["content"], pdf["media_type"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "media_type": pdf["media_type"].to_numpy(),
-                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
-                    "channels": [m["channels"] for m in metas],
-                    "digest": [m["digest"] for m in metas],
-                }
-            )
+            rows = {
+                "id": [], "media_type": [], "n_bytes": [], "width": [],
+                "height": [], "channels": [], "digest": [],
+            }
+            for i, c, t in zip(pdf["id"], pdf["content"], pdf["media_type"]):
+                raw = bytes(c)
+                try:
+                    m = decoder(raw, t)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows["id"].append(i)
+                rows["media_type"].append(t)
+                rows["n_bytes"].append(len(raw))
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["channels"].append(m["channels"])
+                rows["digest"].append(m["digest"])
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=DECODE_SCHEMA)
 

@@ -13,8 +13,13 @@ constants embedded in BOTH engines' queries):
   identical shape MinHash banding gives text dedup. Candidates are
   rescored exactly, so output = exact pairs ∩ candidate set.
   Scale: each band's bucket key is ~uniform; the join shuffles
-  n·BANDS rows, never n^2. Skewed buckets (dense clusters) are
-  AQE-skew-join territory; bits-per-band tunes bucket size.
+  n·BANDS rows, never n^2 — but the CANDIDATE set it emits grows
+  ~n^2/2^BITS_PER_BAND at fixed band width (SCALE_PROBE.md measured
+  10.3x time at 8x data with these demo constants). The contract at
+  scale: BITS_PER_BAND must grow ~log2(n) so per-bucket occupancy —
+  and with it candidates and rescore cost — stays bounded; the demo
+  keeps 4 bits so the oracle corpus actually produces collisions.
+  Skewed buckets (dense clusters) are AQE-skew-join territory.
 - ivf_knn: inverted-file search. A fixed small centroid set (here the
   first 16 vectors; at scale a k-means sample) partitions the space;
   every vector is assigned to its nearest centroid (broadcast join —

@@ -289,3 +289,67 @@ def segment_dedup_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — the PRODUCTION shape of exact dedup: never
+# re-dedup the whole corpus; digest-anti-join the incoming batch (the
+# deterministic md5(doc_id) hex-prefix 'f' slice, ~1/16 of docs spread
+# over every source — a modulo slice would alias with the corpus's
+# doc_id->source layout) against the base corpus.
+# At 100 TB the base digest table is the only thing that persists
+# between runs, and the delta's cost is proportional to the DELTA.
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+    WITH base AS (
+      SELECT DISTINCT md5(text) AS sig FROM documents
+      WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> 'f'
+    ),
+    incoming AS (
+      SELECT doc_id, source, md5(text) AS sig FROM documents
+      WHERE substr(md5(doc_id::VARCHAR), 1, 1) = 'f'
+    )
+    SELECT i.source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN b.sig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_vs_base,
+           CAST(SUM(CASE WHEN b.sig IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+    FROM incoming i LEFT JOIN base b ON i.sig = b.sig
+    GROUP BY i.source
+    ORDER BY i.source
+"""
+
+
+@plan("incremental_dedup_census", _INCR_ORACLE)
+def incremental_dedup_census(spark, sf_dir):
+    """Per-source census of an incoming batch against the base corpus:
+    exact duplicates (digest already present) vs novel documents.
+
+    100 TB: the base collapses to DISTINCT digests once (persistable
+    across runs — the state a streaming/batch dedup service keeps);
+    the probe join shuffles on the uniform digest key and its cost
+    scales with the BATCH, not the corpus. streaming/ops.py's
+    watermarked streaming_dedup is the continuous twin of this plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = F.md5(F.col("text").cast("binary"))
+    is_new = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        == "f"
+    )
+    base = d.filter(~is_new).select(sig.alias("sig")).distinct()
+    incoming = d.filter(is_new).select("doc_id", "source", sig.alias("sig"))
+    return (
+        incoming.join(base.withColumn("__hit", F.lit(1)), "sig", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+            F.count("__hit").cast("bigint").alias("n_dup_vs_base"),
+            F.sum(F.col("__hit").isNull().cast("int")).cast("bigint").alias(
+                "n_novel"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -923,9 +923,13 @@ def benchmark_contamination(spark, sf_dir):
     the eval split (doc_id % 20 == 0) — eval-set decontamination.
 
     100 TB: the gram inverted index shuffles once on the gram string
-    (uniform keys); the eval gram set is the small side and broadcasts,
-    so training grams never shuffle for the probe itself; the hit set
-    collapses to distinct doc_ids before the per-source rollup.
+    (uniform keys); both sides of the probe hash-join on that key — the
+    eval gram set is corpus-proportional (~5% of all grams), so it is
+    deliberately NOT broadcast-hinted: a forced broadcast of a
+    multi-GB distinct-gram set would OOM the driver, while AQE still
+    turns the join into a broadcast at runtime whenever the REAL eval
+    set (a benchmark suite, a few MB of grams) is genuinely small. The
+    hit set collapses to distinct doc_ids before the per-source rollup.
     Repeated boilerplate grams are the skew hazard — cap gram document
     frequency upstream (same max_df treatment as ngram_jaccard_pairs)
     if the corpus has templated text.
@@ -942,7 +946,7 @@ def benchmark_contamination(spark, sf_dir):
     ev = grams.filter(is_eval).select("g").distinct()
     hits = (
         grams.filter(~is_eval)
-        .join(F.broadcast(ev), "g")
+        .join(ev, "g")
         .select("doc_id")
         .distinct()
     )

@@ -156,8 +156,8 @@ def test_zorder_key_rejects_bigint_overflow(spark):
 
 
 def test_write_zordered_clamps_bits(spark, sf_dir, tmp_path):
-    """Six columns at default bits=12 would need 72 key bits; the clamp
-    to 63//6=10 must keep the write working."""
+    """Four columns at bits=16 would need 64 key bits; the clamp to
+    63//4=15 must keep the write working."""
     from comperhensive_bigdata_analysis__spark.sources.layout import write_zordered
 
     o = (

@@ -163,6 +163,54 @@ def test_real_codec_flows_through_decode_pipeline(spark):
     assert got == {i: (16 + i, 9 + 2 * i, 3) for i in range(20)}
 
 
+def test_codec_decoder_error_contract():
+    """Recognized-but-corrupt containers raise ValueError (skippable);
+    only unknown formats raise NotImplementedError (the plug-in seam)."""
+    import struct
+
+    from comperhensive_bigdata_analysis__spark.multimodal import png_bytes
+
+    with pytest.raises(ValueError):
+        codec_decoder(png_bytes(5, 5)[:18], "image")  # truncated PNG
+    with pytest.raises(ValueError):
+        codec_decoder(b"GIF89a\x01", "image")  # truncated GIF
+    with pytest.raises(NotImplementedError):
+        codec_decoder(b"not media at all", "image")
+
+    # 0xFF fill bytes before a marker are legal padding (ISO 10918
+    # B.1.1.2) — the scan must step over them and still find SOF0.
+    jpeg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 120, 80) + b"\x03" + b"\x00" * 10
+        + b"\xff\xd9"
+    )
+    m = codec_decoder(jpeg_fill, "image")
+    assert (m["width"], m["height"]) == (80, 120)
+
+
+def test_decode_media_on_error_skip(spark):
+    """One corrupt file in a corpus must not kill the job when
+    on_error='skip': the bad row drops, the good rows decode."""
+    from comperhensive_bigdata_analysis__spark.multimodal import png_bytes
+
+    media = spark.createDataFrame(
+        [
+            (1, png_bytes(10, 11), "image"),
+            (2, png_bytes(12, 13)[:18], "image"),  # truncated
+            (3, b"junk", "image"),  # unknown format
+        ],
+        "id long, content binary, media_type string",
+    )
+    got = {
+        r["id"]: (r["width"], r["height"])
+        for r in decode_media(media, decoder=codec_decoder, on_error="skip").collect()
+    }
+    assert got == {1: (10, 11)}
+    with pytest.raises(Exception):
+        decode_media(media, decoder=codec_decoder).collect()  # default raises
+
+
 def test_custom_decoder_contract(spark):
     """Any callable (bytes, media_type) -> dict plugs into decode_media;
     its outputs must land verbatim in the result columns."""
