@@ -122,10 +122,17 @@ def _lsh_oracle() -> str:
     """
 
 
-def _sign_bits(spark, v):
-    """(vec_id, j, bit) for every hyperplane j, decimal-exact."""
+def _sign_bits(spark, v, n_bits: int = NBITS):
+    """(vec_id, j, bit) for every hyperplane j, decimal-exact. Signs
+    beyond the precomputed demo set are derived on demand from the same
+    md5 scheme, so any (bands, bits_per_band) shape stays
+    engine-reproducible."""
     h = spark.createDataFrame(
-        [(p, j, _SIGNS[j][p]) for j in range(NBITS) for p in range(DIM)],
+        [
+            (p, j, _SIGNS[j][p] if j < NBITS else _hp_sign(j, p))
+            for j in range(n_bits)
+            for p in range(DIM)
+        ],
         "pos int, j int, s int",
     )
     return (
@@ -141,13 +148,17 @@ def _sign_bits(spark, v):
     )
 
 
-@plan("lsh_band_pairs", _lsh_oracle())
-def lsh_band_pairs(spark, sf_dir):
+def lsh_pairs_at(spark, sf_dir, bands: int = BANDS, bits_per_band: int = BITS_PER_BAND):
+    """lsh_band_pairs with a chosen band shape — the knob the scale
+    contract turns: BITS_PER_BAND must grow ~log2(n) with corpus size
+    to keep per-bucket occupancy (and the candidate set) bounded.
+    SCALE_PROBE.md measures both the fixed-bits super-linearity and the
+    widened-bands restoration of linear scaling through this entry."""
     e = load_table(spark, sf_dir, "embeddings")
     v = _exploded(e)
     buckets = (
-        _sign_bits(spark, v)
-        .withColumn("band", (F.col("j") / BITS_PER_BAND).cast("int"))
+        _sign_bits(spark, v, bands * bits_per_band)
+        .withColumn("band", (F.col("j") / bits_per_band).cast("int"))
         .groupBy("vec_id", "band")
         .agg(
             F.array_join(
@@ -190,6 +201,11 @@ def lsh_band_pairs(spark, sf_dir):
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+@plan("lsh_band_pairs", _lsh_oracle())
+def lsh_band_pairs(spark, sf_dir):
+    return lsh_pairs_at(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
