@@ -1,6 +1,7 @@
-"""Multimodal plumbing tests: schemas, determinism, batch behavior of
-the decode / frame-sample / stats tiers (codecs are stubbed — the
-Spark-side contract is what's under test)."""
+"""Multimodal tests: schemas, determinism, batch behavior of the
+decode / frame-sample / stats tiers; the REAL stdlib header codec
+(PNG/GIF/BMP/JPEG) and its error contract; and the pluggable-decoder
+contract that a PIL/ffmpeg pixel codec would inherit."""
 
 from __future__ import annotations
 
@@ -232,3 +233,42 @@ def test_custom_decoder_contract(spark):
         for r in decode_media(media, decoder=tagging_decoder).collect()
     )
     assert got == [(1, 3, 7, 2, "audio:"), (2, 5, 7, 2, "video:")]
+
+
+def test_codec_error_contract_under_random_corruption():
+    """Property: ANY byte string either decodes to a complete meta dict
+    or raises exactly ValueError / NotImplementedError — never a raw
+    struct.error/IndexError that would bypass decode_media's skip path.
+    Exercises random bytes, truncations of valid containers, and
+    valid-magic-corrupt-body hybrids."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from comperhensive_bigdata_analysis__spark.multimodal import png_bytes
+
+    valid = [
+        png_bytes(9, 7),
+        b"GIF89a" + struct.pack("<HH", 32, 16) + b"\x00" * 8,
+        b"BM" + b"\x00" * 16 + struct.pack("<ii", 4, 4) + b"\x01\x00"
+        + struct.pack("<H", 24) + b"\x00" * 12,
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 5, 6) + b"\x03" + b"\x00" * 10,
+    ]
+
+    @given(
+        base=st.sampled_from(valid),
+        cut=st.integers(min_value=0, max_value=80),
+        junk=st.binary(max_size=24),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(base, cut, junk):
+        for payload in (base[:cut], base[:cut] + junk, junk):
+            try:
+                m = codec_decoder(payload, "image")
+                assert {"width", "height", "channels", "digest"} <= m.keys()
+            except (ValueError, NotImplementedError):
+                pass  # the documented contract
+
+    check()
