@@ -53,7 +53,9 @@ def stopword_count(col) -> Column:
     Java's ``\\b`` and RE2/DuckDB's disagree on non-ASCII word
     boundaries (the r1 lang_id_stats hash-fail class), while an ASCII
     character class splits identically on every engine. split+filter+
-    size are all codegen'd JVM built-ins."""
+    size are all JVM-evaluated built-ins (no Python UDF; note the
+    higher-order ``filter`` lambda is interpreted per element, not
+    whole-stage codegen'd — the determinism win, not a codegen one)."""
     toks = F.split(F.lower(_c(col)), "[^a-z0-9]+")
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
 

@@ -126,7 +126,10 @@ def codec_decoder(content: bytes, media_type: str) -> dict:
         if content[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", content[6:10])
             return out(w, h, 3)  # palette-expanded RGB
-        if content[:2] == b"BM" and len(content) >= 30:
+        if content[:2] == b"BM":
+            # Match on magic alone so a truncated BMP raises ValueError
+            # (the skippable class) via struct.error, not
+            # NotImplementedError (reserved for unknown formats).
             w, h = struct.unpack("<ii", content[18:26])
             bpp = struct.unpack("<H", content[28:30])[0]
             return out(w, abs(h), max(1, bpp // 8))
@@ -143,6 +146,8 @@ def codec_decoder(content: bytes, media_type: str) -> dict:
                 if marker in _JPEG_SOF:
                     h, w = struct.unpack(">HH", content[i + 5 : i + 9])
                     return out(w, h, content[i + 9])
+                if marker == 0xD9:  # EOI before any SOF: stop scanning
+                    break
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone marker, no length field
                     continue

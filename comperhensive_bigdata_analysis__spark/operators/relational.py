@@ -157,10 +157,12 @@ def funnel_counts(
     joined to the survivors-so-far on the user key, reduced to one row
     per user (min qualifying ts) before the next join — so the joined
     relation never exceeds |users| rows regardless of event volume.
-    Each stage's survivor set is cached and its count taken eagerly
-    before the next stage builds on it, so the whole funnel costs one
-    events scan per stage (O(S)), never O(S^2) re-execution of the
-    prefix chain; driver traffic is S scalar counts.
+    EAGER API: unlike the purely-lazy plan builders, calling this
+    executes the funnel immediately (each stage's survivor set is
+    cached and counted before the next stage builds on it), so the
+    whole funnel costs one events scan per stage (O(S)), never O(S^2)
+    re-execution of the prefix chain; driver traffic is S scalar
+    counts. Cached stages are unpersisted even if a stage fails.
     """
     if not steps:
         raise ValueError("funnel_counts: empty step list")
@@ -178,23 +180,27 @@ def funnel_counts(
             ).cast("timestamp"),
         )
     cur = cur.persist()
-    counts = [cur.count()]
-    prev = cur
-    for step in steps[1:]:
-        nxt = events.filter(F.col(type_col) == step).select(
-            user_col, F.col(ts_col).alias("_ts_next")
-        )
-        joined = nxt.join(cur, user_col).filter(F.col("_ts_next") > F.col("_t"))
-        if within_seconds is not None:
-            joined = joined.filter(F.col("_ts_next") <= F.col("_deadline"))
-        agg = [F.min("_ts_next").alias("_t")]
-        if within_seconds is not None:
-            agg.append(F.first("_deadline").alias("_deadline"))
-        cur = joined.groupBy(user_col).agg(*agg).persist()
-        counts.append(cur.count())  # materializes cur's cache
-        prev.unpersist()
-        prev = cur
-    prev.unpersist()
+    prev = None
+    try:
+        counts = [cur.count()]
+        for step in steps[1:]:
+            nxt = events.filter(F.col(type_col) == step).select(
+                user_col, F.col(ts_col).alias("_ts_next")
+            )
+            joined = nxt.join(cur, user_col).filter(F.col("_ts_next") > F.col("_t"))
+            if within_seconds is not None:
+                joined = joined.filter(F.col("_ts_next") <= F.col("_deadline"))
+            agg = [F.min("_ts_next").alias("_t")]
+            if within_seconds is not None:
+                agg.append(F.first("_deadline").alias("_deadline"))
+            prev, cur = cur, joined.groupBy(user_col).agg(*agg).persist()
+            counts.append(cur.count())  # materializes cur's cache
+            prev.unpersist()
+            prev = None
+    finally:
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     spark = events.sparkSession
     rows = [(i, step, n) for i, (step, n) in enumerate(zip(steps, counts))]
     return spark.createDataFrame(rows, "step_idx int, step string, n_users bigint")

@@ -5,12 +5,14 @@ and every oracle-less plan must be a documented rows-only exception.
 
 from __future__ import annotations
 
+import os
 import re
 
 from comperhensive_bigdata_analysis__spark import plans
 
-README = "/root/repo/README.md"
-SCALE_AUDIT = "/root/repo/SCALE_AUDIT.md"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+README = os.path.join(_REPO, "README.md")
+SCALE_AUDIT = os.path.join(_REPO, "SCALE_AUDIT.md")
 
 #: Plans intentionally registered WITHOUT a DuckDB oracle (sketch /
 #: approximate results get rows-only + tolerance tests instead).

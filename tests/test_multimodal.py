@@ -177,6 +177,12 @@ def test_codec_decoder_error_contract():
         codec_decoder(b"GIF89a\x01", "image")  # truncated GIF
     with pytest.raises(NotImplementedError):
         codec_decoder(b"not media at all", "image")
+    with pytest.raises(ValueError):
+        codec_decoder(b"BM\x00\x01", "image")  # truncated BMP: recognized magic
+    with pytest.raises(ValueError):
+        # SOF-less JPEG ending in EOI: the scan must stop at EOI
+        # deterministically (not read bytes past it as a length field).
+        codec_decoder(b"\xff\xd8\xff\xd9", "image")
 
     # 0xFF fill bytes before a marker are legal padding (ISO 10918
     # B.1.1.2) — the scan must step over them and still find SOF0.

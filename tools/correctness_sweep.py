@@ -1,0 +1,137 @@
+"""Builder-side full-catalog correctness artifact (VERDICT r2 ask #1).
+
+Runs EVERY registered plan through the same gate the driver uses
+(tests/oracle_harness.py: Spark result vs DuckDB oracle at sf0.01 —
+row count, sorted column names, order-insensitive value multiset) and
+writes ``CORRECTNESS_FULL.json`` in the driver's exact row format::
+
+    {"<plan>": {"rows_match": bool, "schema_match": bool,
+                "hash_match": bool, "spark_rows": int,
+                "oracle_rows": int, "err": null|str}}
+
+Rows-only plans (no DuckDB-expressible oracle — the 3 sketch plans)
+get ``"hash_match": null`` and ``"mode": "rows-only"`` so the weaker
+check is visible, mirroring how the driver reports them.
+
+Chunked so a single Spark session never runs longer than a driver
+timeout slot::
+
+    python tools/correctness_sweep.py                 # full sweep
+    python tools/correctness_sweep.py --chunk 0 --of 3  # first third (merge)
+    python tools/correctness_sweep.py plan1 plan2       # named subset (merge)
+
+Chunk/subset runs merge into the existing artifact; the full run
+rewrites it from scratch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+ARTIFACT = os.path.join(REPO, "CORRECTNESS_FULL.json")
+
+
+def sweep(sf_dir: str, only: list[str] | None) -> dict[str, dict]:
+    from comperhensive_bigdata_analysis__spark import plans
+    from comperhensive_bigdata_analysis__spark.session import get_spark
+
+    import oracle_harness as oh
+
+    spark = get_spark("correctness-sweep", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = oh.duck_con(sf_dir)
+    out: dict[str, dict] = {}
+    names = only or list(plans.QUERIES)
+    for name in names:
+        fn = plans.QUERIES[name]
+        sql = plans.ORACLES.get(name)
+        try:
+            r = oh.compare_plan(spark, con, sf_dir, name, fn, sql)
+        except Exception as e:  # keep sweeping; record the failure
+            out[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": str(e)[:500],
+            }
+            print(f"ERROR     {name}: {str(e)[:200]}", flush=True)
+            continue
+        if r.get("status") == "rows-only":
+            out[name] = {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": None,
+                "mode": "rows-only",
+                "spark_rows": r["spark_rows"],
+                "oracle_rows": None,
+                "err": None,
+            }
+        else:
+            out[name] = {
+                "rows_match": r["rows_match"],
+                "schema_match": r["cols_match"],
+                "hash_match": r["values_match"],
+                "spark_rows": r["spark_rows"],
+                "oracle_rows": r["duck_rows"],
+                "err": None,
+            }
+        print(f"{r['status']:9s} {name}", flush=True)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("plans", nargs="*", help="named subset (merged into artifact)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--of", type=int, default=3)
+    args = ap.parse_args()
+
+    from comperhensive_bigdata_analysis__spark import plans as _plans
+
+    all_names = list(_plans.QUERIES)
+    if args.plans:
+        only = args.plans
+    elif args.chunk is not None:
+        per = -(-len(all_names) // args.of)
+        only = all_names[args.chunk * per : (args.chunk + 1) * per]
+    else:
+        only = None
+
+    result = sweep(args.sf_dir, only)
+
+    merged: dict[str, dict] = {}
+    if only is not None and os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as f:
+            merged = json.load(f)
+    merged.update(result)
+    # Keep registry order so diffs are stable round-over-round.
+    ordered = {n: merged[n] for n in all_names if n in merged}
+    with open(ARTIFACT, "w") as f:
+        json.dump(ordered, f, indent=2)
+        f.write("\n")
+
+    bad = [
+        n
+        for n, r in ordered.items()
+        if r.get("err") or r["rows_match"] is False or r["schema_match"] is False
+        or r["hash_match"] is False
+    ]
+    print(f"\nartifact: {len(ordered)}/{len(all_names)} rows, {len(bad)} failing")
+    for n in bad:
+        print(f"  FAIL {n}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
