@@ -172,6 +172,178 @@ def forecast_mape(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Seasonal decomposition forecast (VERDICT r2 ask #4, SQL-expressible
+# tier): trend by the closed-form linear fit above, weekly seasonality
+# as the mean residual per day-of-week, forecast = trend + dow offset.
+# This is the classic additive decomposition — the structure Prophet
+# fits in the reference (ipynb:1048-1054) — in a form both engines can
+# replay exactly. The free-form Fourier-ridge tier lives in forecast.py
+# (numpy applyInPandas, pytest-verified); THIS plan is its
+# driver-checkable sibling.
+#
+# Determinism: slope/intercept come from decimal-exact sufficient
+# statistics (identical doubles both engines); each residual is one
+# double expression on identical operands; residuals go through a
+# DECIMAL(18,6) cast before the cross-row SUM, the same discipline as
+# forecast_mape. dow = (x + 4) % 7 — pure integer (1970-01-01 was a
+# Thursday), no engine dayofweek() convention involved.
+#
+# 100 TB: the daily rollup is the only big shuffle; everything after
+# runs on |event_type| x |days| rows, and the per-type model (2 + 7
+# numbers) broadcasts back for scoring.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_CTES = f"""
+    {_DAILY_CTE},
+    r AS ({_REG_AGG.format(where="")}),
+    s AS (
+      SELECT event_type, xmax,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+      FROM r
+    ),
+    dowoff AS (
+      SELECT xy.event_type, (x + 4) % 7 AS dow,
+             CAST(SUM(CAST(y - (intercept + slope * x) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*) AS s_dow
+      FROM xy JOIN s ON xy.event_type = s.event_type
+      GROUP BY 1, 2
+    )
+"""
+
+_SEASONAL_FC_ORACLE = f"""
+    WITH {_SEASONAL_CTES}
+    SELECT s.event_type AS event_type,
+           strftime(DATE '1970-01-01' + INTERVAL (xmax + h) DAY, '%Y-%m-%d') AS day,
+           ROUND(intercept + slope * (xmax + h) + s_dow, 6) AS yhat
+    FROM s, (SELECT unnest(generate_series(1, 14)) AS h)
+    JOIN dowoff ON dowoff.event_type = s.event_type
+               AND dowoff.dow = (xmax + h + 4) % 7
+    ORDER BY s.event_type, day
+"""
+
+
+def _dow_offsets(xy, fitted):
+    """Mean residual per (event_type, day-of-week) — the weekly
+    seasonal component, decimal-cast before the cross-row sum."""
+    resid = xy.join(F.broadcast(fitted), "event_type").select(
+        "event_type",
+        ((F.col("x") + 4) % 7).alias("dow"),
+        (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+        .cast(DEC)
+        .alias("res"),
+    )
+    return resid.groupBy("event_type", "dow").agg(
+        (F.sum("res").cast("double") / F.count(F.lit(1))).alias("s_dow")
+    )
+
+
+@plan("seasonal_forecast", _SEASONAL_FC_ORACLE)
+def seasonal_forecast(spark, sf_dir):
+    xy = _daily_xy(spark, sf_dir)
+    fitted = _slope_intercept(_reg_agg(xy))
+    offsets = _dow_offsets(xy, fitted.select("event_type", "slope", "intercept"))
+    horizon = fitted.select(
+        "event_type",
+        "xmax",
+        "slope",
+        "intercept",
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("h"),
+    ).withColumn("dow", (F.col("xmax") + F.col("h") + 4) % 7)
+    return (
+        horizon.join(F.broadcast(offsets), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"), F.col("xmax") + F.col("h")
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.round(
+                F.col("intercept")
+                + F.col("slope") * (F.col("xmax") + F.col("h"))
+                + F.col("s_dow"),
+                6,
+            ).alias("yhat"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# Holdout comparison: same cutoff as forecast_mape; fit trend AND dow
+# offsets on train only; report both models' MAPE side by side so the
+# seasonal tier's improvement is itself driver-verified.
+
+_SEASONAL_MAPE_ORACLE = f"""
+    WITH {_DAILY_CTE},
+    r AS ({_REG_AGG.format(where=f"WHERE x < (DATE '{_CUTOFF}' - DATE '1970-01-01')")}),
+    s AS (
+      SELECT event_type,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+      FROM r
+    ),
+    dowoff AS (
+      SELECT xy.event_type, (x + 4) % 7 AS dow,
+             CAST(SUM(CAST(y - (intercept + slope * x) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*) AS s_dow
+      FROM xy JOIN s ON xy.event_type = s.event_type
+      WHERE x < (DATE '{_CUTOFF}' - DATE '1970-01-01')
+      GROUP BY 1, 2
+    )
+    SELECT xy.event_type,
+           COUNT(*) AS n_test,
+           ROUND(CAST(SUM(CAST(abs((y - (intercept + slope * x)) / y)
+                      AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS mape_linear,
+           ROUND(CAST(SUM(CAST(abs((y - (intercept + slope * x + s_dow)) / y)
+                      AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS mape_seasonal
+    FROM xy
+    JOIN s ON xy.event_type = s.event_type
+    JOIN dowoff ON dowoff.event_type = xy.event_type AND dowoff.dow = (x + 4) % 7
+    WHERE x >= (DATE '{_CUTOFF}' - DATE '1970-01-01')
+    GROUP BY xy.event_type
+    ORDER BY xy.event_type
+"""
+
+
+@plan("seasonal_forecast_mape", _SEASONAL_MAPE_ORACLE)
+def seasonal_forecast_mape(spark, sf_dir):
+    xy = _daily_xy(spark, sf_dir)
+    cutoff_x = F.datediff(F.lit(_CUTOFF).cast("date"), F.lit("1970-01-01").cast("date"))
+    train = xy.filter(F.col("x") < cutoff_x)
+    fitted = _slope_intercept(_reg_agg(train)).select(
+        "event_type", "slope", "intercept"
+    )
+    offsets = _dow_offsets(train, fitted)
+    test = xy.filter(F.col("x") >= cutoff_x).withColumn(
+        "dow", (F.col("x") + 4) % 7
+    )
+    lin_pred = F.col("intercept") + F.col("slope") * F.col("x")
+    ape_lin = F.abs((F.col("y") - lin_pred) / F.col("y"))
+    ape_seas = F.abs((F.col("y") - (lin_pred + F.col("s_dow"))) / F.col("y"))
+    return (
+        test.join(F.broadcast(fitted), "event_type")
+        .join(F.broadcast(offsets), ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.sum(ape_lin.cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mape_linear"),
+            F.round(
+                F.sum(ape_seas.cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mape_seasonal"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wide conditional-sum projection (reference Q2/Q3 shape: one column per
 # category summed per day, ipynb:536-549 — pivot expressed as FILTER/CASE
 # aggregates so it stays one shuffle).

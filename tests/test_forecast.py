@@ -66,3 +66,48 @@ def test_mape_on_linear_series(spark):
     )
     m = mape(actual, fc, ["group", "ds"]).collect()[0]["mape"]
     assert m < 1e-9
+
+
+def test_seasonal_tier_beats_linear_on_seasonal_series(spark):
+    """VERDICT r2 ask #4: on trend + weekly-cycle data, the numpy
+    Fourier-ridge tier must cut MAPE well below the linear tier (the
+    structure Prophet captures in the reference, ipynb:1048-1054)."""
+    import math
+
+    base = dt.date(2024, 1, 1)
+
+    def y(i: int) -> float:
+        return 200.0 + 1.5 * i + 60.0 * math.sin(2 * math.pi * i / 7.0)
+
+    hist = [("g", base + dt.timedelta(days=i), y(i)) for i in range(84)]
+    df = spark.createDataFrame(hist, "group string, ds date, y double")
+    actual = spark.createDataFrame(
+        [("g", base + dt.timedelta(days=84 + i), y(84 + i)) for i in range(14)],
+        "group string, ds date, y double",
+    )
+
+    def holdout_mape(model: str) -> float:
+        fc = grouped_forecast(df, "group", model=model, horizon=14)
+        return mape(actual, fc, ["group", "ds"]).collect()[0]["mape"]
+
+    m_lin = holdout_mape("linear")
+    m_seas = holdout_mape("seasonal")
+    assert m_seas < m_lin / 10, (m_seas, m_lin)
+    assert m_seas < 0.01, m_seas
+
+
+def test_seasonal_is_default_without_prophet(spark):
+    """model=None auto-selects the seasonal tier in this container
+    (prophet not importable), and it is deterministic run-to-run."""
+    from comperhensive_bigdata_analysis__spark.forecast import _prophet_available
+
+    if _prophet_available():  # pragma: no cover - not in this container
+        import pytest
+
+        pytest.skip("prophet installed; auto tier is prophet")
+    base = dt.date(2024, 1, 1)
+    hist = [("g", base + dt.timedelta(days=i), 50.0 + i + (i % 7)) for i in range(30)]
+    df = spark.createDataFrame(hist, "group string, ds date, y double")
+    a = sorted(map(tuple, grouped_forecast(df, "group", horizon=5).collect()))
+    b = sorted(map(tuple, grouped_forecast(df, "group", horizon=5).collect()))
+    assert a == b and len(a) == 5
