@@ -144,6 +144,42 @@ def sql_join_implicit_alias(spark, sf_dir):
     )
 
 
+# -- Presto NULL-ordering default under LIMIT (SURVEY §7.4) ----------------
+#
+# Presto sorts NULLs LAST by default regardless of direction; Spark
+# treats NULL as smallest (ASC -> NULLS FIRST). Under a LIMIT that
+# changes WHICH rows survive, so this is a correctness divergence, not
+# cosmetics. The front door's translate() rewrites the top-level ORDER
+# BY to Presto semantics; this plan drives plain Presto-spelled SQL
+# (no explicit NULLS qualifier) through it with a NULL-bearing sort key
+# and a LIMIT small enough that the NULL rows MUST be excluded — the
+# DuckDB oracle (default_null_order=nulls_last, the Presto convention)
+# only hash-matches if the rewrite fired.
+
+_NULL_ORDER_ORACLE = """
+    SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+    FROM customer
+    ORDER BY seg, c_custkey
+    LIMIT 50
+"""
+
+
+@plan("sql_null_order_limit", _NULL_ORDER_ORACLE)
+def sql_null_order_limit(spark, sf_dir):
+    """NULL-bearing sort key (every BUILDING customer nulled) under
+    ORDER BY + LIMIT with no NULLS qualifier: Presto/DuckDB exclude the
+    NULL rows from the top 50, Spark's native default would return
+    ONLY NULL rows — parity proves the translate() shim."""
+    return _engine(spark, sf_dir, "customer").sql(
+        """
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') seg
+        FROM customer
+        ORDER BY seg, c_custkey
+        LIMIT 50
+        """
+    )
+
+
 # -- scalar subquery in HAVING ---------------------------------------------
 
 _HAVING_ORACLE = """

@@ -8,23 +8,81 @@ natively accepted by Spark SQL —
 - ordinal `ORDER BY 2`: `spark.sql.orderByOrdinal` (on by default,
   pinned in session.RUNTIME_CONFS),
 - implicit column alias without AS (`sum(x) total`): accepted.
-So `sql()` is a true pass-through; translate() exists as the seam where
-any future dialect rewrite would live, and currently only normalizes
-whitespace. Tests (tests/test_reference_queries.py) replay the
-reference's Q0-Q12 verbatim to pin this.
+
+One semantic divergence needs an actual rewrite (SURVEY §7.4): NULL
+ordering. Presto sorts NULLs LAST by default regardless of direction;
+Spark treats NULL as smallest (ASC -> NULLS FIRST). Harmless for a bare
+ORDER BY, but under a LIMIT it changes WHICH rows survive. translate()
+therefore appends an explicit NULLS LAST to every item of the final
+top-level ORDER BY that doesn't already carry a NULLS qualifier —
+giving SQL-text users Presto's semantics on Spark. (Paren-depth-aware:
+ORDER BYs inside OVER() windows and subqueries are untouched. Known
+limit: a string literal containing unbalanced parens could confuse the
+depth scan — acceptable for a documented shim; write explicit NULLS
+FIRST/LAST to opt out.) Tests (tests/test_reference_queries.py) replay
+the reference's Q0-Q12 verbatim to pin the pass-through behaviors;
+tests/test_sqldoor_dialect.py pins the NULL-ordering rewrite.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import apply_runtime_confs
 from .sources.ingest import ingest_csv, ingest_folder
 
+_ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+_LIST_END_RE = re.compile(r"\b(limit|offset|fetch)\b", re.IGNORECASE)
+_NULLS_RE = re.compile(r"\bnulls\s+(first|last)\b", re.IGNORECASE)
+
+
+def _depth(q: str, upto: int) -> int:
+    return q.count("(", 0, upto) - q.count(")", 0, upto)
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
+def _presto_null_order(q: str) -> str:
+    """Append NULLS LAST (Presto's direction-independent default) to
+    each unqualified item of the final top-level ORDER BY."""
+    last = None
+    for m in _ORDER_BY_RE.finditer(q):
+        if _depth(q, m.start()) == 0:
+            last = m
+    if last is None:
+        return q
+    start = last.end()
+    tail = q[start:]
+    end = len(tail)
+    for m in _LIST_END_RE.finditer(tail):
+        if _depth(tail, m.start()) == 0:
+            end = m.start()
+            break
+    items = []
+    for it in _split_top_level(tail[:end]):
+        s = it.strip()
+        items.append(s if _NULLS_RE.search(s) else s + " NULLS LAST")
+    return q[:start] + " " + ", ".join(items) + ("\n" if end < len(tail) else "") + tail[end:]
+
 
 def translate(q: str) -> str:
-    """Presto-dialect -> Spark SQL (currently identity; see module doc)."""
-    return q.strip()
+    """Presto-dialect -> Spark SQL: whitespace-normalized pass-through
+    plus the NULL-ordering rewrite (see module doc)."""
+    return _presto_null_order(q.strip())
 
 
 class Engine:

@@ -1,0 +1,68 @@
+"""Pins the front door's Presto NULL-ordering rewrite (SURVEY §7.4):
+translate() must append NULLS LAST to unqualified items of the FINAL
+top-level ORDER BY only — never inside OVER() windows or subqueries —
+and the executed semantics must match DuckDB's Presto-equivalent
+default (nulls_last) when a LIMIT makes NULL placement row-selective.
+"""
+
+from __future__ import annotations
+
+import re
+
+from comperhensive_bigdata_analysis__spark.query import translate
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def test_appends_nulls_last_to_each_item():
+    out = translate("SELECT a, b FROM t ORDER BY a DESC, b LIMIT 5")
+    assert _norm(out) == _norm(
+        "SELECT a, b FROM t ORDER BY a DESC NULLS LAST, b NULLS LAST LIMIT 5"
+    )
+
+
+def test_respects_explicit_qualifier():
+    out = translate("SELECT a FROM t ORDER BY a NULLS FIRST, b DESC")
+    assert _norm(out) == _norm(
+        "SELECT a FROM t ORDER BY a NULLS FIRST, b DESC NULLS LAST"
+    )
+
+
+def test_ignores_window_and_subquery_order_by():
+    q = """
+    SELECT a, row_number() OVER (PARTITION BY g ORDER BY ts DESC) rn
+    FROM (SELECT * FROM t ORDER BY x LIMIT 10)
+    ORDER BY a
+    """
+    out = translate(q)
+    # window + subquery ORDER BYs untouched, final one rewritten
+    assert "ORDER BY ts DESC)" in out
+    assert "ORDER BY x LIMIT 10)" in out
+    assert _norm(out).endswith("ORDER BY a NULLS LAST")
+
+
+def test_no_order_by_is_identity():
+    q = "SELECT count(*) FROM t GROUP BY a"
+    assert translate(q) == q
+
+
+def test_function_args_with_commas_stay_one_item():
+    out = translate("SELECT a FROM t ORDER BY coalesce(a, b), c")
+    assert _norm(out) == _norm(
+        "SELECT a FROM t ORDER BY coalesce(a, b) NULLS LAST, c NULLS LAST"
+    )
+
+
+def test_null_rows_fall_out_of_limit(spark, sf_dir):
+    """End to end: with NULLs in the key and Presto semantics, the top-k
+    excludes NULL rows; Spark's native default would return only them."""
+    from comperhensive_bigdata_analysis__spark.plans.sqldoor import (
+        sql_null_order_limit,
+    )
+
+    rows = sql_null_order_limit(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert all(r["seg"] is not None for r in rows)
+    assert [r["seg"] for r in rows] == sorted(r["seg"] for r in rows)
