@@ -112,6 +112,34 @@ HEADLINE = {
     "q15_minhash_k64": _minhash_k64,
 }
 
+#: Large-scale tier (VERDICT r2 ask #8): the 3 slowest headliners re-run
+#: on an 8x key-disjoint inflation of the sf dir, reported as
+#: "<name>@8x". sf0.1 timings are ~1 s and startup-dominated; at 8x the
+#: same plans run long enough that round-over-round ratios measure
+#: compute, not JVM constant costs.
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "8"))
+SCALE_TIER = ("q15_minhash_k64", "q2_revenue_by_nation", "q3_filter_project")
+
+
+def _scale_dir(spark, sf_dir: str) -> str:
+    """Build (or reuse — marker-file keyed on source + copies) the
+    inflated corpus under /tmp."""
+    from comperhensive_bigdata_analysis__spark.sources.inflate import (
+        PASSTHROUGH,
+        inflate_corpus,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/cba_bench_{tag}_x{SCALE_COPIES}"
+    marker = os.path.join(out, "_MARKER")
+    want = f"{sf_dir}|{SCALE_COPIES}"
+    if os.path.exists(marker) and open(marker).read() == want:
+        return out
+    inflate_corpus(spark, sf_dir, out, SCALE_COPIES, passthrough=PASSTHROUGH)
+    with open(marker, "w") as f:
+        f.write(want)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,15 +159,28 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    big = _scale_dir(spark, sf_dir)  # untimed corpus build (cached)
+    for name in SCALE_TIER:
+        fn = HEADLINE[name]
+        fn(spark, big).collect()  # codegen warm-up at this data shape
+        t0 = time.perf_counter()
+        fn(spark, big).collect()
+        timings[f"{name}@{SCALE_COPIES}x"] = round(time.perf_counter() - t0, 3)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                # Headline total stays the sf-tier sum so it remains
+                # comparable to BENCH_r01/r02; the @Nx keys ride along.
+                "value": round(
+                    sum(v for k, v in timings.items() if "@" not in k), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "scale_tier_copies": SCALE_COPIES,
             }
         )
     )

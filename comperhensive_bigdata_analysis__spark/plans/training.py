@@ -960,3 +960,133 @@ def benchmark_contamination(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing census: assign docs (in deterministic doc_id
+# order per source) to fixed token-budget training windows by exclusive
+# prefix-sum division — the sequence-packing pass that turns a cleaned
+# corpus into fixed-length pretraining examples. This is the
+# prefix-sum formulation (a doc whose tokens straddle a boundary spills
+# into the next window) rather than sequential next-fit: identical
+# output on any engine, one window-function pass, no iteration.
+#
+# 100 TB: one shuffle to order each source partition (range-partitioned
+# window, not a global sort), integer arithmetic end to end; the census
+# output is |sources| x |windows| rows. Skew guard: a single gigantic
+# source still sorts in parallel because Spark range-splits the window
+# partition's sort, and the downstream aggregate is map-side combined.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per training window
+
+_PACK_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM toks
+    )
+    SELECT source,
+           CAST(prior // {PACK_BUDGET} AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY 1, 2
+    ORDER BY source, window_id
+"""
+
+
+@plan("pack_context_windows", _PACK_ORACLE)
+def pack_context_windows(spark, sf_dir):
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("window_id", F.expr(f"prior div {PACK_BUDGET}"))
+    return (
+        packed.groupBy("source", F.col("window_id").cast("bigint").alias("window_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("source", "window_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing (alpha = 0.5): sampling weight
+# proportional to n_docs^alpha — the standard multilingual/multi-source
+# rebalancing rule (upsample small sources, damp giant ones). alpha is
+# fixed at 0.5 because sqrt is an IEEE correctly-rounded primitive, so
+# the whole weight table is bit-identical on every engine (pow(x, 0.7)
+# would be library-dependent). The decimal-cast total keeps the one
+# cross-row double sum exact.
+#
+# 100 TB: the entire plan runs on |sources| rows after one count
+# aggregate; draws_per_million gives an integer materialization target
+# a sampler can consume directly.
+# ---------------------------------------------------------------------------
+
+_TEMPERATURE_ORACLE = """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             sqrt(CAST(n_docs AS DOUBLE)) AS wt
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(wt AS DECIMAL(28,12))) AS DOUBLE) AS t FROM w
+    )
+    SELECT source, n_docs,
+           ROUND(wt / t, 6) AS sample_share,
+           CAST(FLOOR(wt / t * 1000000) AS BIGINT) AS draws_per_million
+    FROM w, tot
+    ORDER BY source
+"""
+
+
+@plan("source_temperature_weights", _TEMPERATURE_ORACLE)
+def source_temperature_weights(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = counts.withColumn("wt", F.sqrt(F.col("n_docs").cast("double")))
+    tot = w.agg(
+        F.sum(F.col("wt").cast("decimal(28,12)")).cast("double").alias("t")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("wt") / F.col("t"), 6).alias("sample_share"),
+            F.floor(F.col("wt") / F.col("t") * 1000000)
+            .cast("bigint")
+            .alias("draws_per_million"),
+        )
+        .orderBy("source")
+    )

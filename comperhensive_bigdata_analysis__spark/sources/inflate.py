@@ -1,0 +1,123 @@
+"""Key-disjoint corpus inflation — the shared machinery behind
+tools/scale_probe.py and bench.py's large-scale tier.
+
+Inflating by N preserves each table's distribution shape while keeping
+copies disjoint in key space, so join/agg fan-out grows like real data
+growth rather than duplicate collisions:
+
+- lineitem: order/part keys shifted by a per-copy stride (the
+  co-purchase graph gains N disjoint components of the same shape);
+- orders: o_orderkey shifted by the same stride (so inflated lineitem
+  still joins), customer keys and dates untouched — each customer
+  simply has N times the order history;
+- documents: per-copy vowel permutation of the text (new vocabulary,
+  same token-count distribution) with shifted doc_ids;
+- embeddings: per-copy cyclic rotation of the vector (same norm and
+  pairwise-distance distribution, different hyperplane signs), with
+  shifted vec_ids;
+- dimension tables (region/nation/customer/supplier/part) are copied
+  through unchanged — dimensions don't grow multiplicatively in a real
+  warehouse, and the plans broadcast them regardless.
+
+Both the 1x and Nx corpora are written by the SAME Spark writer and
+repartitioned to the same fixed file count, so scan parallelism and
+row-group layout are identical and any timing ratio isolates data
+VOLUME (a raw single-file source parquet vs a multi-part Spark-written
+copy would conflate file layout with data growth).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+STRIDE = 1_000_000_000
+N_FILES = 16
+
+_VOWELS = "aeiou"
+_PERMS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio", "eiuoa", "iueao", "oaiue"]
+
+#: Tables copied through unchanged (dimensions + anything not inflated).
+PASSTHROUGH = ("region", "nation", "customer", "supplier", "part")
+
+
+def _union(parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def inflate_corpus(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str,
+    n_copies: int,
+    passthrough: tuple[str, ...] = (),
+) -> str:
+    """Write an n_copies-fold key-disjoint inflation of base_dir's
+    lineitem/orders/documents/embeddings into out_dir (plus unchanged
+    copies of ``passthrough`` tables), and return out_dir. Existing
+    out_dir is rebuilt."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    li = load_table(spark, base_dir, "lineitem")
+    _union(
+        [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * STRIDE))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * STRIDE))
+            for i in range(n_copies)
+        ]
+    ).repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+    o = load_table(spark, base_dir, "orders")
+    _union(
+        [
+            o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * STRIDE))
+            for i in range(n_copies)
+        ]
+    ).repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+
+    d = load_table(spark, base_dir, "documents")
+    _union(
+        [
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(i * STRIDE)).withColumn(
+                "text", F.translate(F.col("text"), _VOWELS, _PERMS[i % len(_PERMS)])
+            )
+            for i in range(n_copies)
+        ]
+    ).repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    e = load_table(spark, base_dir, "embeddings")
+    _union(
+        [
+            e.withColumn("vec_id", F.col("vec_id") + F.lit(i * STRIDE)).withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, size(embedding)), "
+                    f"slice(embedding, 1, {i}))"
+                ),
+            )
+            for i in range(n_copies)
+        ]
+    ).repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+    for t in passthrough:
+        load_table(spark, base_dir, t).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+    return out_dir
