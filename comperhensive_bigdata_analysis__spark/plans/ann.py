@@ -403,3 +403,116 @@ def rrf_rank_fusion(spark, sf_dir):
         .select("doc_id", "rank_len", "rank_hash", rrf.alias("rrf"))
         .orderBy(F.col("rrf").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (Johnson-Lindenstrauss) kNN — the dimensionality-
+# reduction scale path: project 64-dim embeddings onto RP_DIM
+# md5-derived Rademacher directions (the same deterministic sign scheme
+# as the LSH hyperplanes, different salt), then run exact nearest-
+# neighbor in the reduced space. JL preserves pairwise distances within
+# (1 +/- eps) w.h.p., so a 4x narrower vector buys a 4x cheaper distance
+# pass with bounded rank error — the standard pre-filter in front of an
+# exact rescore at 100 TB (project once at ingest, store beside the
+# full vector, scan the narrow column).
+# Float discipline: projections are DECIMAL-summed per output dim and
+# floor-rounded to 1e-6 BEFORE the distance pass, so both engines take
+# bit-identical reduced vectors into the (deterministic) double
+# subtract/square; squared diffs are DECIMAL-truncated and summed.
+# ---------------------------------------------------------------------------
+
+RP_DIM = 16
+
+
+def _rp_sign(k: int, pos: int) -> int:
+    h = hashlib.md5(f"rp{k}:{pos}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) & 1 else -1
+
+
+_RP_SIGNS = [[_rp_sign(k, p) for p in range(DIM)] for k in range(RP_DIM)]
+
+
+def _rp_oracle() -> str:
+    rp_rows = ",".join(
+        f"({p + 1},{k},{_RP_SIGNS[k][p]})"
+        for k in range(RP_DIM)
+        for p in range(DIM)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    h(pos, k, s) AS (VALUES {rp_rows}),
+    proj AS (
+      SELECT v.vec_id, h.k,
+             FLOOR(CAST(SUM(CAST(v.x * h.s AS DECIMAL(28,12))) AS DOUBLE)
+                   * 1e6) / 1e6 AS y
+      FROM v JOIN h USING (pos)
+      GROUP BY v.vec_id, h.k
+    ),
+    q AS (SELECT k, y AS qy FROM proj WHERE vec_id = 0),
+    d AS (
+      SELECT proj.vec_id,
+             CAST(SUM(CAST((proj.y - q.qy) * (proj.y - q.qy)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS dist_sq
+      FROM proj JOIN q USING (k)
+      WHERE proj.vec_id <> 0
+      GROUP BY proj.vec_id
+    )
+    SELECT vec_id, ROUND(dist_sq, 6) AS dist_sq
+    FROM d
+    ORDER BY dist_sq, vec_id LIMIT {KNN_K}
+    """
+
+
+@plan("random_projection_knn", _rp_oracle())
+def random_projection_knn(spark, sf_dir):
+    """Top-10 L2 neighbors of vec_id=0 in the 16-dim JL-projected space.
+
+    One broadcast join against the 1024-row sign table, one
+    (vec_id, k) combine for the projection, one broadcast of the
+    16-row reduced query, then a per-vector distance combine +
+    TakeOrdered(10). Every shuffle key is uniform; nothing quadratic.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _exploded(e)
+    h = spark.createDataFrame(
+        [
+            (p + 1, k, _RP_SIGNS[k][p])
+            for k in range(RP_DIM)
+            for p in range(DIM)
+        ],
+        "pos int, k int, s int",
+    )
+    # _exploded emits 0-based pos; the sign table is keyed 1-based to
+    # match the oracle's generate_subscripts — shift at the join.
+    proj = (
+        v.withColumn("pos", F.col("pos") + 1)
+        .join(F.broadcast(h), "pos")
+        .groupBy("vec_id", "k")
+        .agg(
+            (
+                F.floor(
+                    F.sum((F.col("x") * F.col("s")).cast(PDEC)).cast("double")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("y")
+        )
+    )
+    q = proj.filter(F.col("vec_id") == 0).select("k", F.col("y").alias("qy"))
+    diff = F.col("y") - F.col("qy")
+    return (
+        proj.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "k")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum((diff * diff).cast(PDEC)).cast("double"), 6
+            ).alias("dist_sq")
+        )
+        .orderBy("dist_sq", "vec_id")
+        .limit(KNN_K)
+    )

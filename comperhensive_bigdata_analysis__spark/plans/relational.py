@@ -1381,3 +1381,103 @@ def basket_size_distribution(spark, sf_dir):
         (F.col("n_orders").cast("double") / total).alias("share"),
         (F.sum("n_orders").over(w_cum).cast("double") / total).alias("cum_share"),
     ).orderBy("n_lines")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build — the warehouse-side change-capture operator:
+# given successive snapshots of a dimension, emit effective-dated
+# version rows (eff_from / eff_to / is_current) for every key whose
+# tracked attribute changed. Snapshots are deterministic perturbations
+# of ``customer`` (the same device snapshot_diff_orders uses), so the
+# oracle rebuilds them bit-identically: v2 bumps c_acctbal by +10.50 on
+# keys % 13 == 0, v3 bumps a further +25.25 on keys % 7 == 0. Doubles
+# move only through literal additions — exact, engine-identical.
+# 100 TB: the union of S snapshots shuffles once on the key for the
+# lag/lead windows (bounded partitions: S rows per key); emitted
+# history is |changed keys| * versions. The standard formulation — no
+# full-history rescan per new snapshot when run incrementally (feed
+# only current + new snapshot).
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH snaps AS (
+      SELECT c_custkey, 1 AS ver, c_acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey, 2 AS ver,
+             c_acctbal + CASE WHEN c_custkey % 13 = 0 THEN 10.50 ELSE 0 END
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 3 AS ver,
+             c_acctbal + CASE WHEN c_custkey % 13 = 0 THEN 10.50 ELSE 0 END
+                       + CASE WHEN c_custkey % 7 = 0 THEN 25.25 ELSE 0 END
+      FROM customer
+    ),
+    chg AS (
+      SELECT * FROM (
+        SELECT c_custkey, ver, c_acctbal,
+               LAG(c_acctbal) OVER (PARTITION BY c_custkey ORDER BY ver) AS prev
+        FROM snaps
+      ) WHERE prev IS NULL OR c_acctbal <> prev
+    ),
+    hist AS (
+      SELECT c_custkey, ver AS eff_from,
+             LEAD(ver) OVER (PARTITION BY c_custkey ORDER BY ver) AS eff_to,
+             c_acctbal,
+             COUNT(*) OVER (PARTITION BY c_custkey) AS n_vers
+      FROM chg
+    )
+    SELECT c_custkey, eff_from,
+           COALESCE(eff_to, 99) AS eff_to,
+           c_acctbal,
+           CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM hist WHERE n_vers > 1
+    ORDER BY c_custkey, eff_from
+"""
+
+
+@plan("scd2_customer_history", _SCD2_ORACLE)
+def scd2_customer_history(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bump13 = F.when(F.col("c_custkey") % 13 == 0, 10.50).otherwise(0.0)
+    bump7 = F.when(F.col("c_custkey") % 7 == 0, 25.25).otherwise(0.0)
+    snaps = (
+        c.select("c_custkey", F.lit(1).alias("ver"), "c_acctbal")
+        .unionByName(
+            c.select(
+                "c_custkey",
+                F.lit(2).alias("ver"),
+                (F.col("c_acctbal") + bump13).alias("c_acctbal"),
+            )
+        )
+        .unionByName(
+            c.select(
+                "c_custkey",
+                F.lit(3).alias("ver"),
+                (F.col("c_acctbal") + bump13 + bump7).alias("c_acctbal"),
+            )
+        )
+    )
+    wv = Window.partitionBy("c_custkey").orderBy("ver")
+    chg = snaps.withColumn("prev", F.lag("c_acctbal").over(wv)).filter(
+        F.col("prev").isNull() | (F.col("c_acctbal") != F.col("prev"))
+    )
+    hist = chg.select(
+        "c_custkey",
+        F.col("ver").alias("eff_from"),
+        F.lead("ver").over(wv).alias("eff_to"),
+        "c_acctbal",
+        F.count(F.lit(1)).over(Window.partitionBy("c_custkey")).alias("n_vers"),
+    )
+    return (
+        hist.filter(F.col("n_vers") > 1)
+        .select(
+            "c_custkey",
+            "eff_from",
+            F.coalesce("eff_to", F.lit(99)).alias("eff_to"),
+            "c_acctbal",
+            F.when(F.col("eff_to").isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("c_custkey", "eff_from")
+    )

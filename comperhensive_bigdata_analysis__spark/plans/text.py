@@ -651,3 +651,86 @@ def lexical_diversity_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document n-gram repetition profile — the Gopher repetition
+# family beyond the single max-token rule (Rae et al. 2021 §A1.1 flags
+# docs whose duplicated n-grams exceed a fraction of the text; C4 and
+# RefinedWeb apply the same class of filter). Here: word 3-grams per
+# document, total vs distinct occurrences, flagged when duplicated
+# shingles exceed 20% — as an INTEGER cross-multiplication
+# (5*dup > n_sh), so the rule is exact in both engines.
+# 100 TB: one (doc, shingle) shuffle with map-side combine, then doc-
+# and source-level rollups — same linear shape as gopher_quality_flags.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(t[i:i+2], ' ')
+                     for i in generate_series(1, greatest(len(t)-2, 1))]) AS s
+      FROM toks
+    ),
+    sc AS (
+      SELECT doc_id, source, s, COUNT(*) AS c
+      FROM sh GROUP BY doc_id, source, s
+    ),
+    doc AS (
+      SELECT doc_id, source, SUM(c) AS n_sh, COUNT(*) AS n_distinct
+      FROM sc GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN 5 * (n_sh - n_distinct) > n_sh THEN 1 ELSE 0 END)
+             AS n_flagged,
+           SUM(n_sh) AS sum_shingles,
+           SUM(n_sh - n_distinct) AS sum_dup
+    FROM doc GROUP BY source ORDER BY source
+"""
+
+
+@plan("doc_ngram_repetition", _REPETITION_ORACLE)
+def doc_ngram_repetition(spark, sf_dir):
+    """Duplicated word-3-gram profile per source (Gopher-style
+    repetition filter; threshold 20% duplicated shingles).
+
+    The token array is materialized in its own projection before the
+    shingle transform (HOF lambdas are interpreted with no CSE — see
+    operators/dedup.py:_shingle_rows for the measured 4x penalty).
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    with_toks = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "source", tokens(F.col("text")).alias("__toks")
+    )
+    t = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+    )
+    sc = (
+        with_toks.select("doc_id", "source", F.explode(grams).alias("s"))
+        .groupBy("doc_id", "source", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    doc = sc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_sh"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    dup = F.col("n_sh") - F.col("n_distinct")
+    return (
+        doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((dup * 5 > F.col("n_sh")).cast("bigint")).alias("n_flagged"),
+            F.sum("n_sh").alias("sum_shingles"),
+            F.sum(dup).alias("sum_dup"),
+        )
+        .orderBy("source")
+    )

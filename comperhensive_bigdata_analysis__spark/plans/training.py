@@ -1090,3 +1090,157 @@ def source_temperature_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model surprisal per document — the CCNet/KenLM-style
+# quality signal (Wenzek et al. 2020): score each document by its mean
+# per-token negative log-probability under a unigram LM trained on the
+# corpus itself. Low surprisal = stereotyped/boilerplate text; high =
+# rare-token soup. Two passes over the token relation: (1) the corpus
+# model (term -> count, plus the scalar total), (2) per-doc scoring
+# through a broadcast join against the model.
+# Float discipline: p = cnt/N is an int/int double division (identical
+# in both engines); each tf * -ln(p) product is truncated to
+# DECIMAL(28,12) before the order-insensitive sum; the final mean is a
+# double division by the exact token count, floor-rounded to 1e-6.
+# 100 TB: the model is |vocab| rows — broadcastable for real corpora
+# (merged-shard vocab ~millions of rows); the scoring join shuffles
+# (doc, term) once with map-side combine. Linear.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    model AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+    n AS (SELECT SUM(cnt) AS n FROM model)
+    SELECT tf.doc_id,
+           SUM(tf.tf) AS n_tokens,
+           FLOOR(CAST(SUM(CAST(tf.tf * -ln(model.cnt / n.n)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(tf.tf) * 1e6) / 1e6 AS avg_surprisal
+    FROM tf JOIN model USING (term) CROSS JOIN n
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+"""
+
+
+@plan("unigram_lm_surprisal", _SURPRISAL_ORACLE)
+def unigram_lm_surprisal(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    n = model.agg(F.sum("cnt").alias("n"))
+    contrib = (F.col("tf") * -F.log(F.col("cnt") / F.col("n"))).cast(
+        "decimal(28,12)"
+    )
+    return (
+        tf.join(F.broadcast(model), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(contrib).cast("double") / F.sum("tf") * 1e6
+                )
+                / 1e6
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson-Sparck Jones; k1=1.2, b=0.75) for a
+# fixed query-term set — the lexical half of a hybrid retrieval stack
+# (rrf_rank_fusion is the combiner). Everything derives from three tiny
+# broadcast relations (per-term df, per-doc length, corpus scalars), so
+# the only full-size shuffle is the (doc, term) combine.
+# Float discipline: idf and the length normalization are double
+# expressions over exact integer inputs evaluated in the same literal
+# order in both engines; the per-term scores are DECIMAL-truncated
+# before the cross-term sum, floor-rounded to 1e-6.
+# 100 TB: df/doclen/scalars are metadata-sized; scoring is one linear
+# pass + TakeOrdered(20) — never a global sort.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "vector", "stream")
+
+_BM25_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ('spark', 'vector', 'stream')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           FLOOR(CAST(SUM(CAST(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (stats.sum_dl / stats.n_docs)))))
+               AS DECIMAL(28,12))) AS DOUBLE) * 1e6) / 1e6 AS bm25
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@plan("bm25_top_docs", _BM25_ORACLE)
+def bm25_top_docs(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score_t = idf * (
+        (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    F.sum(score_t.cast("decimal(28,12)")).cast("double") * 1e6
+                )
+                / 1e6
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
