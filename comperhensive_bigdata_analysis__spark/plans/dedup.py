@@ -353,3 +353,155 @@ def incremental_dedup_census(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe — the mergeable-sketch half of
+# cross-corpus dedup at 100 TB: build a bit-set sketch of the "seen"
+# corpus (here: even doc_ids), broadcast it, and probe the candidate
+# corpus (odd doc_ids) without ever joining the corpora row-to-row.
+# The filter is 64 slots x 63 bits (4032 bits, 7 md5-derived hash
+# functions; ~16 bits/key at the demo corpus size, fp ~0.2%) aggregated with bit_or — the same associative/commutative
+# merge a 1000-executor build would do per partition before the final
+# 16-row reduce; the probe side is a broadcast join against those 64
+# rows. The exact answer (semi-join on content digest) runs beside it,
+# so the output prices the false-positive rate honestly.
+# Bit positions are md5 arithmetic on the content digest — DuckDB
+# replays them exactly; no floats anywhere.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEEDS = 7
+_BLOOM_SLOTS = 64
+_BLOOM_SLOT_BITS = 63  # avoid the sign bit: 16*63 = 1008 bits
+_BLOOM_M = _BLOOM_SLOTS * _BLOOM_SLOT_BITS
+
+_BLOOM_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+    ),
+    seeds AS (SELECT unnest(generate_series(0, {_BLOOM_SEEDS - 1})) AS s),
+    seen_pos AS (
+      SELECT CAST('0x' || substr(md5('bf' || CAST(s AS VARCHAR) || ':' || digest), 1, 8)
+                  AS BIGINT) % {_BLOOM_M} AS bitpos
+      FROM base CROSS JOIN seeds WHERE doc_id % 2 = 0
+    ),
+    filt AS (
+      SELECT bitpos // {_BLOOM_SLOT_BITS} AS slot,
+             BIT_OR(CAST(1 AS BIGINT) << (bitpos % {_BLOOM_SLOT_BITS})) AS bits
+      FROM seen_pos GROUP BY bitpos // {_BLOOM_SLOT_BITS}
+    ),
+    seen_digests AS (
+      SELECT DISTINCT digest FROM base WHERE doc_id % 2 = 0
+    ),
+    cand_pos AS (
+      SELECT doc_id, digest,
+             CAST('0x' || substr(md5('bf' || CAST(s AS VARCHAR) || ':' || digest), 1, 8)
+                  AS BIGINT) % {_BLOOM_M} AS bitpos
+      FROM base CROSS JOIN seeds WHERE doc_id % 2 = 1
+    ),
+    probe AS (
+      SELECT p.doc_id, p.digest,
+             SUM(CASE WHEN (COALESCE(f.bits, 0)
+                            & (CAST(1 AS BIGINT) << (p.bitpos % {_BLOOM_SLOT_BITS})))
+                           <> 0
+                      THEN 1 ELSE 0 END) AS n_hits
+      FROM cand_pos p
+      LEFT JOIN filt f ON p.bitpos // {_BLOOM_SLOT_BITS} = f.slot
+      GROUP BY p.doc_id, p.digest
+    ),
+    flagged AS (
+      SELECT probe.doc_id,
+             CASE WHEN n_hits = {_BLOOM_SEEDS} THEN 1 ELSE 0 END AS member,
+             CASE WHEN sd.digest IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+      FROM probe LEFT JOIN seen_digests sd USING (digest)
+    )
+    SELECT COUNT(*) AS n_candidates,
+           SUM(member) AS n_bloom_member,
+           SUM(exact_dup) AS n_exact_dup,
+           SUM(CASE WHEN member = 1 AND exact_dup = 0 THEN 1 ELSE 0 END)
+             AS n_false_pos
+    FROM flagged
+"""
+
+
+@plan("bloom_filter_probe", _BLOOM_ORACLE)
+def bloom_filter_probe(spark, sf_dir):
+    """Bloom-sketch cross-corpus membership with exact side-by-side.
+
+    100 TB: the filter build is one explode (7 rows/doc) + a 16-group
+    bit_or reduce — map-side combined, output is 64 longs regardless of
+    corpus size (size the real filter m ~ -n*ln(fp)/ln(2)^2 and shard
+    the slot space as n grows). The probe never shuffles the candidate
+    corpus: both the filter and the seen-digest set it is scored
+    against join broadcast-side. bench/dedup pipelines use this shape
+    to skip re-deduping documents already ingested in earlier runs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("digest"))
+    seeds = F.array(*[F.lit(s) for s in range(_BLOOM_SEEDS)])
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.lit("bf"),
+                        F.col("s").cast("string"),
+                        F.lit(":"),
+                        F.col("digest"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+    seen = base.filter(F.col("doc_id") % 2 == 0)
+    cand = base.filter(F.col("doc_id") % 2 == 1)
+
+    # F.shiftleft only takes a literal shift; the SQL function accepts a
+    # column expression.
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bitpos % {_BLOOM_SLOT_BITS} AS INT))")
+    slot = F.floor(F.col("bitpos") / _BLOOM_SLOT_BITS).cast("long")
+
+    filt = (
+        seen.select(F.explode(seeds).alias("s"), "digest")
+        .select(hv.alias("bitpos"))
+        .select(slot.alias("slot"), mask.alias("mask"))
+        .groupBy("slot")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    seen_digests = seen.select("digest").distinct().withColumn("seen", F.lit(1))
+
+    probe = (
+        cand.select("doc_id", "digest", F.explode(seeds).alias("s"))
+        .select("doc_id", "digest", hv.alias("bitpos"))
+        .join(F.broadcast(filt), slot == F.col("slot"), "left")
+        .select(
+            "doc_id",
+            "digest",
+            (
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(mask) != 0).cast(
+                    "int"
+                )
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "digest")
+        .agg(F.sum("hit").alias("n_hits"))
+    )
+    flagged = probe.join(F.broadcast(seen_digests), "digest", "left").select(
+        "doc_id",
+        (F.col("n_hits") == _BLOOM_SEEDS).cast("int").alias("member"),
+        F.coalesce(F.col("seen"), F.lit(0)).alias("exact_dup"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("member").alias("n_bloom_member"),
+        F.sum("exact_dup").alias("n_exact_dup"),
+        F.sum(((F.col("member") == 1) & (F.col("exact_dup") == 0)).cast("int")).alias(
+            "n_false_pos"
+        ),
+    )
