@@ -505,3 +505,88 @@ def bloom_filter_probe(spark, sf_dir):
             "n_false_pos"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration — estimated vs exact Jaccard for every LSH
+# candidate pair, the honesty check a production dedup pipeline runs on
+# a sample before trusting the estimator at full scale (the estimator's
+# stddev is sqrt(j(1-j)/k); at k=8 that is ~0.17, and this plan shows
+# it). est_jaccard is matches/k (an exact k-multiple), exact_jaccard is
+# the integer-ratio division both engines compute identically — no
+# rounding device needed anywhere.
+# 100 TB: the candidate set is the LSH join (linear); the exact rescore
+# touches only candidate pairs, and calibration runs on a sampled
+# corpus slice, never the full corpus.
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    r = k // bands
+    mins = ",\n             ".join(
+        f"MIN(CAST('0x' || substr(md5('mh{i}:' || s), 1, 15) AS BIGINT)) AS mh_{i}"
+        for i in range(k)
+    )
+    band_eq = "\n       OR ".join(
+        "("
+        + " AND ".join(f"a.mh_{b * r + j} = b.mh_{b * r + j}" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in generate_series(1, greatest(len(t)-2, 1))])) AS s
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ({matches}) / {float(k)} AS est_jaccard
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE ({band_eq})
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT cand.id_a AS id_a, cand.id_b AS id_b, cand.est_jaccard,
+           COALESCE(i / (x.n + y.n - i), 0.0) AS exact_jaccard
+    FROM cand
+    LEFT JOIN inter ON cand.id_a = inter.id_a AND cand.id_b = inter.id_b
+    LEFT JOIN sz x ON cand.id_a = x.doc_id
+    LEFT JOIN sz y ON cand.id_b = y.doc_id
+    ORDER BY cand.id_a, cand.id_b
+    """
+
+
+@plan("minhash_calibration", _calibration_oracle())
+def minhash_calibration(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, "doc_id", "text", n=3, min_est=0.0)
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.0).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    return (
+        cand.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )

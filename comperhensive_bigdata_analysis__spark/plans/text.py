@@ -734,3 +734,123 @@ def doc_ngram_repetition(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus report card — the per-source dataset-card profile an LLM data
+# pipeline publishes with every release (HF dataset cards, Dolma/Pile
+# papers): volume, vocabulary, exact-duplicate load, and quality-rule
+# pass rate, one row per source. A composition of the engine's own
+# signals (exact_dedup + gopher rules + token stats) into one plan, so
+# Catalyst can share the token relation across the aggregate legs.
+# 100 TB: three linear aggregate families (token combine, digest
+# groups, per-doc rules) joined on the |sources|-row key — every join
+# side after aggregation is metadata-sized.
+# ---------------------------------------------------------------------------
+
+_REPORT_CARD_ORACLE = r"""
+    WITH tc AS (
+      SELECT doc_id, source, term, COUNT(*) AS cnt FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY doc_id, source, term
+    ),
+    doc AS (
+      SELECT doc_id, source, SUM(cnt) AS n_tokens,
+             SUM(cnt * length(term)) AS sum_len, MAX(cnt) AS max_cnt
+      FROM tc GROUP BY doc_id, source
+    ),
+    src_tok AS (
+      SELECT source, SUM(n_tokens) AS n_tokens,
+             SUM(CASE WHEN n_tokens >= 15 AND max_cnt * 5 <= n_tokens
+                       AND sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
+                      THEN 1 ELSE 0 END) AS n_quality_pass
+      FROM doc GROUP BY source
+    ),
+    src_vocab AS (
+      SELECT source, COUNT(DISTINCT term) AS n_types FROM tc GROUP BY source
+    ),
+    dup AS (
+      SELECT source, COUNT(*) AS n_dup_docs FROM (
+        SELECT source, md5(text) AS sig,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents
+      ) WHERE n_copies > 1 GROUP BY source
+    ),
+    base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT base.source, base.n_docs,
+           src_tok.n_tokens, src_vocab.n_types,
+           COALESCE(dup.n_dup_docs, 0) AS n_dup_docs,
+           src_tok.n_quality_pass,
+           FLOOR(CAST(src_vocab.n_types AS DOUBLE)
+                 / src_tok.n_tokens * 1e6) / 1e6 AS ttr
+    FROM base
+    JOIN src_tok USING (source)
+    JOIN src_vocab USING (source)
+    LEFT JOIN dup USING (source)
+    ORDER BY source
+"""
+
+
+@plan("corpus_report_card", _REPORT_CARD_ORACLE)
+def corpus_report_card(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    doc = tc.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("term")).alias("sum_len"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    nt, sl, mc = F.col("n_tokens"), F.col("sum_len"), F.col("max_cnt")
+    quality_pass = (
+        (nt >= 15) & (mc * 5 <= nt) & (sl >= 3 * nt) & (sl <= 10 * nt)
+    )
+    src_tok = doc.groupBy("source").agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(quality_pass.cast("bigint")).alias("n_quality_pass"),
+    )
+    src_vocab = tc.groupBy("source").agg(
+        F.count_distinct("term").alias("n_types")
+    )
+    from pyspark.sql.window import Window
+
+    dup = (
+        d.select(
+            "source",
+            F.count(F.lit(1))
+            .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
+            .alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    base = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(src_tok, "source")
+        .join(src_vocab, "source")
+        .join(dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            "n_quality_pass",
+            (
+                F.floor(
+                    F.col("n_types").cast("double") / F.col("n_tokens") * 1e6
+                )
+                / 1e6
+            ).alias("ttr"),
+        )
+        .orderBy("source")
+    )
