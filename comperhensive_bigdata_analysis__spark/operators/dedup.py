@@ -223,15 +223,30 @@ def minhash_lsh_pairs(
     """
     r = k // bands
 
+    # Pack the k signature components into ONE array column immediately
+    # after the aggregation: every downstream expression (band buckets,
+    # match counting) then stays k-independent. The previous k-wide
+    # formulation (k CASE terms in the rescore, k columns through two
+    # joins) made Catalyst analysis itself the dominant cost at K=64
+    # (~2s per call measured at sf0.1 — compare 0.8s execution); the
+    # array form plans in milliseconds and is the same physical work.
     def band_bucket(b: int):
-        parts = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band = F.slice(F.col("sig"), b * r + 1, r)
         if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *parts).cast("binary"))
-        return F.xxhash64(*parts)
+            return F.md5(
+                F.array_join(
+                    F.transform(band, lambda x: x.cast("string")), "|"
+                ).cast("binary")
+            )
+        return F.xxhash64(band)
 
     # The signature relation feeds three consumers (banding + both sides
     # of the match-count join); persist so the shingle explode runs once.
-    sig = minhash_signatures(df, id_col, text_col, n, k, hash_fn).persist()
+    sig = (
+        minhash_signatures(df, id_col, text_col, n, k, hash_fn)
+        .select("doc", F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig"))
+        .persist()
+    )
     band_rows = sig.select(
         "doc",
         F.explode(
@@ -254,10 +269,13 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)])
-    sb = sig.select(F.col("doc").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)])
-    matches = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(k)
+    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda m: m,
+        )
     )
     return (
         cand.join(sa, "id_a")
