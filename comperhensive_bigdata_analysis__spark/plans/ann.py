@@ -516,3 +516,104 @@ def random_projection_knn(spark, sf_dir):
         .orderBy("dist_sq", "vec_id")
         .limit(KNN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC kNN — the memory-bounded ANN path that
+# completes the suite (LSH = hashing, IVF = partitioning, JL = narrower
+# floats, PQ = 8-bit codes): split the 64-dim space into PQ_M=4
+# subspaces of 16 dims, quantize each subvector to its nearest of
+# PQ_CENTROIDS=16 codewords (demo codebook = the first 16 vectors'
+# subvectors, the same device ivf_knn uses; k-means per subspace at
+# scale), and score queries with Asymmetric Distance Computation: a
+# 4x16 lookup table of query-to-codeword distances, summed by code.
+# A 64-float vector becomes 4 nibbles — 64x less state to scan, which
+# at 100 TB is the difference between RAM-resident and disk-bound.
+# Float discipline: all distances are DECIMAL(28,12)-truncated squared
+# diffs summed exactly; argmin code assignment breaks ties (dist, c)
+# lexicographically in both engines — no doubles until the final cast.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_SUB = DIM // PQ_M
+PQ_CENTROIDS = 16
+
+_PQ_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    sub AS (SELECT vec_id, (pos - 1) // {PQ_SUB} AS m, pos, x FROM v),
+    cent AS (
+      SELECT vec_id AS c, pos, x AS cx FROM v WHERE vec_id < {PQ_CENTROIDS}
+    ),
+    dist AS (
+      SELECT s.vec_id, s.m, cent.c,
+             SUM(CAST((s.x - cent.cx) * (s.x - cent.cx) AS DECIMAL(28,12))) AS d
+      FROM sub s JOIN cent USING (pos)
+      GROUP BY s.vec_id, s.m, cent.c
+    ),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    lut AS (SELECT m, c, d FROM dist WHERE vec_id = 0),
+    adc AS (
+      SELECT codes.vec_id, SUM(lut.d) AS dd
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+      WHERE codes.vec_id <> 0
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, ROUND(CAST(dd AS DOUBLE), 6) AS adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT {KNN_K}
+"""
+
+
+@plan("pq_adc_knn", _PQ_ORACLE)
+def pq_adc_knn(spark, sf_dir):
+    """Top-10 ADC neighbors of vec_id=0 under the 4x16 demo codebook.
+
+    One broadcast join against the 1024-row codeword relation, one
+    (vec_id, m, c) distance combine, a bounded per-(vec_id, m) argmin
+    window (16 rows each), then a broadcast LUT join + per-vector sum.
+    Nothing quadratic; the scan side at scale reads CODES (nibbles),
+    not floats.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _exploded(e)  # 0-based pos
+    sub = v.select(
+        "vec_id", F.floor(F.col("pos") / PQ_SUB).alias("m"), "pos", "x"
+    )
+    cent = v.filter(F.col("vec_id") < PQ_CENTROIDS).select(
+        F.col("vec_id").alias("c"), "pos", F.col("x").alias("cx")
+    )
+    diff = F.col("x") - F.col("cx")
+    dist = (
+        sub.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "m", "c")
+        .agg(F.sum((diff * diff).cast(PDEC)).alias("d"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d", "c")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("c").alias("code"))
+    )
+    lut = dist.filter(F.col("vec_id") == 0).select(
+        F.col("m").alias("lm"), F.col("c").alias("lc"), F.col("d").alias("ld")
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lc")),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("ld").cast("double"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(KNN_K)
+    )

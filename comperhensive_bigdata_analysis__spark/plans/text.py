@@ -854,3 +854,106 @@ def corpus_report_card(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic quality scoring — the learned-filter half of a pretraining
+# quality pipeline (fastText/CCNet-style classifiers): a fixed-weight
+# logistic model over per-document lexical features (log length, mean
+# word length, stopword ratio, repetition ratio), scored in-engine and
+# rolled up per source. The weights here are demo literals; a real
+# pipeline broadcasts trained weights — the SHAPE (feature combine +
+# map-side sigmoid + source rollup) is what runs at 100 TB.
+# Float discipline: features are exact-int ratios (identical doubles in
+# both engines), ln/exp are evaluated on identical inputs, per-doc
+# scores are DECIMAL-truncated before the order-insensitive source sum,
+# and the pass count uses the sign of the logit (z > 0 <=> score > .5)
+# so the rule is float-division-free.
+# ---------------------------------------------------------------------------
+
+_LOGIT_ORACLE = r"""
+    WITH tc AS (
+      SELECT doc_id, source, term, COUNT(*) AS cnt FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY doc_id, source, term
+    ),
+    doc AS (
+      SELECT doc_id, source,
+             SUM(cnt) AS n_tokens,
+             SUM(cnt * length(term)) AS sum_len,
+             MAX(cnt) AS max_cnt,
+             SUM(CASE WHEN term IN ({stopwords}) THEN cnt ELSE 0 END) AS n_stop
+      FROM tc GROUP BY doc_id, source
+    ),
+    scored AS (
+      SELECT source,
+             -2.0 + 0.5 * ln(n_tokens)
+                  + 0.3 * (sum_len / n_tokens)
+                  - 4.0 * (n_stop / n_tokens)
+                  - 2.0 * (max_cnt / n_tokens) AS z
+      FROM doc
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS n_pass,
+           FLOOR(CAST(SUM(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS avg_score
+    FROM scored GROUP BY source ORDER BY source
+"""
+
+
+def _logit_oracle() -> str:
+    from ..functions.text import STOPWORDS_EN
+
+    return _LOGIT_ORACLE.format(
+        stopwords=", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    )
+
+
+@plan("quality_logit_scores", _logit_oracle())
+def quality_logit_scores(spark, sf_dir):
+    from ..functions.text import STOPWORDS_EN, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    doc = tc.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("term")).alias("sum_len"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(
+            F.when(F.col("term").isin(*STOPWORDS_EN), F.col("cnt")).otherwise(0)
+        ).alias("n_stop"),
+    )
+    nt = F.col("n_tokens")
+    z = (
+        F.lit(-2.0)
+        + 0.5 * F.log(nt)
+        + 0.3 * (F.col("sum_len") / nt)
+        - 4.0 * (F.col("n_stop") / nt)
+        - 2.0 * (F.col("max_cnt") / nt)
+    )
+    scored = doc.select("source", z.alias("z"))
+    score = 1.0 / (1.0 + F.exp(-F.col("z")))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("z") > 0).cast("bigint")).alias("n_pass"),
+            (
+                F.floor(
+                    F.sum(score.cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("avg_score"),
+        )
+        .orderBy("source")
+    )

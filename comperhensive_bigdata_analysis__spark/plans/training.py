@@ -1244,3 +1244,64 @@ def bm25_top_docs(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting — the inner step of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016) as a distributed pass:
+# count adjacent symbol pairs across the corpus, weighted by word
+# frequency. Production BPE iterates (count -> merge best pair ->
+# recount); this plan is the count step at character level, which is
+# where all the data-scale work lives — the merge itself touches only
+# the |vocab|-sized model. Two hash aggregates: (term, tf) then
+# (pair, sum tf); the pair explode runs over the VOCABULARY (distinct
+# terms), not the corpus, so corpus growth only affects the first agg.
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_ORACLE = r"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS tf FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY term
+    ),
+    pairs AS (
+      SELECT unnest([term[i:i+1] for i in generate_series(1, length(term) - 1)]) AS pair,
+             tf
+      FROM tf WHERE length(term) > 1
+    )
+    SELECT pair, SUM(tf) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+@plan("bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def bpe_pair_counts(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pair = F.col("term").substr(F.col("i"), F.lit(2))
+    pairs = (
+        tf.filter(F.length("term") > 1)
+        .select(
+            "term",
+            "tf",
+            F.explode(
+                F.sequence(F.lit(1), F.length("term") - 1)
+            ).alias("i"),
+        )
+        .select(pair.alias("pair"), "tf")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("tf").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
