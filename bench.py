@@ -110,7 +110,30 @@ HEADLINE = {
     "q13_ivf_knn": _ivf_fast,
     "q14_corpus_pipeline": plans.QUERIES["corpus_clean_pipeline"],
     "q15_minhash_k64": _minhash_k64,
+    # r3 additive entries (per-query continuity: q1-q15 unchanged):
+    "q16_pq_adc_knn": None,  # bound below (numpy production tier)
+    "q17_unigram_surprisal": plans.QUERIES["unigram_lm_surprisal"],
 }
+
+
+def _pq_fast(spark, sf_dir):
+    from comperhensive_bigdata_analysis__spark.operators.similarity import (
+        pq_adc_knn_np,
+    )
+    from comperhensive_bigdata_analysis__spark.plans.ann import PQ_CENTROIDS, PQ_M
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < PQ_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    qv = list(e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"])
+    return pq_adc_knn_np(e, cents, qv, n_sub=PQ_M, k=10, exclude_id=0)
+
+
+HEADLINE["q16_pq_adc_knn"] = _pq_fast
 
 #: Large-scale tier (VERDICT r2 ask #8): the 3 slowest headliners re-run
 #: on an 8x key-disjoint inflation of the sf dir, reported as

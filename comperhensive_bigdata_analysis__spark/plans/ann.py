@@ -617,3 +617,35 @@ def pq_adc_knn(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(KNN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall@k evaluation — the acceptance gate an ANN deployment runs
+# before trusting the index: |IVF top-k ∩ brute-force top-k| / k. Both
+# legs are this module's own oracle-checked plans composed into one
+# query, so the number is end-to-end honest (not a self-reported proxy).
+# 100 TB: the brute-force leg runs on a SAMPLED query set (here the
+# single demo query); the IVF leg is the production path. Both legs
+# end in k-row relations, so the comparison join is metadata-sized.
+# ---------------------------------------------------------------------------
+
+from .vector import _KNN_ORACLE as _KNN_BF_SQL  # noqa: E402
+
+_IVF_RECALL_ORACLE = f"""
+    SELECT COUNT(*) AS n_hits,
+           COUNT(*) / {float(KNN_K)} AS recall_at_k
+    FROM ({_IVF_ORACLE}) ivf
+    JOIN ({_KNN_BF_SQL}) bf USING (vec_id)
+"""
+
+
+@plan("ivf_recall_eval", _IVF_RECALL_ORACLE)
+def ivf_recall_eval(spark, sf_dir):
+    from .vector import knn_bruteforce
+
+    ivf = ivf_knn(spark, sf_dir).select("vec_id")
+    bf = knn_bruteforce(spark, sf_dir).select("vec_id")
+    return ivf.join(bf, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)) / float(KNN_K)).alias("recall_at_k"),
+    )

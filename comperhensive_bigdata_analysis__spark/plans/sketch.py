@@ -222,3 +222,121 @@ def bitmap_distinct_users(spark, sf_dir):
         .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters — the mergeable frequency sketch beside the
+# bloom filter (membership) and HLL (cardinality): a 4x256 counter
+# matrix where each of 4 md5-derived hash rows buckets every token
+# occurrence; a term's estimate is the MIN over its 4 row counters —
+# always >= the true count, overshooting only on bucket collisions.
+# Built with ONE (row, col) groupBy whose output is 1024 counters
+# regardless of corpus size (the per-partition partial matrices merge
+# by addition — exactly what a 1000-executor build does map-side), then
+# probed for the exact top-20 terms so the estimate-vs-exact
+# overcount is visible and oracle-checked. All integers + md5 — fully
+# deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+_CM_ROWS = 4
+_CM_COLS = 256
+
+_COUNTMIN_ORACLE = rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    exact AS (
+      SELECT term, COUNT(*) AS n_exact FROM tok GROUP BY term
+      ORDER BY n_exact DESC, term LIMIT 20
+    ),
+    rows_ AS (SELECT unnest(generate_series(0, {_CM_ROWS - 1})) AS r),
+    cells AS (
+      SELECT r,
+             CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || term), 1, 8)
+                  AS BIGINT) % {_CM_COLS} AS col,
+             COUNT(*) AS cnt
+      FROM tok CROSS JOIN rows_
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT exact.term, exact.n_exact, MIN(cells.cnt) AS n_est
+      FROM exact
+      CROSS JOIN rows_
+      JOIN cells
+        ON cells.r = rows_.r
+       AND cells.col = CAST('0x' || substr(md5('cm' || CAST(rows_.r AS VARCHAR)
+                                               || ':' || exact.term), 1, 8) AS BIGINT)
+                       % {_CM_COLS}
+      GROUP BY exact.term, exact.n_exact
+    )
+    SELECT term, n_exact, n_est, n_est - n_exact AS overcount
+    FROM probe ORDER BY n_exact DESC, term
+"""
+
+
+@plan("countmin_heavy_hitters", _COUNTMIN_ORACLE)
+def countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min estimates vs exact counts for the top-20 terms.
+
+    100 TB: the sketch build shuffles at most ROWS*COLS counters no
+    matter the corpus (uniform md5 shuffle keys, map-side combined);
+    the probe is a broadcast join of the 20-term target list against
+    the 1024-row sketch. The exact leg here exists to price the
+    overcount; a production pipeline keeps only the sketch.
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    exact = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "term")
+        .limit(20)
+    )
+    rows_ = F.array(*[F.lit(r) for r in range(_CM_ROWS)])
+
+    def cm_col(term_col, r_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "",
+                            F.lit("cm"),
+                            r_col.cast("string"),
+                            F.lit(":"),
+                            term_col,
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_COLS
+        )
+
+    cells = (
+        tok.select("term", F.explode(rows_).alias("r"))
+        .select("r", cm_col(F.col("term"), F.col("r")).alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = (
+        exact.select("term", "n_exact", F.explode(rows_).alias("r"))
+        .withColumn("col", cm_col(F.col("term"), F.col("r")))
+        .join(cells, ["r", "col"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    return probe.select(
+        "term",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+    ).orderBy(F.desc("n_exact"), "term")

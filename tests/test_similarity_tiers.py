@@ -52,3 +52,26 @@ def test_numpy_pairs_match_oracle_plan(spark, sf_dir):
         (r["id_a"], r["id_b"]) for r in cosine_pairs_above_np(e, threshold=0.35).collect()
     }
     assert exact == fast
+
+
+def test_pq_adc_numpy_matches_oracle_plan(spark, sf_dir):
+    """The numpy PQ tier (benched) must reproduce the declarative
+    DECIMAL-exact plan tier: same top-10 ids, distances within 1e-6
+    (the plan tier rounds to 1e-6)."""
+    from comperhensive_bigdata_analysis__spark import plans
+    from comperhensive_bigdata_analysis__spark.operators.similarity import (
+        pq_adc_knn_np,
+    )
+    from comperhensive_bigdata_analysis__spark.plans.ann import PQ_CENTROIDS, PQ_M
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < PQ_CENTROIDS).orderBy("vec_id").collect()
+    ]
+    qv = list(e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"])
+    np_rows = pq_adc_knn_np(e, cents, qv, n_sub=PQ_M, k=10, exclude_id=0).collect()
+    plan_rows = plans.QUERIES["pq_adc_knn"](spark, sf_dir).collect()
+    assert [r["vec_id"] for r in np_rows] == [r["vec_id"] for r in plan_rows]
+    for a, b in zip(np_rows, plan_rows):
+        assert abs(a["adc_dist"] - b["adc_dist"]) < 1e-5, (a, b)
