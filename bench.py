@@ -141,7 +141,16 @@ HEADLINE["q16_pq_adc_knn"] = _pq_fast
 #: same plans run long enough that round-over-round ratios measure
 #: compute, not JVM constant costs.
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "8"))
-SCALE_TIER = ("q15_minhash_k64", "q2_revenue_by_nation", "q3_filter_project")
+#: Aggregate-output queries only: the tier isolates distributed COMPUTE
+#: scaling. q3 (150k-row projection) is excluded because at 8x its
+#: timing is dominated by driver-side row collection (~1.2M rows
+#: pickled), which measures the harness, not the plan. Note also the
+#: 1x testdata parquet is one file + ONE row group per table, so 1x
+#: scan stages run single-task; the 8x corpus is Spark-written
+#: (multi-file) — part of why @8x entries can run FASTER than naive
+#: 8x extrapolation. The @8x rows are the round-over-round compute
+#: signal; the 1x rows keep continuity with BENCH_r01/r02.
+SCALE_TIER = ("q15_minhash_k64", "q2_revenue_by_nation", "q1_pricing_summary")
 
 
 def _scale_dir(spark, sf_dir: str) -> str:

@@ -339,3 +339,166 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-backed streaming dedup — cross-batch, BEYOND the watermark
+# horizon. streaming_dedup above holds exact seen-id state only inside
+# the watermark window; this operator remembers every content digest
+# ever admitted, at constant state size, by maintaining the same
+# md5-derived bloom bit-set plans/dedup.py:bloom_filter_probe builds
+# (dedup may drop a false-positive row at the filter's documented FP
+# rate — the standard trade for unbounded-horizon dedup at 100 TB).
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEEDS = 7
+_BLOOM_SLOTS = 64
+_BLOOM_SLOT_BITS = 63
+_BLOOM_M = _BLOOM_SLOTS * _BLOOM_SLOT_BITS
+
+
+def streaming_bloom_dedup(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    filter_dir: str,
+    dedup_cols: list[str] | None = None,
+    slots: int = _BLOOM_SLOTS,
+):
+    """Admit only first-seen content rows across the whole stream life.
+
+    Per micro-batch (foreachBatch):
+      1. digest = md5 over ``dedup_cols``; batch-internal dups collapse
+         first (keep-any within the batch, deterministic via digest).
+      2. probe the persisted filter (<= 64 rows of OR'd bit slots,
+         broadcast) — rows whose 7 positions are all set are dropped as
+         probable-seen.
+      3. survivors land in ``out_dir/batch_id=N`` via per-directory
+         overwrite — replays REWRITE the same directory, and a batch
+         directory that already has its _SUCCESS marker is not
+         recomputed (the earlier attempt's output is authoritative), so
+         a replay after the filter already absorbed this batch's bits
+         cannot retro-drop rows.
+      4. survivors' bits OR into the filter (collect <= 64 longs to the
+         driver — bounded regardless of stream volume) and the filter
+         table is rewritten. OR is idempotent, so replayed updates
+         converge.
+
+    Scale: filter size is fixed — size it for the expected key
+    cardinality (``slots``: m = slots*63 bits; for fp rate p and n keys
+    the classic m = -n*ln(p)/ln(2)^2, e.g. n=1e9, p=1e-3 -> ~1.8 GB,
+    still a broadcastable table; shard the slot space beyond that).
+    Each batch adds one
+    broadcast probe join + one 64-row write. State never grows with
+    stream history — the property watermark-bounded dropDuplicates
+    cannot offer.
+    """
+    import os as _os
+
+    dedup_cols = dedup_cols or ["user_id", "event_type", "value", "props"]
+
+    m_bits = slots * _BLOOM_SLOT_BITS
+
+    def _digest_col():
+        return F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in dedup_cols]).cast(
+                "binary"
+            )
+        )
+
+    def _positions(df):
+        """(digest, slot, mask) x seeds rows for every input digest."""
+        seeds = F.array(*[F.lit(s) for s in range(_BLOOM_SEEDS)])
+        hv = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "",
+                            F.lit("bf"),
+                            F.col("s").cast("string"),
+                            F.lit(":"),
+                            F.col("__digest"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        pos = df.select("__digest", F.explode(seeds).alias("s")).select(
+            "__digest", hv.alias("bitpos")
+        )
+        return pos.select(
+            "__digest",
+            F.floor(F.col("bitpos") / _BLOOM_SLOT_BITS).cast("long").alias("slot"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bitpos % {_BLOOM_SLOT_BITS} AS INT))"
+            ).alias("mask"),
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn("__digest", _digest_col()).dropDuplicates(
+            ["__digest"]
+        )
+        try:
+            filt = spark.read.parquet(filter_dir)
+        except Exception:  # first batch — empty filter
+            filt = spark.createDataFrame([], "slot long, bits long")
+
+        pos = _positions(b)
+        probe = (
+            pos.join(F.broadcast(filt), "slot", "left")
+            .select(
+                "__digest",
+                (
+                    (
+                        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                            F.col("mask")
+                        )
+                        != 0
+                    ).cast("int")
+                ).alias("hit"),
+            )
+            .groupBy("__digest")
+            .agg(F.sum("hit").alias("n_hits"))
+        )
+        seen = probe.filter(F.col("n_hits") == _BLOOM_SEEDS).select("__digest")
+        survivors = b.join(seen, "__digest", "left_anti")
+
+        batch_out = _os.path.join(out_dir, f"batch_id={batch_id}")
+        if _os.path.exists(_os.path.join(batch_out, "_SUCCESS")):
+            # Replay after a committed output write: the landed rows are
+            # authoritative (the filter may already carry this batch's
+            # bits, which would otherwise retro-drop them here).
+            landed = spark.read.parquet(batch_out)
+            surv_digests = landed.withColumn("__digest", _digest_col()).select(
+                "__digest"
+            )
+        else:
+            survivors.drop("__digest").write.mode("overwrite").parquet(batch_out)
+            surv_digests = survivors.select("__digest")
+
+        new_rows = (
+            _positions(surv_digests)
+            .select("slot", F.col("mask").alias("bits"))
+            .unionByName(filt)
+            .groupBy("slot")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+            .collect()  # <= _BLOOM_SLOTS rows — bounded
+        )
+        spark.createDataFrame(
+            [(r["slot"], r["bits"]) for r in new_rows], "slot long, bits long"
+        ).coalesce(1).write.mode("overwrite").parquet(filter_dir)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )

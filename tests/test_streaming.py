@@ -263,3 +263,54 @@ def test_running_user_totals_tws_matches_batch(spark, stream_dir):
     for u in want:
         assert last[u][0] == want[u][0]
         assert abs(last[u][1] - want[u][1]) < 1e-6
+
+
+def test_streaming_bloom_dedup(spark, stream_dir, tmp_path):
+    """Cross-batch bloom dedup over REAL multiple micro-batches: (a) no
+    duplicate content digest is admitted, (b) the filter is sized for
+    the corpus (256 slots ~ 16k bits for ~1k keys), so false-positive
+    drops stay under 1%, (c) filter state stays <= slots rows. The
+    corpus and hashes are fixed, so every assertion is deterministic."""
+    import os
+
+    # Re-write the fixture as 4 real files (the shared fixture's
+    # coalesce(2) on a single-file source yields ONE file, which
+    # availableNow would swallow in one batch — no cross-batch probing).
+    multi = str(tmp_path / "events_multi")
+    _batch_events(spark, stream_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(multi)
+    out = str(tmp_path / "bloom_out")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    filt = str(tmp_path / "bloom_filter")
+    src = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(multi)
+    )
+    q = ops.streaming_bloom_dedup(src, out, ckpt, filt, slots=256).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert len(batch_dirs) >= 2, "stream collapsed into one micro-batch"
+
+    cols = ["user_id", "event_type", "value", "props"]
+    digest = F.md5(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).cast("binary")
+    )
+    admitted = spark.read.parquet(out).withColumn("__d", digest)
+    batch = _batch_events(spark, stream_dir).withColumn("__d", digest)
+
+    n_admitted = admitted.count()
+    n_distinct_admitted = admitted.select("__d").distinct().count()
+    n_distinct_input = batch.select("__d").distinct().count()
+    assert n_admitted == n_distinct_admitted, "duplicate content admitted"
+    assert n_distinct_admitted <= n_distinct_input
+    assert n_distinct_admitted >= 0.99 * n_distinct_input, (
+        f"bloom dropped {n_distinct_input - n_distinct_admitted} of "
+        f"{n_distinct_input} — filter undersized"
+    )
+    filt_rows = spark.read.parquet(filt).collect()
+    assert 0 < len(filt_rows) <= 256

@@ -154,6 +154,29 @@ PICKS = {
         "~|days| rows, never raw events); the max-day bound is a "
         "single-row broadcast."
     ),
+    "bloom_filter_probe": (
+        "mergeable-sketch membership: the seen corpus collapses to a "
+        "64-long bit_or aggregate (constant-size regardless of corpus); "
+        "the candidate side joins ONLY broadcast relations (filter slots "
+        "+ seen digests) — no corpus-to-corpus shuffle anywhere."
+    ),
+    "pq_adc_knn": (
+        "product quantization: one broadcast codeword join, a bounded "
+        "per-(vector, subspace) argmin window (16 rows each), then a "
+        "broadcast ADC lookup-table join + per-vector sum. At scale the "
+        "codes are precomputed at ingest and the scan reads nibbles, "
+        "not floats; this is the memory-bounded ANN tier."
+    ),
+    "countmin_heavy_hitters": (
+        "count-min build shuffles at most rows*cols counters no matter "
+        "the corpus size (uniform md5 keys, map-side combined); the "
+        "probe leg is a broadcast join of the 20-term target list."
+    ),
+    "unigram_lm_surprisal": (
+        "two-pass LM scoring: the vocabulary model aggregates map-side "
+        "then broadcasts back over the (doc, term) combine — corpus "
+        "volume moves through exactly one keyed shuffle."
+    ),
 }
 
 
