@@ -213,3 +213,47 @@ def sql_having_scalar_subquery(spark, sf_dir):
         LIMIT 20
         """
     )
+
+
+# -- Presto function-compat layer through the front door -------------------
+
+_FN_COMPAT_ORACLE = """
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CASE WHEN strpos(event_type, 'c') > 0 THEN 1 ELSE 0 END)
+             AS n_with_c,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MAX(date_diff('day', CAST(ts AS DATE), DATE '2026-01-01'))
+             AS max_days_to_2026,
+           SUM(CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END) AS n_weekday,
+           SUM(CAST(trunc(value) AS BIGINT)) AS value_trunc_sum
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day
+"""
+
+
+@plan("sql_presto_fn_compat", _FN_COMPAT_ORACLE)
+def sql_presto_fn_compat(spark, sf_dir):
+    """The Presto function spellings Spark lacks — strpos,
+    json_extract_scalar, 3-arg date_diff, ISO day_of_week, truncate —
+    exercised as TEXT through Engine.sql, which installs the SQL-UDF
+    compat layer (query.register_presto_compat) and the token rewrites
+    (query.translate). The DuckDB oracle states the same semantics in
+    DuckDB's own dialect (json_extract_string / isodow / trunc), so the
+    row is a genuine cross-engine check of the MAPPING, not a replay."""
+    return _engine(spark, sf_dir, "events").sql(
+        """
+        SELECT date(ts) AS day,
+               SUM(CASE WHEN strpos(event_type, 'c') > 0 THEN 1 ELSE 0 END)
+                 AS n_with_c,
+               SUM(CAST(json_extract_scalar(props, '$.k') AS BIGINT)) AS k_sum,
+               MAX(date_diff('day', date(ts), DATE '2026-01-01'))
+                 AS max_days_to_2026,
+               SUM(CASE WHEN day_of_week(date(ts)) <= 5 THEN 1 ELSE 0 END)
+                 AS n_weekday,
+               SUM(CAST(truncate(value) AS BIGINT)) AS value_trunc_sum
+        FROM events
+        GROUP BY date(ts)
+        ORDER BY day
+        """
+    )

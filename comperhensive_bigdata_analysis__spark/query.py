@@ -79,10 +79,75 @@ def _presto_null_order(q: str) -> str:
     return q[:start] + " " + ", ".join(items) + ("\n" if end < len(tail) else "") + tail[end:]
 
 
+#: Presto function spellings Spark lacks, as SQL-defined scalar
+#: functions (Spark 4 `CREATE OR REPLACE TEMPORARY FUNCTION ... RETURN`
+#: bodies are catalyst expressions — they inline into codegen/constant
+#: folding; NO Python in the row path). Names that collide with Spark
+#: builtins cannot be shadowed and go through the regex layer below.
+_PRESTO_SQL_UDFS = (
+    # string position: Presto strpos(string, substring), 1-based, 0 if absent
+    "strpos(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
+    # JSON scalar extraction (same $.path syntax)
+    "json_extract_scalar(j STRING, p STRING) RETURNS STRING "
+    "RETURN get_json_object(j, p)",
+    # epoch seconds as DOUBLE (Presto semantics; Spark unix_timestamp
+    # truncates to seconds)
+    "to_unixtime(t TIMESTAMP) RETURNS DOUBLE "
+    "RETURN CAST(unix_micros(t) AS DOUBLE) / 1e6",
+    "from_iso8601_date(s STRING) RETURNS DATE RETURN CAST(s AS DATE)",
+    "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP "
+    "RETURN to_timestamp(s)",
+    # ISO day numbering: Presto 1=Monday..7=Sunday; Spark dayofweek has
+    # 1=Sunday
+    "day_of_week(d DATE) RETURNS INT RETURN (dayofweek(d) + 5) % 7 + 1",
+    "day_of_month(d DATE) RETURNS INT RETURN dayofmonth(d)",
+    "day_of_year(d DATE) RETURNS INT RETURN dayofyear(d)",
+    "week_of_year(d DATE) RETURNS INT RETURN weekofyear(d)",
+    # numeric truncate-toward-zero
+    "truncate(x DOUBLE) RETURNS DOUBLE "
+    "RETURN CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END",
+)
+
+
+def register_presto_compat(spark: SparkSession) -> None:
+    """Install the Presto-function compatibility layer into the session
+    (idempotent; Engine.__init__ calls it). Each function is a SQL UDF
+    whose body is a Spark builtin expression — resolved at analysis
+    time, zero runtime indirection."""
+    for ddl in _PRESTO_SQL_UDFS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {ddl}")
+
+
+#: Token rewrites for Presto spellings that can't be SQL UDFs: aggregate
+#: functions (SQL UDFs are scalar-only) and names that collide with
+#: 2-arg Spark builtins. Same documented caveat as the NULLS LAST shim:
+#: a match inside a string literal would also rewrite — spell the Spark
+#: name directly to opt out.
+_TOKEN_REWRITES = (
+    (re.compile(r"\bapprox_distinct\s*\(", re.IGNORECASE), "approx_count_distinct("),
+    (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
+    # Presto 3-arg date_diff('unit', from, to) -> timestampdiff(UNIT, from, to);
+    # the quoted-literal first arg disambiguates from Spark's own
+    # 2-arg date_diff(end, start), which passes through untouched.
+    (
+        re.compile(r"\bdate_diff\(\s*'(\w+)'\s*,", re.IGNORECASE),
+        lambda m: f"timestampdiff({m.group(1).upper()},",
+    ),
+    (
+        re.compile(r"\bdate_add\(\s*'(\w+)'\s*,", re.IGNORECASE),
+        lambda m: f"timestampadd({m.group(1).upper()},",
+    ),
+)
+
+
 def translate(q: str) -> str:
     """Presto-dialect -> Spark SQL: whitespace-normalized pass-through
-    plus the NULL-ordering rewrite (see module doc)."""
-    return _presto_null_order(q.strip())
+    plus the NULL-ordering rewrite and the Presto function-name token
+    rewrites (see module doc)."""
+    q = q.strip()
+    for pat, repl in _TOKEN_REWRITES:
+        q = pat.sub(repl, q)
+    return _presto_null_order(q)
 
 
 class Engine:
@@ -95,6 +160,7 @@ class Engine:
 
     def __init__(self, spark: SparkSession):
         self.spark = apply_runtime_confs(spark)
+        register_presto_compat(self.spark)
 
     # -- query surface -----------------------------------------------------
     def sql(self, q: str) -> DataFrame:

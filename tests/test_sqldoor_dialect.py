@@ -66,3 +66,63 @@ def test_null_rows_fall_out_of_limit(spark, sf_dir):
     assert len(rows) == 50
     assert all(r["seg"] is not None for r in rows)
     assert [r["seg"] for r in rows] == sorted(r["seg"] for r in rows)
+
+
+# -- Presto function-compat layer (query.register_presto_compat) -----------
+
+
+def test_presto_scalar_functions(spark):
+    from comperhensive_bigdata_analysis__spark.query import Engine
+
+    e = Engine(spark)
+    cases = {
+        "SELECT strpos('hello', 'll') AS v": 3,
+        "SELECT strpos('hello', 'zz') AS v": 0,
+        "SELECT json_extract_scalar('{\"k\": 5}', '$.k') AS v": "5",
+        "SELECT to_unixtime(TIMESTAMP'1970-01-01 00:00:01.5') AS v": 1.5,
+        "SELECT day_of_week(DATE'2024-01-01') AS v": 1,  # Monday (ISO)
+        "SELECT day_of_week(DATE'2024-01-07') AS v": 7,  # Sunday (ISO)
+        "SELECT truncate(1.567) AS v": 1.0,
+        "SELECT truncate(-1.567) AS v": -1.0,  # toward zero, not floor
+        "SELECT week_of_year(DATE'2020-01-10') AS v": 2,
+    }
+    for q, want in cases.items():
+        assert e.sql(q).collect()[0]["v"] == want, q
+
+
+def test_presto_rewrites_aggregates_and_datediff(spark):
+    from comperhensive_bigdata_analysis__spark.query import Engine, translate
+
+    e = Engine(spark)
+    # aggregate spellings
+    assert (
+        e.sql(
+            "SELECT approx_distinct(x) AS v FROM (SELECT 1 AS x UNION ALL SELECT 2)"
+        ).collect()[0]["v"]
+        == 2
+    )
+    assert e.sql("SELECT arbitrary(x) AS v FROM (SELECT 5 AS x)").collect()[0]["v"] == 5
+    # Presto 3-arg date_diff rewrites; Spark's own 2-arg passes through
+    assert (
+        e.sql(
+            "SELECT date_diff('day', DATE'2020-01-01', DATE'2020-02-01') AS v"
+        ).collect()[0]["v"]
+        == 31
+    )
+    assert (
+        e.sql(
+            "SELECT date_diff(DATE'2020-02-01', DATE'2020-01-01') AS v"
+        ).collect()[0]["v"]
+        == 31
+    )
+    assert (
+        str(
+            e.sql(
+                "SELECT date_add('hour', 3, TIMESTAMP'2020-01-01 00:00:00') AS v"
+            ).collect()[0]["v"]
+        )
+        == "2020-01-01 03:00:00"
+    )
+    # the rewrite is spelling-targeted: translate leaves Spark names alone
+    assert "approx_count_distinct(x)" in translate("SELECT approx_count_distinct(x)")
+    assert "timestampdiff(DAY," in translate("SELECT date_diff('day', a, b)")
