@@ -195,9 +195,12 @@ def main() -> None:
     for name in SCALE_TIER:
         fn = HEADLINE[name]
         fn(spark, big).collect()  # codegen warm-up at this data shape
-        t0 = time.perf_counter()
-        fn(spark, big).collect()
-        timings[f"{name}@{SCALE_COPIES}x"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2, same policy as the 1x tier
+            t0 = time.perf_counter()
+            fn(spark, big).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[f"{name}@{SCALE_COPIES}x"] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
