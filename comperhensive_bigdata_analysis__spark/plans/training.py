@@ -1305,3 +1305,141 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard manifest — the output side of a data pipeline: assign
+# every document a deterministic shard (md5 bucket — re-run stable, no
+# RNG), then emit the per-shard manifest (doc count, token volume,
+# byte volume, id span) that a WebDataset/streaming loader consumes.
+# The assignment column is exactly what .write.partitionBy("shard")
+# would use; the manifest is its audit.
+# 100 TB: assignment is map-side; the manifest is |shards| rows from
+# one combine. Shard count scales with corpus (fix bytes/shard, not
+# shard count) — the manifest's byte sums are the sizing feedback.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+_SHARD_MANIFEST_ORACLE = rf"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+               AS n_tokens,
+             CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {_N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens,
+           SUM(n_chars) AS n_bytes,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
+@plan("training_shard_manifest", _SHARD_MANIFEST_ORACLE)
+def training_shard_manifest(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    # Token count via space count (single-space corpus): identical
+    # integer arithmetic in both engines, no regex split needed here.
+    trimmed = F.trim("text")
+    n_tokens = (
+        F.length(trimmed) - F.length(F.regexp_replace(trimmed, " ", "")) + 1
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("", F.lit("shard:"), F.col("doc_id").cast("string"))
+                    .cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_SHARDS
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            n_tokens.alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage — OOV diagnostics: against a fixed
+# vocabulary (here the corpus top-50, i.e. vocab_top_terms' output
+# recomputed inline so the plan is self-contained), report per-source
+# token coverage and out-of-vocabulary rate. The go/no-go check before
+# committing a tokenizer to a corpus mix.
+# 100 TB: the vocab is a broadcast relation (real tokenizers: 32-256k
+# rows); coverage is one (source, in_vocab) combine over the token
+# stream. The OOV share is an exact-int double division.
+# ---------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_ORACLE = r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+        ORDER BY n DESC, term LIMIT 50
+      )
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN vocab.term IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab,
+           SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab USING (term)
+    GROUP BY source ORDER BY source
+"""
+
+
+@plan("tokenizer_vocab_coverage", _VOCAB_COVERAGE_ORACLE)
+def tokenizer_vocab_coverage(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(50)
+        .select("term", F.lit(1).alias("__in"))
+    )
+    oov = F.sum((F.col("__in").isNull()).cast("bigint"))
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__in").isNotNull().cast("bigint")).alias("n_in_vocab"),
+            oov.alias("n_oov"),
+            (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
