@@ -331,3 +331,91 @@ def media_resize_roundtrip(spark, sf_dir):
         )
         .orderBy("target_width", "target_height")
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel round trip, driver-verified (round 3, same device as
+# media_pixel_stats): per document, encode a deterministic indexed GIF
+# in the executors (gif_encode: literal-code LZW with CLEAR resets),
+# fully decode it back (gif_pixels: variable-width LZW + palette
+# expansion), and sum each channel over the DECODED buffer. The oracle
+# computes the sums in closed form from the pattern parameters — a
+# hash match proves every index survived LZW encode -> sub-block
+# framing -> decode -> palette lookup bit-exactly, stdlib only.
+# Pattern: w=4+doc_id%29, h=4+doc_id%17, pixel i gets palette index
+# i%4, palette color c = (10c+1, 20c+2, 30c+3); index count
+# n_c = (w*h - c + 3) div 4.
+# ---------------------------------------------------------------------------
+
+_GIF_W = "4 + doc_id % 29"
+_GIF_H = "4 + doc_id % 17"
+
+
+@plan(
+    "gif_pixel_stats",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST({_GIF_W} AS BIGINT) AS w,
+             CAST({_GIF_H} AS BIGINT) AS h
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, w, h,
+             (w * h - 0 + 3) // 4 AS n0,
+             (w * h - 1 + 3) // 4 AS n1,
+             (w * h - 2 + 3) // 4 AS n2,
+             (w * h - 3 + 3) // 4 AS n3
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(n0 * 1 + n1 * 11 + n2 * 21 + n3 * 31 AS BIGINT) AS sum_r,
+           CAST(n0 * 2 + n1 * 22 + n2 * 42 + n3 * 62 AS BIGINT) AS sum_g,
+           CAST(n0 * 3 + n1 * 33 + n2 * 63 + n3 * 93 AS BIGINT) AS sum_b
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def gif_pixel_stats(spark, sf_dir):
+    """See module comment above — the GIF twin of media_pixel_stats.
+
+    100 TB: embarrassingly parallel map over the media column (bytes
+    never shuffle; the only exchange carries one stats row per image);
+    Arrow batches bound Python memory. The pure-Python LZW is the
+    correctness tier; PIL swaps in at the media_pixels seam.
+    """
+    import pandas as pd
+
+    from ..multimodal import gif_encode, gif_pixels
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes(
+        v for c in range(4) for v in (10 * c + 1, 20 * c + 2, 30 * c + 3)
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for i in pdf["doc_id"].astype("int64"):
+                w, h = 4 + int(i) % 29, 4 + int(i) % 17
+                idx = bytes(j % 4 for j in range(w * h))
+                gw, gh, _ch, pix = gif_pixels(gif_encode(w, h, idx, palette))
+                sums = [0, 0, 0]
+                for j, b in enumerate(pix):
+                    sums[j % 3] += b
+                out["doc_id"].append(int(i))
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["sum_r"].append(sums[0])
+                out["sum_g"].append(sums[1])
+                out["sum_b"].append(sums[2])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
+    ).orderBy("doc_id")

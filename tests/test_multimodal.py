@@ -555,3 +555,34 @@ def test_gif_feeds_pixel_features_and_frames(spark):
     assert len(frames) == 4
     # solid image: every band identical -> identical digests
     assert len({r["frame_digest"] for r in frames}) == 1
+
+
+def test_gif_round_trip_property():
+    """Property: ANY indexed image round-trips bit-exactly through
+    gif_encode -> gif_pixels for any palette size 2..16 and dims up to
+    40x40 (covers width growth, CLEAR boundaries, sub-block splits)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode,
+        gif_pixels,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        ncol=st.integers(2, 16),
+        data=st.data(),
+    )
+    def check(w, h, ncol, data):
+        pal = bytes(data.draw(st.integers(0, 255)) for _ in range(ncol * 3))
+        idx = bytes(
+            data.draw(st.integers(0, ncol - 1)) for _ in range(w * h)
+        )
+        gw, gh, ch, pix = gif_pixels(gif_encode(w, h, idx, pal))
+        assert (gw, gh, ch) == (w, h, 3)
+        assert pix == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+
+    check()

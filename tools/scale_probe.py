@@ -155,6 +155,10 @@ def main() -> None:
             "  shuffled relations are collapsed aggregates / banded\n"
             "  equality joins, so constant scheduling/shuffle machinery\n"
             "  amortizes as volume grows — the SCALE_AUDIT claim holds.\n"
+            "  (Triangles rides the closest to the line: its per-order\n"
+            "  pair expansion is linear in baskets but with the largest\n"
+            "  constant, so background load can push the measured ratio\n"
+            "  a few percent past the inflation factor.)\n"
             "- pq_adc_knn (declarative oracle tier) grows with its\n"
             "  n x codewords distance combine — linear in n at fixed\n"
             "  codebook, which the ratio should show; the benched numpy\n"
@@ -162,10 +166,6 @@ def main() -> None:
             "- bloom_filter_probe's filter is constant-size by\n"
             "  construction; its time should track the (linear) digest\n"
             "  scan, with the 64-row bit_or reduce invariant.\n"
-            "  (Triangles rides the closest to the line: its per-order\n"
-            "  pair expansion is linear in baskets but with the largest\n"
-            "  constant, so background load can push the measured ratio\n"
-            "  a few percent past the inflation factor.)\n"
             "- lsh_band_pairs is SUPER-linear at fixed hyperplane count:\n"
             "  with BITS_PER_BAND=4 there are only 16 buckets per band,\n"
             "  so bucket occupancy grows with n and candidate pairs grow\n"
