@@ -519,10 +519,11 @@ def resize_png(content: bytes, max_dim: int) -> tuple[bytes, int, int, int, int]
 
 def resize_media(media: DataFrame, max_dim: int = 256, decoder=fake_decoder) -> DataFrame:
     """Aspect-preserving resize (never upscale) over the media column.
-    PNG content takes the REAL pixel tier by default: full decode,
-    nearest-neighbor resample, re-encode — the output `content` column
-    holds genuinely resized PNG bytes (PIL fast path when installed,
-    stdlib codec otherwise). Non-PNG content keeps the metadata tier:
+    PNG and GIF content take the REAL pixel tier by default: full
+    decode, nearest-neighbor resample, re-encode — the output `content`
+    column holds genuinely resized bytes (PIL fast path for PNG when
+    installed, stdlib codecs otherwise; GIF resamples the INDEX plane
+    so the palette carries over). Other content keeps the metadata tier:
     dims from ``decoder``, bytes passed through, target dims computed —
     the seam where a PIL/ffmpeg-backed resampler plugs in. Either way
     the Arrow bytes-in/bytes-out plumbing is identical."""
@@ -537,6 +538,8 @@ def resize_media(media: DataFrame, max_dim: int = 256, decoder=fake_decoder) -> 
                 raw = bytes(c)
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
                     raw, w, h, tw, th = resize_png(raw, max_dim)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    raw, w, h, tw, th = resize_gif(raw, max_dim)
                 else:
                     m = decoder(raw, t)
                     w, h = m["width"], m["height"]
@@ -648,16 +651,10 @@ def media_stats(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the FIRST image of a GIF87a/89a stream to interleaved RGB.
-
-    Returns (width, height, 3, pixel_bytes). Pure stdlib: the LZW
-    stream is decoded with variable-width codes (LSB-first bit order,
-    dictionary growth + CLEAR resets per spec appendix F); interlaced
-    images are de-interlaced (4-pass row order). Transparency and
-    later frames are out of scope for the feature pipeline — the first
-    frame is what pixel stats/features consume.
-    """
+def _gif_indexed(content: bytes) -> tuple[int, int, bytes, bytes]:
+    """Decode the first GIF image to (width, height, palette_indices,
+    color_table) — the indexed form resize re-encodes from; gif_pixels
+    expands it to RGB."""
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     try:
@@ -777,14 +774,41 @@ def gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             for y, row in rows:
                 ordered[y * w : (y + 1) * w] = row
             idx = bytes(ordered)
-        rgb = bytearray(w * h * 3)
-        for i, ci in enumerate(idx):
-            if ci * 3 + 3 > len(table):
-                raise ValueError(f"GIF color index {ci} out of range")
-            rgb[i * 3 : i * 3 + 3] = table[ci * 3 : ci * 3 + 3]
-        return w, h, 3, bytes(rgb)
+        return w, h, bytes(idx), bytes(table)
     except struct.error as e:
         raise ValueError(f"truncated or corrupt GIF: {e}") from e
+
+
+def gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST image of a GIF87a/89a stream to interleaved RGB.
+
+    Returns (width, height, 3, pixel_bytes). Pure stdlib: the LZW
+    stream is decoded with variable-width codes (LSB-first bit order,
+    dictionary growth + CLEAR resets per spec appendix F); interlaced
+    images are de-interlaced (4-pass row order). Transparency and
+    later frames are out of scope for the feature pipeline — the first
+    frame is what pixel stats/features consume.
+    """
+    w, h, idx, table = _gif_indexed(content)
+    rgb = bytearray(w * h * 3)
+    for i, ci in enumerate(idx):
+        if ci * 3 + 3 > len(table):
+            raise ValueError(f"GIF color index {ci} out of range")
+        rgb[i * 3 : i * 3 + 3] = table[ci * 3 : ci * 3 + 3]
+    return w, h, 3, bytes(rgb)
+
+
+def resize_gif(content: bytes, max_dim: int) -> tuple[bytes, int, int, int, int]:
+    """REAL aspect-preserving GIF resize (never upscales), stdlib only:
+    decode to INDEXED pixels, nearest-neighbor resample the index
+    plane (palette untouched — no requantization needed), re-encode.
+    Returns (new_gif_bytes, orig_w, orig_h, new_w, new_h)."""
+    w, h, idx, table = _gif_indexed(content)
+    tw, th = _fit_dims(w, h, max_dim)
+    if (tw, th) == (w, h):
+        return content, w, h, w, h
+    small = resample_nearest(idx, w, h, 1, tw, th)
+    return gif_encode(tw, th, small, table), w, h, tw, th
 
 
 def gif_encode(

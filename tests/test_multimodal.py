@@ -586,3 +586,31 @@ def test_gif_round_trip_property():
         assert pix == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
 
     check()
+
+
+def test_gif_resize_real_pixels(spark):
+    """resize_media routes GIF through the REAL indexed-resample tier:
+    output bytes are a decodable smaller GIF whose pixels are the
+    nearest-neighbor sample of the source."""
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode,
+        gif_pixels,
+        resize_media,
+    )
+
+    pal = _pal4()
+    import random
+
+    rnd = random.Random(11)
+    idx = bytes(rnd.randrange(4) for _ in range(24 * 16))
+    g = gif_encode(24, 16, idx, pal)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(g))], "id long, media_type string, content binary"
+    )
+    row = resize_media(media, max_dim=8).collect()[0]
+    assert (row["width"], row["height"]) == (24, 16)
+    assert (row["target_width"], row["target_height"]) == (8, 5)
+    w, h, ch, pix = gif_pixels(bytes(row["content"]))
+    assert (w, h) == (8, 5)
+    # corner pixel maps from source (0,0)
+    assert bytes(pix[:3]) == pal[idx[0] * 3 : idx[0] * 3 + 3]
