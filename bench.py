@@ -150,7 +150,12 @@ SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "8"))
 #: (multi-file) — part of why @8x entries can run FASTER than naive
 #: 8x extrapolation. The @8x rows are the round-over-round compute
 #: signal; the 1x rows keep continuity with BENCH_r01/r02.
-SCALE_TIER = ("q15_minhash_k64", "q2_revenue_by_nation", "q1_pricing_summary")
+SCALE_TIER = (
+    "q15_minhash_k64",
+    "q2_revenue_by_nation",
+    "q1_pricing_summary",
+    "q17_unigram_surprisal",  # token-pipeline compute signal
+)
 
 
 def _scale_dir(spark, sf_dir: str) -> str:

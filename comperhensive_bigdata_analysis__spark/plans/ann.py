@@ -649,3 +649,68 @@ def ivf_recall_eval(spark, sf_dir):
         F.count(F.lit(1)).alias("n_hits"),
         (F.count(F.lit(1)) / float(KNN_K)).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall matrix — one eval surface for the whole suite: recall@k of
+# every top-k-producing ANN strategy (IVF probe, JL projection, PQ-ADC)
+# against the brute-force ground truth, one row per method. The
+# deployment-selection table: pick the cheapest method whose recall
+# clears the product bar. All four legs are this module's own
+# oracle-checked plans composed verbatim.
+# ---------------------------------------------------------------------------
+
+_ANN_MATRIX_ORACLE = f"""
+    WITH bf AS ({_KNN_BF_SQL}),
+    u AS (
+      SELECT 'ivf' AS method, vec_id FROM ({_IVF_ORACLE})
+      UNION ALL
+      SELECT 'jl' AS method, vec_id FROM ({_rp_oracle()})
+      UNION ALL
+      SELECT 'pq' AS method, vec_id FROM ({_PQ_ORACLE})
+    )
+    SELECT u.method,
+           SUM(CASE WHEN bf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           SUM(CASE WHEN bf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {float(KNN_K)} AS recall_at_k
+    FROM u LEFT JOIN bf USING (vec_id)
+    GROUP BY u.method ORDER BY u.method
+"""
+
+
+@plan("ann_recall_matrix", _ANN_MATRIX_ORACLE)
+def ann_recall_matrix(spark, sf_dir):
+    """On this synthetic corpus the matrix reads ivf=1.0, jl/pq~0.1 —
+    exactly what theory predicts: near-random vectors have
+    concentrated pairwise distances, the worst case for 4x-compression
+    rank preservation (JL error bound eps ~ sqrt(ln n / 16) is larger
+    than the distance gaps; PQ's 4 subspace codes quantize away what
+    little signal separates neighbors), while IVF only PRUNES
+    candidates and rescores exactly, so its recall survives. Real
+    embedding corpora are clustered, which is where JL/PQ earn their
+    keep — and this plan is the harness that proves it per-corpus
+    before deployment."""
+    from .vector import knn_bruteforce
+
+    bf = knn_bruteforce(spark, sf_dir).select("vec_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    legs = [
+        ("ivf", ivf_knn(spark, sf_dir)),
+        ("jl", random_projection_knn(spark, sf_dir)),
+        ("pq", pq_adc_knn(spark, sf_dir)),
+    ]
+    u = None
+    for name, df in legs:
+        part = df.select(F.lit(name).alias("method"), "vec_id")
+        u = part if u is None else u.unionByName(part)
+    hit = F.coalesce(F.col("__hit"), F.lit(0))
+    return (
+        u.join(F.broadcast(bf), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.sum(hit).alias("n_hits"),
+            (F.sum(hit) / float(KNN_K)).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )
