@@ -428,13 +428,17 @@ _BLOOM_ORACLE = f"""
 def bloom_filter_probe(spark, sf_dir):
     """Bloom-sketch cross-corpus membership with exact side-by-side.
 
-    100 TB: the filter build is one explode (7 rows/doc) + a 16-group
+    100 TB: the filter build is one explode (7 rows/doc) + a 64-group
     bit_or reduce — map-side combined, output is 64 longs regardless of
     corpus size (size the real filter m ~ -n*ln(fp)/ln(2)^2 and shard
     the slot space as n grows). The probe never shuffles the candidate
-    corpus: both the filter and the seen-digest set it is scored
-    against join broadcast-side. bench/dedup pipelines use this shape
-    to skip re-deduping documents already ingested in earlier runs.
+    corpus: the filter joins broadcast-side, which is the WHOLE point —
+    at scale the seen-DIGEST set is not broadcastable (that's why the
+    bloom exists), so the exact leg here is demo-scale-only machinery
+    to PRICE the false-positive rate; production keeps just the sketch.
+    Dedup pipelines use this shape to skip re-deduping documents
+    already ingested in earlier runs (streaming twin:
+    streaming/ops.py:streaming_bloom_dedup).
     """
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("digest"))
