@@ -212,10 +212,24 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                # Headline total stays the sf-tier sum so it remains
-                # comparable to BENCH_r01/r02; the @Nx keys ride along.
+                # Headline total = the q1-q15 COMMON SET ONLY, so it
+                # stays comparable to BENCH_r01/r02; the r3 additive
+                # entries (q16/q17) and the @Nx scale tier ride along
+                # as per-query rows and in additions_sec.
                 "value": round(
-                    sum(v for k, v in timings.items() if "@" not in k), 3
+                    sum(
+                        v
+                        for k, v in timings.items()
+                        if "@" not in k and k not in ("q16_pq_adc_knn", "q17_unigram_surprisal")
+                    ),
+                    3,
+                ),
+                "additions_sec": round(
+                    sum(
+                        timings.get(k, 0.0)
+                        for k in ("q16_pq_adc_knn", "q17_unigram_surprisal")
+                    ),
+                    3,
                 ),
                 "unit": "sec",
                 "queries": timings,

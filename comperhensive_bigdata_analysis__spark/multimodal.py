@@ -517,16 +517,25 @@ def resize_png(content: bytes, max_dim: int) -> tuple[bytes, int, int, int, int]
     return png_encode(resample_nearest(pix, w, h, ch, tw, th), tw, th, ch), w, h, tw, th
 
 
-def resize_media(media: DataFrame, max_dim: int = 256, decoder=fake_decoder) -> DataFrame:
+def resize_media(
+    media: DataFrame,
+    max_dim: int = 256,
+    decoder=fake_decoder,
+    pixel_tier: bool = True,
+) -> DataFrame:
     """Aspect-preserving resize (never upscale) over the media column.
     PNG and GIF content take the REAL pixel tier by default: full
     decode, nearest-neighbor resample, re-encode — the output `content`
     column holds genuinely resized bytes (PIL fast path for PNG when
     installed, stdlib codecs otherwise; GIF resamples the INDEX plane
-    so the palette carries over). Other content keeps the metadata tier:
-    dims from ``decoder``, bytes passed through, target dims computed —
-    the seam where a PIL/ffmpeg-backed resampler plugs in. Either way
-    the Arrow bytes-in/bytes-out plumbing is identical."""
+    so the palette carries over). A recognized container the stdlib
+    codec can't fully decode (16-bit/Adam7 PNG: NotImplementedError)
+    falls back to the metadata tier for THAT row instead of failing the
+    job. Other content — or everything, when ``pixel_tier=False``
+    (header-only metadata resize via ``decoder``) — keeps the metadata
+    tier: dims from ``decoder``, bytes passed through, target dims
+    computed — the seam where a PIL/ffmpeg-backed resampler plugs in.
+    Either way the Arrow bytes-in/bytes-out plumbing is identical."""
     import pandas as pd
 
     def run(batches):
@@ -536,10 +545,17 @@ def resize_media(media: DataFrame, max_dim: int = 256, decoder=fake_decoder) -> 
                      "target_width", "target_height", "content")}
             for i, c, t in zip(pdf["id"], pdf["content"], pdf["media_type"]):
                 raw = bytes(c)
-                if raw[:8] == b"\x89PNG\r\n\x1a\n":
-                    raw, w, h, tw, th = resize_png(raw, max_dim)
-                elif raw[:6] in (b"GIF87a", b"GIF89a"):
-                    raw, w, h, tw, th = resize_gif(raw, max_dim)
+                resized = None
+                if pixel_tier:
+                    try:
+                        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                            resized = resize_png(raw, max_dim)
+                        elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                            resized = resize_gif(raw, max_dim)
+                    except NotImplementedError:
+                        resized = None  # codec capability gap -> metadata tier
+                if resized is not None:
+                    raw, w, h, tw, th = resized
                 else:
                     m = decoder(raw, t)
                     w, h = m["width"], m["height"]
@@ -775,7 +791,7 @@ def _gif_indexed(content: bytes) -> tuple[int, int, bytes, bytes]:
                 ordered[y * w : (y + 1) * w] = row
             idx = bytes(ordered)
         return w, h, bytes(idx), bytes(table)
-    except struct.error as e:
+    except (struct.error, IndexError) as e:
         raise ValueError(f"truncated or corrupt GIF: {e}") from e
 
 

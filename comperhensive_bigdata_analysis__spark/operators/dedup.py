@@ -210,6 +210,7 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
     min_est: float = 0.25,
     hash_fn: str = "md5",
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs + estimated jaccard.
 
@@ -219,6 +220,16 @@ def minhash_lsh_pairs(
     fraction of matching signature components.
     ``hash_fn``: 'md5' = oracle-replayable tier; 'xxhash64' = production
     tier (~2x faster; see _salted_hash).
+    ``persist_signatures``: the signature relation feeds three consumers
+    (banding + both sides of the rescore join); recomputing it triples
+    the shingle-explode cost (measured ~3x wall on the K=64 bench
+    tier), so it is cached by default. Repeated calls do NOT accumulate
+    cache entries: Spark's CacheManager keys on the canonicalized plan,
+    so an identical call reuses the existing entry (and logs "already
+    cached") — one entry lives per DISTINCT input corpus/parameters,
+    released on session stop or spark.catalog.clearCache(). Pass False
+    to opt out (e.g. one-shot calls where the triple recompute is
+    cheaper than the cache write).
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     r = k // bands
@@ -240,13 +251,11 @@ def minhash_lsh_pairs(
             )
         return F.xxhash64(band)
 
-    # The signature relation feeds three consumers (banding + both sides
-    # of the match-count join); persist so the shingle explode runs once.
-    sig = (
-        minhash_signatures(df, id_col, text_col, n, k, hash_fn)
-        .select("doc", F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig"))
-        .persist()
+    sig = minhash_signatures(df, id_col, text_col, n, k, hash_fn).select(
+        "doc", F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig")
     )
+    if persist_signatures:
+        sig = sig.persist()
     band_rows = sig.select(
         "doc",
         F.explode(

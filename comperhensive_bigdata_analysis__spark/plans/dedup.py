@@ -370,9 +370,13 @@ def incremental_dedup_census(spark, sf_dir):
 # replays them exactly; no floats anywhere.
 # ---------------------------------------------------------------------------
 
-_BLOOM_SEEDS = 7
-_BLOOM_SLOTS = 64
-_BLOOM_SLOT_BITS = 63  # avoid the sign bit: 16*63 = 1008 bits
+from ..functions.bloom import (  # single source of the position scheme
+    BLOOM_SEEDS as _BLOOM_SEEDS,
+    BLOOM_SLOT_BITS as _BLOOM_SLOT_BITS,
+    BLOOM_SLOTS as _BLOOM_SLOTS,
+    bloom_positions,
+)
+
 _BLOOM_M = _BLOOM_SLOTS * _BLOOM_SLOT_BITS
 
 _BLOOM_ORACLE = f"""
@@ -442,64 +446,42 @@ def bloom_filter_probe(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("digest"))
-    seeds = F.array(*[F.lit(s) for s in range(_BLOOM_SEEDS)])
-    hv = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "",
-                        F.lit("bf"),
-                        F.col("s").cast("string"),
-                        F.lit(":"),
-                        F.col("digest"),
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _BLOOM_M
-    )
     seen = base.filter(F.col("doc_id") % 2 == 0)
     cand = base.filter(F.col("doc_id") % 2 == 1)
 
-    # F.shiftleft only takes a literal shift; the SQL function accepts a
-    # column expression.
-    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bitpos % {_BLOOM_SLOT_BITS} AS INT))")
-    slot = F.floor(F.col("bitpos") / _BLOOM_SLOT_BITS).cast("long")
-
+    # Shared position scheme (functions/bloom.py) — the same expressions
+    # the streaming filter maintains, so the two can never diverge.
     filt = (
-        seen.select(F.explode(seeds).alias("s"), "digest")
-        .select(hv.alias("bitpos"))
-        .select(slot.alias("slot"), mask.alias("mask"))
+        bloom_positions(seen.select("digest"), "digest")
+        .select("slot", "mask")
         .groupBy("slot")
         .agg(F.bit_or("mask").alias("bits"))
     )
     seen_digests = seen.select("digest").distinct().withColumn("seen", F.lit(1))
 
-    probe = (
-        cand.select("doc_id", "digest", F.explode(seeds).alias("s"))
-        .select("doc_id", "digest", hv.alias("bitpos"))
-        .join(F.broadcast(filt), slot == F.col("slot"), "left")
+    membership = (
+        bloom_positions(cand.select("digest").distinct(), "digest")
+        .join(F.broadcast(filt), "slot", "left")
         .select(
-            "doc_id",
             "digest",
             (
-                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(mask) != 0).cast(
-                    "int"
-                )
+                (
+                    F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                    != 0
+                ).cast("int")
             ).alias("hit"),
         )
-        .groupBy("doc_id", "digest")
+        .groupBy("digest")
         .agg(F.sum("hit").alias("n_hits"))
     )
-    flagged = probe.join(F.broadcast(seen_digests), "digest", "left").select(
-        "doc_id",
-        (F.col("n_hits") == _BLOOM_SEEDS).cast("int").alias("member"),
-        F.coalesce(F.col("seen"), F.lit(0)).alias("exact_dup"),
+    flagged = (
+        cand.join(F.broadcast(membership), "digest")
+        .join(F.broadcast(seen_digests), "digest", "left")
+        .select(
+            "doc_id",
+            (F.col("n_hits") == _BLOOM_SEEDS).cast("int").alias("member"),
+            F.coalesce(F.col("seen"), F.lit(0)).alias("exact_dup"),
+        )
     )
     return flagged.agg(
         F.count(F.lit(1)).alias("n_candidates"),

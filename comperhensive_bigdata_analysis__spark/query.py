@@ -15,11 +15,12 @@ Spark treats NULL as smallest (ASC -> NULLS FIRST). Harmless for a bare
 ORDER BY, but under a LIMIT it changes WHICH rows survive. translate()
 therefore appends an explicit NULLS LAST to every item of the final
 top-level ORDER BY that doesn't already carry a NULLS qualifier —
-giving SQL-text users Presto's semantics on Spark. (Paren-depth-aware:
-ORDER BYs inside OVER() windows and subqueries are untouched. Known
-limit: a string literal containing unbalanced parens could confuse the
-depth scan — acceptable for a documented shim; write explicit NULLS
-FIRST/LAST to opt out.) Tests (tests/test_reference_queries.py) replay
+giving SQL-text users Presto's semantics on Spark. (Paren-depth-aware
+AND string-literal-aware: keyword/paren positions are scanned on a
+literal-masked copy of the text, so ORDER BYs inside OVER() windows,
+subqueries, or quoted strings are untouched; trailing semicolons are
+stripped before the splice. Write explicit NULLS FIRST/LAST to opt
+out.) Tests (tests/test_reference_queries.py) replay
 the reference's Q0-Q12 verbatim to pin the pass-through behaviors;
 tests/test_sqldoor_dialect.py pins the NULL-ordering rewrite.
 """
@@ -38,44 +39,76 @@ _LIST_END_RE = re.compile(r"\b(limit|offset|fetch)\b", re.IGNORECASE)
 _NULLS_RE = re.compile(r"\bnulls\s+(first|last)\b", re.IGNORECASE)
 
 
+def _mask_literals(q: str) -> str:
+    """Blank out the CONTENTS of single-quoted string literals (and the
+    '' escape) with spaces, preserving every character position, so the
+    keyword/paren scans below can't be fooled by SQL text inside a
+    string. Quote characters themselves are kept."""
+    out = list(q)
+    i, n = 0, len(q)
+    while i < n:
+        if q[i] == "'":
+            j = i + 1
+            while j < n:
+                if q[j] == "'":
+                    if j + 1 < n and q[j + 1] == "'":  # '' escape
+                        out[j] = out[j + 1] = " "
+                        j += 2
+                        continue
+                    break
+                out[j] = " "
+                j += 1
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _depth(q: str, upto: int) -> int:
     return q.count("(", 0, upto) - q.count(")", 0, upto)
 
 
-def _split_top_level(s: str) -> list[str]:
-    out, depth, start = [], 0, 0
-    for i, ch in enumerate(s):
+def _split_top_level_positions(masked: str) -> list[int]:
+    """Comma positions at paren depth 0 (computed on the masked text)."""
+    cuts, depth = [], 0
+    for i, ch in enumerate(masked):
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
-            out.append(s[start:i])
-            start = i + 1
-    out.append(s[start:])
-    return out
+            cuts.append(i)
+    return cuts
 
 
 def _presto_null_order(q: str) -> str:
     """Append NULLS LAST (Presto's direction-independent default) to
-    each unqualified item of the final top-level ORDER BY."""
+    each unqualified item of the final top-level ORDER BY. Keyword and
+    paren positions come from the literal-masked text so ORDER BYs (or
+    parens) inside string literals never trigger or skew the scan."""
+    masked = _mask_literals(q)
     last = None
-    for m in _ORDER_BY_RE.finditer(q):
-        if _depth(q, m.start()) == 0:
+    for m in _ORDER_BY_RE.finditer(masked):
+        if _depth(masked, m.start()) == 0:
             last = m
     if last is None:
         return q
     start = last.end()
+    mtail = masked[start:]
     tail = q[start:]
     end = len(tail)
-    for m in _LIST_END_RE.finditer(tail):
-        if _depth(tail, m.start()) == 0:
+    for m in _LIST_END_RE.finditer(mtail):
+        if _depth(mtail, m.start()) == 0:
             end = m.start()
             break
+    cuts = [c for c in _split_top_level_positions(mtail[:end])]
     items = []
-    for it in _split_top_level(tail[:end]):
+    prev = 0
+    for c in cuts + [end]:
+        it = tail[prev:c]
         s = it.strip()
-        items.append(s if _NULLS_RE.search(s) else s + " NULLS LAST")
+        items.append(s if _NULLS_RE.search(_mask_literals(s)) else s + " NULLS LAST")
+        prev = c + 1
     return q[:start] + " " + ", ".join(items) + ("\n" if end < len(tail) else "") + tail[end:]
 
 
@@ -114,8 +147,11 @@ def register_presto_compat(spark: SparkSession) -> None:
     (idempotent; Engine.__init__ calls it). Each function is a SQL UDF
     whose body is a Spark builtin expression — resolved at analysis
     time, zero runtime indirection."""
+    if spark.conf.get("spark.cba.prestoCompatRegistered", "false") == "true":
+        return  # once per session — plans build an Engine per call
     for ddl in _PRESTO_SQL_UDFS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {ddl}")
+    spark.conf.set("spark.cba.prestoCompatRegistered", "true")
 
 
 #: Token rewrites for Presto spellings that can't be SQL UDFs: aggregate
@@ -143,8 +179,12 @@ _TOKEN_REWRITES = (
 def translate(q: str) -> str:
     """Presto-dialect -> Spark SQL: whitespace-normalized pass-through
     plus the NULL-ordering rewrite and the Presto function-name token
-    rewrites (see module doc)."""
+    rewrites (see module doc). Trailing statement semicolons are
+    stripped first — clients routinely send them, and the NULLS LAST
+    splice must not land after one."""
     q = q.strip()
+    while q.endswith(";"):
+        q = q[:-1].rstrip()
     for pat, repl in _TOKEN_REWRITES:
         q = pat.sub(repl, q)
     return _presto_null_order(q)

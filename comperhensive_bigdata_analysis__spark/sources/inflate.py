@@ -63,7 +63,20 @@ def inflate_corpus(
     """Write an n_copies-fold key-disjoint inflation of base_dir's
     lineitem/orders/documents/embeddings into out_dir (plus unchanged
     copies of ``passthrough`` tables), and return out_dir. Existing
-    out_dir is rebuilt."""
+    out_dir is rebuilt.
+
+    ``n_copies`` is capped at len(_PERMS): beyond that the per-copy
+    vowel permutations would repeat and copies i and i+8 would carry
+    byte-identical text under different doc_ids — exactly the
+    duplicate-collision artifact this module exists to avoid (the
+    embedding rotation would likewise wrap at the vector dim).
+    """
+    if n_copies > len(_PERMS):
+        raise ValueError(
+            f"inflate_corpus supports at most {len(_PERMS)} key-disjoint "
+            f"copies (got {n_copies}); add distinct vowel perms to _PERMS "
+            "to go further"
+        )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
 

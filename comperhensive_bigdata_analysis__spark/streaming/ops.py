@@ -347,14 +347,11 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 # the watermark window; this operator remembers every content digest
 # ever admitted, at constant state size, by maintaining the same
 # md5-derived bloom bit-set plans/dedup.py:bloom_filter_probe builds
-# (dedup may drop a false-positive row at the filter's documented FP
-# rate — the standard trade for unbounded-horizon dedup at 100 TB).
+# (the position scheme is SHARED code: functions/bloom.py — the batch
+# and streaming filters cannot de-synchronize). Dedup may drop a
+# false-positive row at the filter's documented FP rate — the standard
+# trade for unbounded-horizon dedup at 100 TB.
 # ---------------------------------------------------------------------------
-
-_BLOOM_SEEDS = 7
-_BLOOM_SLOTS = 64
-_BLOOM_SLOT_BITS = 63
-_BLOOM_M = _BLOOM_SLOTS * _BLOOM_SLOT_BITS
 
 
 def streaming_bloom_dedup(
@@ -363,81 +360,52 @@ def streaming_bloom_dedup(
     checkpoint_dir: str,
     filter_dir: str,
     dedup_cols: list[str] | None = None,
-    slots: int = _BLOOM_SLOTS,
+    slots: int = None,  # default functions/bloom.py:BLOOM_SLOTS
 ):
     """Admit only first-seen content rows across the whole stream life.
 
     Per micro-batch (foreachBatch):
-      1. digest = md5 over ``dedup_cols``; batch-internal dups collapse
-         first (keep-any within the batch, deterministic via digest).
-      2. probe the persisted filter (<= 64 rows of OR'd bit slots,
-         broadcast) — rows whose 7 positions are all set are dropped as
-         probable-seen.
+      1. digest = md5 of the to_json(struct(dedup_cols)) rendering —
+         NULL-safe and delimiter-safe (concat_ws would silently skip
+         NULLs and let 'a|b','c' collide with 'a','b|c'); batch-internal
+         dups collapse first (keep-any within the batch, deterministic
+         via digest).
+      2. probe the persisted filter (<= ``slots`` rows of OR'd bit
+         slots, broadcast) — rows whose 7 positions are all set are
+         dropped as probable-seen. The filter table carries its
+         ``slots`` sizing; restarting the stream with a DIFFERENT
+         slots value raises instead of silently re-admitting everything
+         (the positions are mod slots*63, so old bits would never
+         match).
       3. survivors land in ``out_dir/batch_id=N`` via per-directory
          overwrite — replays REWRITE the same directory, and a batch
          directory that already has its _SUCCESS marker is not
          recomputed (the earlier attempt's output is authoritative), so
          a replay after the filter already absorbed this batch's bits
          cannot retro-drop rows.
-      4. survivors' bits OR into the filter (collect <= 64 longs to the
-         driver — bounded regardless of stream volume) and the filter
-         table is rewritten. OR is idempotent, so replayed updates
-         converge.
+      4. survivors' bits OR into the filter (collect <= ``slots`` longs
+         to the driver — bounded regardless of stream volume) and the
+         filter table is rewritten. OR is idempotent, so replayed
+         updates converge.
 
     Scale: filter size is fixed — size it for the expected key
     cardinality (``slots``: m = slots*63 bits; for fp rate p and n keys
     the classic m = -n*ln(p)/ln(2)^2, e.g. n=1e9, p=1e-3 -> ~1.8 GB,
     still a broadcastable table; shard the slot space beyond that).
-    Each batch adds one
-    broadcast probe join + one 64-row write. State never grows with
-    stream history — the property watermark-bounded dropDuplicates
-    cannot offer.
+    Each batch adds one broadcast probe join + one <= ``slots``-row
+    write. State never grows with stream history — the property
+    watermark-bounded dropDuplicates cannot offer.
     """
     import os as _os
 
-    dedup_cols = dedup_cols or ["user_id", "event_type", "value", "props"]
+    from ..functions.bloom import BLOOM_SEEDS, BLOOM_SLOTS, bloom_positions
 
-    m_bits = slots * _BLOOM_SLOT_BITS
+    dedup_cols = dedup_cols or ["user_id", "event_type", "value", "props"]
+    slots = slots if slots is not None else BLOOM_SLOTS
 
     def _digest_col():
         return F.md5(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in dedup_cols]).cast(
-                "binary"
-            )
-        )
-
-    def _positions(df):
-        """(digest, slot, mask) x seeds rows for every input digest."""
-        seeds = F.array(*[F.lit(s) for s in range(_BLOOM_SEEDS)])
-        hv = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "",
-                            F.lit("bf"),
-                            F.col("s").cast("string"),
-                            F.lit(":"),
-                            F.col("__digest"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-        )
-        pos = df.select("__digest", F.explode(seeds).alias("s")).select(
-            "__digest", hv.alias("bitpos")
-        )
-        return pos.select(
-            "__digest",
-            F.floor(F.col("bitpos") / _BLOOM_SLOT_BITS).cast("long").alias("slot"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(bitpos % {_BLOOM_SLOT_BITS} AS INT))"
-            ).alias("mask"),
+            F.to_json(F.struct(*[F.col(c) for c in dedup_cols])).cast("binary")
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -449,10 +417,22 @@ def streaming_bloom_dedup(
         )
         try:
             filt = spark.read.parquet(filter_dir)
+            stored = filt.select(F.min("slots"), F.max("slots")).first()
+            if stored[0] is not None and (stored[0] != slots or stored[1] != slots):
+                raise ValueError(
+                    f"bloom filter at {filter_dir} was built with "
+                    f"slots={stored[0]}; restarting with slots={slots} would "
+                    "silently re-admit previously-seen rows (positions are "
+                    "mod slots*63). Use the original sizing or a fresh "
+                    "filter_dir."
+                )
+            filt = filt.select("slot", "bits")
+        except ValueError:
+            raise
         except Exception:  # first batch — empty filter
             filt = spark.createDataFrame([], "slot long, bits long")
 
-        pos = _positions(b)
+        pos = bloom_positions(b, "__digest", slots=slots)
         probe = (
             pos.join(F.broadcast(filt), "slot", "left")
             .select(
@@ -469,7 +449,7 @@ def streaming_bloom_dedup(
             .groupBy("__digest")
             .agg(F.sum("hit").alias("n_hits"))
         )
-        seen = probe.filter(F.col("n_hits") == _BLOOM_SEEDS).select("__digest")
+        seen = probe.filter(F.col("n_hits") == BLOOM_SEEDS).select("__digest")
         survivors = b.join(seen, "__digest", "left_anti")
 
         batch_out = _os.path.join(out_dir, f"batch_id={batch_id}")
@@ -486,15 +466,16 @@ def streaming_bloom_dedup(
             surv_digests = survivors.select("__digest")
 
         new_rows = (
-            _positions(surv_digests)
+            bloom_positions(surv_digests, "__digest", slots=slots)
             .select("slot", F.col("mask").alias("bits"))
             .unionByName(filt)
             .groupBy("slot")
             .agg(F.expr("bit_or(bits)").alias("bits"))
-            .collect()  # <= _BLOOM_SLOTS rows — bounded
+            .collect()  # <= ``slots`` rows — bounded
         )
         spark.createDataFrame(
-            [(r["slot"], r["bits"]) for r in new_rows], "slot long, bits long"
+            [(r["slot"], r["bits"], slots) for r in new_rows],
+            "slot long, bits long, slots int",
         ).coalesce(1).write.mode("overwrite").parquet(filter_dir)
 
     return (

@@ -298,7 +298,7 @@ def test_streaming_bloom_dedup(spark, stream_dir, tmp_path):
 
     cols = ["user_id", "event_type", "value", "props"]
     digest = F.md5(
-        F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).cast("binary")
+        F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary")
     )
     admitted = spark.read.parquet(out).withColumn("__d", digest)
     batch = _batch_events(spark, stream_dir).withColumn("__d", digest)
