@@ -909,4 +909,88 @@ def media_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         return png_pixels(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixels(content)
+    if content[:2] == b"BM":
+        return bmp_pixels(content)
     raise NotImplementedError("no stdlib pixel codec for this container")
+
+
+# ---------------------------------------------------------------------------
+# Stdlib BMP pixel codec — the third real pixel tier (PNG: inflate +
+# unfilter; GIF: LZW; BMP: plain uncompressed rows). 24-bit BI_RGB
+# bottom-up/top-down DIBs decode fully; other depths/compressions raise
+# NotImplementedError (capability seam), corrupt streams ValueError.
+# ---------------------------------------------------------------------------
+
+
+def bmp_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a 24-bit uncompressed BMP to interleaved RGB.
+
+    Handles both bottom-up (positive height, the common case) and
+    top-down (negative height) row orders and the 4-byte row padding;
+    BGR byte order converts to RGB.
+    """
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    try:
+        (data_off,) = struct.unpack("<I", content[10:14])
+        (hdr_size,) = struct.unpack("<I", content[14:18])
+        if hdr_size < 40:
+            raise NotImplementedError(
+                f"BMP core-header size {hdr_size} needs a full codec"
+            )
+        w, h_raw = struct.unpack("<ii", content[18:26])
+        planes, bpp = struct.unpack("<HH", content[26:30])
+        (compression,) = struct.unpack("<I", content[30:34])
+        if w <= 0 or h_raw == 0 or planes != 1:
+            raise ValueError("invalid BMP dimensions")
+        if compression != 0:
+            raise NotImplementedError(f"BMP compression {compression} unsupported")
+        if bpp != 24:
+            raise NotImplementedError(f"BMP bit depth {bpp} unsupported")
+        top_down = h_raw < 0
+        h = abs(h_raw)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        need = data_off + stride * h
+        if len(content) < need:
+            raise ValueError(
+                f"BMP pixel data is {len(content) - data_off} bytes, "
+                f"expected {stride * h}"
+            )
+        out = bytearray(w * h * 3)
+        for row in range(h):
+            y = row if top_down else h - 1 - row
+            src = data_off + row * stride
+            dst = y * w * 3
+            line = content[src : src + w * 3]
+            # BGR -> RGB per pixel
+            for x in range(w):
+                out[dst + x * 3] = line[x * 3 + 2]
+                out[dst + x * 3 + 1] = line[x * 3 + 1]
+                out[dst + x * 3 + 2] = line[x * 3]
+        return w, h, 3, bytes(out)
+    except struct.error as e:
+        raise ValueError(f"truncated or corrupt BMP: {e}") from e
+
+
+def bmp_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal 24-bit bottom-up BMP encoder for fixtures/round-trips."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        # RGB -> BGR
+        bgr = bytearray(len(row))
+        for x in range(width):
+            bgr[x * 3] = row[x * 3 + 2]
+            bgr[x * 3 + 1] = row[x * 3 + 1]
+            bgr[x * 3 + 2] = row[x * 3]
+        body += bgr + pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return hdr + dib + bytes(body)

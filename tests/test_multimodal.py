@@ -614,3 +614,40 @@ def test_gif_resize_real_pixels(spark):
     assert (w, h) == (8, 5)
     # corner pixel maps from source (0,0)
     assert bytes(pix[:3]) == pal[idx[0] * 3 : idx[0] * 3 + 3]
+
+
+# -- stdlib BMP pixel codec (round 3) --------------------------------------
+
+
+def test_bmp_round_trip_and_contract():
+    import random
+
+    import pytest
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        bmp_encode,
+        bmp_pixels,
+        media_pixels,
+        pixel_features,
+    )
+
+    rnd = random.Random(9)
+    for w, h in [(1, 1), (17, 9), (64, 48)]:
+        rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        b = bmp_encode(w, h, rgb)
+        assert bmp_pixels(b) == (w, h, 3, rgb)
+        assert media_pixels(b) == (w, h, 3, rgb)  # dispatcher routes BMP
+    # error contract: truncation = ValueError, capability gap = NotImplementedError
+    b = bmp_encode(8, 8, bytes(8 * 8 * 3))
+    with pytest.raises(ValueError):
+        bmp_pixels(b[: len(b) // 2])
+    import struct
+
+    ba = bytearray(b)
+    ba[28:30] = struct.pack("<H", 8)  # 8-bit palette BMP: capability seam
+    with pytest.raises(NotImplementedError):
+        bmp_pixels(bytes(ba))
+    # features run on real BMP pixels: solid red -> known channel head
+    red = bmp_encode(6, 6, b"\xff\x00\x00" * 36)
+    v = pixel_features(red, dim=8)
+    assert v[0] > 0 and abs(v[2]) < 1e-12 and abs(v[4]) < 1e-12
