@@ -126,3 +126,27 @@ def test_presto_rewrites_aggregates_and_datediff(spark):
     # the rewrite is spelling-targeted: translate leaves Spark names alone
     assert "approx_count_distinct(x)" in translate("SELECT approx_count_distinct(x)")
     assert "timestampdiff(DAY," in translate("SELECT date_diff('day', a, b)")
+
+
+def test_translate_idempotent_and_literal_safe():
+    from comperhensive_bigdata_analysis__spark.query import translate
+
+    cases = [
+        "SELECT a FROM t ORDER BY a;",
+        "SELECT a FROM t ORDER BY a DESC LIMIT 5",
+        "SELECT a, b FROM t ORDER BY a DESC, b",
+        "SELECT concat(a, ')') FROM t ORDER BY 1",
+        "SELECT a FROM t WHERE x = 'it''s' ORDER BY a",
+        "SELECT a FROM (SELECT a FROM t ORDER BY a) q",
+        "SELECT a FROM t WHERE b = 'order by oops'",
+        "SELECT date_diff('day', x, y) AS d FROM t ORDER BY d",
+    ]
+    for q in cases:
+        once = translate(q)
+        assert translate(once) == once, q  # idempotent
+    # string literals never trigger the ORDER BY splice
+    assert translate("SELECT a FROM t WHERE b = 'order by oops'") == (
+        "SELECT a FROM t WHERE b = 'order by oops'"
+    )
+    # trailing semicolon never lands after the splice
+    assert translate("SELECT a FROM t ORDER BY a;").endswith("NULLS LAST")
