@@ -340,3 +340,50 @@ def countmin_heavy_hitters(spark, sf_dir):
         "n_est",
         (F.col("n_est") - F.col("n_exact")).alias("overcount"),
     ).orderBy(F.desc("n_exact"), "term")
+
+
+# ---------------------------------------------------------------------------
+# Approx-percentile calibration — the tolerance audit for the GK-sketch
+# percentiles beside the other sketch evals (bloom FP pricing, count-min
+# overcount, minhash error envelope): exact vs percentile_approx at
+# accuracy=10000 for p50/p90/p99 of order totals, with the relative
+# error in the row. Registered WITHOUT an oracle (the sketch is
+# engine-specific — DuckDB's approx algorithm differs by design);
+# tests/test_sketch_probe_invariants.py pins the <=1% relative-error
+# contract instead, the same pattern as approx_distinct_users.
+# 100 TB: both legs are single aggregates; the exact leg is the
+# O(n log n)-ish baseline you run on a SAMPLE at scale, the sketch is
+# the production path (mergeable, bounded memory).
+# ---------------------------------------------------------------------------
+
+_CAL_PS = (0.5, 0.9, 0.99)
+
+
+@plan("approx_percentile_calibration", None)  # sketch: rows-only driver check
+def approx_percentile_calibration(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    ps = list(_CAL_PS)
+    agg = o.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, ps))}))"
+        ).alias("exact"),
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(p) for p in ps]), 10000
+        ).alias("approx"),
+    )
+    pairs = agg.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in ps]).alias("p"),
+                F.col("exact").alias("exact"),
+                F.col("approx").alias("approx"),
+            )
+        ).alias("z")
+    )
+    rel_err = F.abs(F.col("z.approx") - F.col("z.exact")) / F.col("z.exact")
+    return pairs.select(
+        F.col("z.p").alias("p"),
+        F.col("z.exact").alias("exact"),
+        F.col("z.approx").alias("approx"),
+        rel_err.alias("rel_err"),
+    ).orderBy("p")

@@ -111,3 +111,13 @@ def test_random_projection_preserves_top1_locally(spark):
         )
     }
     assert rp & exact, "projected top-10 shares no vector with exact top-10"
+
+
+def test_approx_percentile_calibration_tolerance(spark):
+    rows = plans.QUERIES["approx_percentile_calibration"](
+        spark, SF_SMOKE
+    ).collect()
+    assert [r["p"] for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert r["rel_err"] == abs(r["approx"] - r["exact"]) / r["exact"]
+        assert r["rel_err"] <= 0.01, r  # accuracy=10000 contract
