@@ -36,10 +36,14 @@ def test_plan_matches_oracle(spark, con, name):
 #: - hll_mergeable_distinct: DataSketches HLL union — engine-specific
 #:   binary sketches; pinned to the exact two-stage distinct plan within
 #:   5% in test_sketch_and_bucketing.
+#: - approx_percentile_calibration: carries the GK sketch AND its exact
+#:   leg in one row; rel-err pinned <= 1% in
+#:   test_sketch_probe_invariants.
 NO_ORACLE_ALLOWED = {
     "approx_distinct_users",
     "approx_percentile_prices",
     "hll_mergeable_distinct",
+    "approx_percentile_calibration",
 }
 
 
