@@ -406,7 +406,10 @@ _SKEW_ORACLE = """
       SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
     )
     SELECT COUNT(*) AS n_keys,
-           SUM(cnt) AS n_rows,
+           -- DuckDB types SUM(BIGINT) as HUGEINT, which pandas marshals
+           -- to float64 (15000.0 vs Spark's 15000) — cast keeps the
+           -- output column int64 on both engines (DETERMINISM.md rule)
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
            MAX(cnt) AS max_cnt,
            CAST((CAST(MAX(cnt) AS HUGEINT) * COUNT(*) * 1000000)
                 // SUM(cnt) AS DOUBLE) / 1e6 AS skew_ratio

@@ -1094,8 +1094,12 @@ def integrity_audit(spark, sf_dir):
 # Contract: prices differing only below truncated cents collide —
 # documented precision of the fingerprint, not a bug. Dates render ISO.
 # Rows are digested with md5, and
-# the digests are folded with order-insensitive aggregates (XOR + exact
-# decimal sum + numeric min/max of the 60-bit sig). All four folds keep
+# the digests are folded with order-insensitive aggregates (XOR + sum
+# mod 2^61 + numeric min/max of the 60-bit sig). The sum is carried
+# exactly in wide integers (decimal(38,0) / HUGEINT) but EMITTED mod
+# 2^61 as BIGINT: a raw >int64 column marshals to float64 in pandas on
+# the DuckDB side while Spark stays exact, so identical values hash
+# differently downstream (DETERMINISM.md output-type rule). All folds keep
 # fixed-width buffers, so the whole plan is ONE HashAggregate pair
 # (map-side combine to 5 partial rows per task) — a string min/max of
 # the hex digest would demote the aggregate to SortAggregate (declarative
@@ -1122,7 +1126,8 @@ _CHECKSUM_ORACLE = """
     SELECT o_orderpriority,
            COUNT(*) AS n,
            bit_xor(sig) AS xor_sig,
-           CAST(SUM(CAST(sig AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sig,
+           CAST(SUM(CAST(sig AS HUGEINT)) % 2305843009213693952
+                AS BIGINT) AS sum_sig,
            MIN(sig) AS min_sig,
            MAX(sig) AS max_sig
     FROM s

@@ -37,11 +37,13 @@ from . import plan
     "doc_token_stats",
     r"""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-           length(text) AS n_chars_actual,
-           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
-           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) AS n_stopwords
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                AS INTEGER) AS n_punct,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) AS INTEGER) AS n_stopwords
     FROM documents
     ORDER BY doc_id
     """,
@@ -73,7 +75,7 @@ _QUALITY_ORACLE = r"""
              len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) AS n_stop
       FROM documents
     )
-    SELECT doc_id, lang, source, n_tokens,
+    SELECT doc_id, lang, source, CAST(n_tokens AS INTEGER) AS n_tokens,
            FLOOR((
              0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
            + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 10.0 / n_tokens, 1.0)
@@ -120,8 +122,8 @@ def doc_quality(spark, sf_dir):
 _LANGID_ORACLE = r"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) >= 3
-                    THEN 1 ELSE 0 END) AS n_pred_en
+           CAST(SUM(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'a'))) >= 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -176,7 +178,7 @@ def doc_fingerprint(spark, sf_dir):
     r"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS est_tokens
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS est_tokens
     FROM documents
     GROUP BY source
     ORDER BY source
@@ -237,7 +239,7 @@ def events_json_extract(spark, sf_dir):
 _FUZZY_ORACLE = """
     WITH names AS (SELECT DISTINCT p_name FROM part)
     SELECT a.p_name AS name_a, b.p_name AS name_b,
-           levenshtein(a.p_name, b.p_name) AS dist
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
     FROM names a JOIN names b
       ON a.p_name < b.p_name
      AND abs(length(a.p_name) - length(b.p_name)) <= 3
@@ -349,13 +351,15 @@ _GOPHER_ORACLE = r"""
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_tokens < 15 THEN 1 ELSE 0 END) AS n_short,
-           SUM(CASE WHEN max_cnt * 5 > n_tokens THEN 1 ELSE 0 END) AS n_repetitive,
-           SUM(CASE WHEN sum_len < 3 * n_tokens OR sum_len > 10 * n_tokens
-                    THEN 1 ELSE 0 END) AS n_wordlen,
-           SUM(CASE WHEN n_tokens >= 15 AND max_cnt * 5 <= n_tokens
+           CAST(SUM(CASE WHEN n_tokens < 15 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN max_cnt * 5 > n_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive,
+           CAST(SUM(CASE WHEN sum_len < 3 * n_tokens OR sum_len > 10 * n_tokens
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_wordlen,
+           CAST(SUM(CASE WHEN n_tokens >= 15 AND max_cnt * 5 <= n_tokens
                      AND sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
-                    THEN 1 ELSE 0 END) AS n_pass
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
     FROM doc GROUP BY source ORDER BY source
 """
 
@@ -687,10 +691,10 @@ _REPETITION_ORACLE = r"""
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN 5 * (n_sh - n_distinct) > n_sh THEN 1 ELSE 0 END)
-             AS n_flagged,
-           SUM(n_sh) AS sum_shingles,
-           SUM(n_sh - n_distinct) AS sum_dup
+           CAST(SUM(CASE WHEN 5 * (n_sh - n_distinct) > n_sh
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(n_sh) AS BIGINT) AS sum_shingles,
+           CAST(SUM(n_sh - n_distinct) AS BIGINT) AS sum_dup
     FROM doc GROUP BY source ORDER BY source
 """
 
@@ -780,9 +784,10 @@ _REPORT_CARD_ORACLE = r"""
     ),
     base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
     SELECT base.source, base.n_docs,
-           src_tok.n_tokens, src_vocab.n_types,
+           CAST(src_tok.n_tokens AS BIGINT) AS n_tokens,
+           src_vocab.n_types,
            COALESCE(dup.n_dup_docs, 0) AS n_dup_docs,
-           src_tok.n_quality_pass,
+           CAST(src_tok.n_quality_pass AS BIGINT) AS n_quality_pass,
            FLOOR(CAST(src_vocab.n_types AS DOUBLE)
                  / src_tok.n_tokens * 1e6) / 1e6 AS ttr
     FROM base
@@ -897,7 +902,7 @@ _LOGIT_ORACLE = r"""
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS n_pass,
+           CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            FLOOR(CAST(SUM(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(28,12)))
                       AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS avg_score
     FROM scored GROUP BY source ORDER BY source
