@@ -653,7 +653,7 @@ def media_stats(media: DataFrame) -> DataFrame:
     return media.select(
         "id",
         "media_type",
-        F.octet_length("content").alias("n_bytes"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
 
@@ -742,7 +742,10 @@ def _gif_indexed(content: bytes) -> tuple[int, int, bytes, bytes]:
         out = bytearray()
         prev: bytes | None = None
         acc = nbits = 0
+        done = False  # end-of-information seen — ignore any trailing bits
         for byte in data:
+            if done:
+                break
             acc |= byte << nbits
             nbits += 8
             while nbits >= width_bits:
@@ -756,6 +759,7 @@ def _gif_indexed(content: bytes) -> tuple[int, int, bytes, bytes]:
                     continue
                 if code == end:
                     acc = nbits = 0
+                    done = True
                     break
                 if prev is None:
                     if code >= len(table_d):

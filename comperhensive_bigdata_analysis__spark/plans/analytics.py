@@ -727,7 +727,7 @@ def dow_seasonality(spark, sf_dir):
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.col("value").cast("decimal(18,6)")).alias("day_rev")
     )
-    by_dow = daily.groupBy(F.weekday("day").alias("dow")).agg(
+    by_dow = daily.groupBy(F.weekday("day").cast("long").alias("dow")).agg(
         F.sum("day_rev").alias("dow_rev"),
         F.count(F.lit(1)).alias("n_days"),
     )

@@ -670,7 +670,7 @@ _ANN_MATRIX_ORACLE = f"""
       SELECT 'pq' AS method, vec_id FROM ({_PQ_ORACLE})
     )
     SELECT u.method,
-           SUM(CASE WHEN bf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           CAST(SUM(CASE WHEN bf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
            SUM(CASE WHEN bf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
              / {float(KNN_K)} AS recall_at_k
     FROM u LEFT JOIN bf USING (vec_id)

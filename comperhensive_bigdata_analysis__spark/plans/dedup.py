@@ -420,10 +420,10 @@ _BLOOM_ORACLE = f"""
       FROM probe LEFT JOIN seen_digests sd USING (digest)
     )
     SELECT COUNT(*) AS n_candidates,
-           SUM(member) AS n_bloom_member,
-           SUM(exact_dup) AS n_exact_dup,
-           SUM(CASE WHEN member = 1 AND exact_dup = 0 THEN 1 ELSE 0 END)
-             AS n_false_pos
+           CAST(SUM(member) AS BIGINT) AS n_bloom_member,
+           CAST(SUM(exact_dup) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN member = 1 AND exact_dup = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
     FROM flagged
 """
 

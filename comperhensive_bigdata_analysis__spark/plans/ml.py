@@ -120,7 +120,7 @@ def kmeans_update(spark, sf_dir):
     return (
         v.join(a, "vec_id")
         # 1-based component index to match SQL array subscript convention
-        .groupBy(F.col("cid").alias("centroid"), (F.col("pos") + 1).alias("pos"))
+        .groupBy(F.col("cid").alias("centroid"), (F.col("pos") + 1).cast("long").alias("pos"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             (

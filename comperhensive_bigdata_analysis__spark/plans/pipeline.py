@@ -65,7 +65,7 @@ _PIPELINE_ORACLE = rf"""
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
     FROM kept
     WHERE quality >= {QUALITY_CUTOFF}

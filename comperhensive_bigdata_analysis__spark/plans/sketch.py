@@ -74,7 +74,7 @@ def unpivot_daily(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PIVOT_ORACLE = """
-    SELECT CAST(ts AS DATE) AS day,
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
            CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view,
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase
@@ -88,7 +88,7 @@ _PIVOT_ORACLE = """
 def pivot_daily_values(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return (
-        e.groupBy(F.col("ts").cast("date").alias("day"))
+        e.groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
         .pivot("event_type", ["click", "view", "purchase"])
         .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
         .orderBy("day")

@@ -92,7 +92,7 @@ def sql_date_literal_filter(spark, sf_dir):
 # -- date(col) on the events timestamp + IN list ---------------------------
 
 _DATE_COL_ORACLE = """
-    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, COUNT(*) AS n
     FROM events
     WHERE event_type IN ('click', 'view')
     GROUP BY 1
@@ -106,7 +106,7 @@ def sql_date_col_groupby(spark, sf_dir):
     filter — the reference's daily-rollup SQL shape via text."""
     return _engine(spark, sf_dir, "events").sql(
         """
-        SELECT date(ts) d, count(*) n
+        SELECT CAST(date(ts) AS STRING) d, count(*) n
         FROM events
         WHERE event_type IN ('click', 'view')
         GROUP BY 1
@@ -218,14 +218,16 @@ def sql_having_scalar_subquery(spark, sf_dir):
 # -- Presto function-compat layer through the front door -------------------
 
 _FN_COMPAT_ORACLE = """
-    SELECT CAST(ts AS DATE) AS day,
-           SUM(CASE WHEN strpos(event_type, 'c') > 0 THEN 1 ELSE 0 END)
-             AS n_with_c,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(SUM(CASE WHEN strpos(event_type, 'c') > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_c,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            MAX(date_diff('day', CAST(ts AS DATE), DATE '2026-01-01'))
              AS max_days_to_2026,
-           SUM(CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END) AS n_weekday,
-           SUM(CAST(trunc(value) AS BIGINT)) AS value_trunc_sum
+           CAST(SUM(CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_weekday,
+           CAST(SUM(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS value_trunc_sum
     FROM events
     GROUP BY CAST(ts AS DATE)
     ORDER BY day
@@ -243,7 +245,7 @@ def sql_presto_fn_compat(spark, sf_dir):
     row is a genuine cross-engine check of the MAPPING, not a replay."""
     return _engine(spark, sf_dir, "events").sql(
         """
-        SELECT date(ts) AS day,
+        SELECT CAST(date(ts) AS STRING) AS day,
                SUM(CASE WHEN strpos(event_type, 'c') > 0 THEN 1 ELSE 0 END)
                  AS n_with_c,
                SUM(CAST(json_extract_scalar(props, '$.k') AS BIGINT)) AS k_sum,

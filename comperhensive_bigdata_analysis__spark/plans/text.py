@@ -296,8 +296,8 @@ _REDACT_ORACLE = r"""
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN len1 < len0 THEN 1 ELSE 0 END) AS n_docs_hit,
-           SUM(len0 - len1) AS chars_removed
+           CAST(SUM(CASE WHEN len1 < len0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+           CAST(SUM(len0 - len1) AS BIGINT) AS chars_removed
     FROM r GROUP BY source ORDER BY source
 """
 

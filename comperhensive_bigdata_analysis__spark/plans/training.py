@@ -45,7 +45,7 @@ _SPLIT_ORACLE = """
              n_chars
       FROM documents
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM tagged GROUP BY split ORDER BY split
 """
 
@@ -91,7 +91,7 @@ def stratified_sample_docs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(_md5_str(F.col("doc_id")), F.col("doc_id"))
     return (
-        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        d.select("source", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= 5)
         .orderBy("source", "rk")
     )
@@ -140,7 +140,7 @@ def tfidf_top_terms(spark, sf_dir):
     )
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("rk"))
+        .select("doc_id", "term", "tf", "df", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= 3)
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -199,11 +199,11 @@ def boilerplate_scrub(spark, sf_dir):
         " ",
     )
     return (
-        d.select("doc_id", n_stop.alias("n_stopwords"), clean.alias("__clean"))
+        d.select("doc_id", n_stop.cast("long").alias("n_stopwords"), clean.alias("__clean"))
         .select(
             "doc_id",
             "n_stopwords",
-            F.length("__clean").alias("clean_chars"),
+            F.length("__clean").cast("long").alias("clean_chars"),
             F.md5(F.col("__clean").cast("binary")).alias("clean_sig"),
         )
         .orderBy("doc_id")
@@ -306,7 +306,7 @@ _LAG_ORACLE = """
     )
     SELECT user_id,
            COUNT(delta) AS n_deltas,
-           SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS n_increases,
+           CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_increases,
            CAST(SUM(CAST(delta AS DECIMAL(18,6))) AS DOUBLE) AS delta_sum
     FROM d GROUP BY user_id ORDER BY user_id
 """
@@ -354,7 +354,7 @@ def ntile_price_quartiles(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -429,9 +429,9 @@ def doc_chunks(spark, sf_dir):
         exploded.select(
             "doc_id",
             F.expr(f"CAST((s - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias("chunk_idx"),
-            F.least(F.lit(CHUNK_SIZE), F.col("__n") - F.col("s") + 1).alias(
-                "n_tokens"
-            ),
+            F.least(F.lit(CHUNK_SIZE), F.col("__n") - F.col("s") + 1)
+            .cast("long")
+            .alias("n_tokens"),
             F.md5(
                 F.concat_ws(" ", F.slice("__toks", F.col("s"), CHUNK_SIZE)).cast(
                     "binary"
@@ -456,7 +456,7 @@ _ENTROPY_ORACLE = r"""
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
     tot AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY doc_id)
-    SELECT tf.doc_id, MAX(tot.n) AS n_tokens,
+    SELECT tf.doc_id, CAST(MAX(tot.n) AS BIGINT) AS n_tokens,
            FLOOR(CAST(SUM(CAST(-(tf.tf / tot.n) * ln(tf.tf / tot.n)
                                AS DECIMAL(28,12))) AS DOUBLE) * 1e6) / 1e6
              AS token_entropy
@@ -676,8 +676,8 @@ _WSAMPLE_ORACLE = """
     )
     SELECT tier,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN h1 < thr THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN h1 < thr THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(SUM(CASE WHEN h1 < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN h1 < thr THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM t GROUP BY tier ORDER BY tier
 """
 
@@ -732,8 +732,8 @@ _SIGMA_ORACLE = """
     )
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS n_high,
-           SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS n_low,
+           CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
            CAST(SUM(CASE WHEN o_totalprice BETWEEN lo AND hi
                          THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
              AS inlier_revenue
@@ -858,7 +858,7 @@ def decile_revenue_share(spark, sf_dir):
     )
     w = Window.orderBy(F.col("rev").desc(), "o_custkey")
     g = (
-        cr.select("rev", F.ntile(10).over(w).alias("decile"))
+        cr.select("rev", F.ntile(10).over(w).cast("long").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -1118,7 +1118,7 @@ _SURPRISAL_ORACLE = r"""
     model AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
     n AS (SELECT SUM(cnt) AS n FROM model)
     SELECT tf.doc_id,
-           SUM(tf.tf) AS n_tokens,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
            FLOOR(CAST(SUM(CAST(tf.tf * -ln(model.cnt / n.n)
                                AS DECIMAL(28,12))) AS DOUBLE)
                  / SUM(tf.tf) * 1e6) / 1e6 AS avg_surprisal
@@ -1270,7 +1270,7 @@ _BPE_PAIRS_ORACLE = r"""
              tf
       FROM tf WHERE length(term) > 1
     )
-    SELECT pair, SUM(tf) AS n
+    SELECT pair, CAST(SUM(tf) AS BIGINT) AS n
     FROM pairs GROUP BY pair
     ORDER BY n DESC, pair LIMIT 50
 """
@@ -1332,8 +1332,8 @@ _SHARD_MANIFEST_ORACLE = rf"""
     )
     SELECT shard,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens,
-           SUM(n_chars) AS n_bytes,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
            MIN(doc_id) AS min_doc_id,
            MAX(doc_id) AS max_doc_id
     FROM assigned GROUP BY shard ORDER BY shard
@@ -1407,8 +1407,8 @@ _VOCAB_COVERAGE_ORACLE = r"""
     )
     SELECT source,
            COUNT(*) AS n_tokens,
-           SUM(CASE WHEN vocab.term IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab,
-           SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(SUM(CASE WHEN vocab.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+           CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS oov_rate
     FROM tok LEFT JOIN vocab USING (term)

@@ -184,7 +184,7 @@ def embedding_dim_moments(spark, sf_dir):
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     return m.select(
-        "pos",
+        F.col("pos").cast("long").alias("pos"),
         (F.floor((sx / n) * 1e6) / 1e6).alias("dim_mean"),
         (F.floor(((sxx - sx * sx / n) / (n - F.lit(1.0))) * 1e6) / 1e6).alias("dim_var"),
     ).orderBy("pos")
@@ -201,7 +201,7 @@ def embedding_dim_moments(spark, sf_dir):
 
 _ARGMAX_DIM_ORACLE = """
     WITH d AS (
-      SELECT list_indexof(embedding, list_aggregate(embedding, 'max')) AS dim
+      SELECT CAST(list_indexof(embedding, list_aggregate(embedding, 'max')) AS BIGINT) AS dim
       FROM embeddings
     )
     SELECT dim, COUNT(*) AS n

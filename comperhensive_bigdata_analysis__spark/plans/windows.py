@@ -38,8 +38,8 @@ _SESSION_ORACLE = f"""
     ),
     sess AS (
       SELECT user_id, ts, event_id, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -97,7 +97,7 @@ def running_user_totals_batch(spark, sf_dir):
             "event_id",
             "user_id",
             F.sum(F.col("value").cast(DEC)).over(wf).cast("double").alias("running_total"),
-            F.row_number().over(w).alias("event_seq"),
+            F.row_number().over(w).cast("long").alias("event_seq"),
         )
         .orderBy("user_id", "event_seq")
     )
@@ -437,7 +437,7 @@ _INTERVALS_ORACLE = f"""
     )
     SELECT user_id,
            COUNT(*) AS n_intervals,
-           SUM(ive - ivs) AS covered_us,
+           CAST(SUM(ive - ivs) AS BIGINT) AS covered_us,
            MAX(ive - ivs) AS longest_us
     FROM merged
     GROUP BY user_id
@@ -627,9 +627,9 @@ def pareto_frontier_orders(spark, sf_dir):
         "o_orderpriority",
         "o_orderkey",
         "o_totalprice",
-        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
-            "epoch_day"
-        ),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
     )
     w = (
         Window.partitionBy("o_orderpriority")

@@ -41,17 +41,20 @@ _NULLS_RE = re.compile(r"\bnulls\s+(first|last)\b", re.IGNORECASE)
 
 def _mask_literals(q: str) -> str:
     """Blank out the CONTENTS of single-quoted string literals (and the
-    '' escape) with spaces, preserving every character position, so the
+    '' escape) AND double-quoted identifiers (ANSI/Presto spelling, ""
+    escape) with spaces, preserving every character position, so the
     keyword/paren scans below can't be fooled by SQL text inside a
-    string. Quote characters themselves are kept."""
+    string or a quoted column name like "order by". Quote characters
+    themselves are kept."""
     out = list(q)
     i, n = 0, len(q)
     while i < n:
-        if q[i] == "'":
+        if q[i] in ("'", '"'):
+            quote = q[i]
             j = i + 1
             while j < n:
-                if q[j] == "'":
-                    if j + 1 < n and q[j + 1] == "'":  # '' escape
+                if q[j] == quote:
+                    if j + 1 < n and q[j + 1] == quote:  # doubled escape
                         out[j] = out[j + 1] = " "
                         j += 2
                         continue
@@ -62,6 +65,16 @@ def _mask_literals(q: str) -> str:
         else:
             i += 1
     return "".join(out)
+
+
+def _literal_flags(q: str) -> list[bool]:
+    """Per-character flags: True where the character sits INSIDE a
+    single-quoted string literal or a double-quoted identifier (quote
+    characters themselves are False). Same scan as _mask_literals,
+    exposed as positions so token rewrites can skip matches that start
+    inside quoted text."""
+    masked = _mask_literals(q)
+    return [m == " " and c != " " for c, m in zip(q, masked)]
 
 
 def _depth(q: str, upto: int) -> int:
@@ -156,9 +169,9 @@ def register_presto_compat(spark: SparkSession) -> None:
 
 #: Token rewrites for Presto spellings that can't be SQL UDFs: aggregate
 #: functions (SQL UDFs are scalar-only) and names that collide with
-#: 2-arg Spark builtins. Same documented caveat as the NULLS LAST shim:
-#: a match inside a string literal would also rewrite — spell the Spark
-#: name directly to opt out.
+#: 2-arg Spark builtins. Matches that START inside a single-quoted
+#: string literal are left untouched (translate checks _literal_flags),
+#: so text like '... approx_distinct(' in a literal survives verbatim.
 _TOKEN_REWRITES = (
     (re.compile(r"\bapprox_distinct\s*\(", re.IGNORECASE), "approx_count_distinct("),
     (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
@@ -186,7 +199,15 @@ def translate(q: str) -> str:
     while q.endswith(";"):
         q = q[:-1].rstrip()
     for pat, repl in _TOKEN_REWRITES:
-        q = pat.sub(repl, q)
+        # recomputed per pass — earlier rewrites shift literal offsets
+        flags = _literal_flags(q)
+
+        def _guarded(m, _repl=repl, _flags=flags):
+            if _flags[m.start()]:
+                return m.group(0)  # spelling inside a string literal
+            return _repl(m) if callable(_repl) else _repl
+
+        q = pat.sub(_guarded, q)
     return _presto_null_order(q)
 
 

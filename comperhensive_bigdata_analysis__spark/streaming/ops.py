@@ -397,6 +397,7 @@ def streaming_bloom_dedup(
     watermark-bounded dropDuplicates cannot offer.
     """
     import os as _os
+    import shutil as _shutil
 
     from ..functions.bloom import BLOOM_SEEDS, BLOOM_SLOTS, bloom_positions
 
@@ -415,21 +416,39 @@ def streaming_bloom_dedup(
         b = batch_df.withColumn("__digest", _digest_col()).dropDuplicates(
             ["__digest"]
         )
-        try:
-            filt = spark.read.parquet(filter_dir)
+        # Locate the committed filter explicitly instead of catching read
+        # errors: a corrupt/unreadable filter must FAIL the batch, never
+        # silently reset dedup history (an empty filter re-admits every
+        # previously-seen row). ``.old`` is the crash-recovery generation
+        # left by an interrupted rewrite below.
+        committed = None
+        for cand in (filter_dir, filter_dir + ".old"):
+            if _os.path.exists(_os.path.join(cand, "_SUCCESS")):
+                committed = cand
+                break
+        if committed is None and _os.path.isdir(filter_dir) and _os.listdir(
+            filter_dir
+        ):
+            raise ValueError(
+                f"bloom filter dir {filter_dir} exists but has no _SUCCESS "
+                "marker — it was not written by this operator's atomic "
+                "rewrite protocol. Refusing to treat it as 'first batch' "
+                "(that would silently reset dedup history); repair or "
+                "remove the directory."
+            )
+        if committed is not None:
+            filt = spark.read.parquet(committed)
             stored = filt.select(F.min("slots"), F.max("slots")).first()
             if stored[0] is not None and (stored[0] != slots or stored[1] != slots):
                 raise ValueError(
-                    f"bloom filter at {filter_dir} was built with "
+                    f"bloom filter at {committed} was built with "
                     f"slots={stored[0]}; restarting with slots={slots} would "
                     "silently re-admit previously-seen rows (positions are "
                     "mod slots*63). Use the original sizing or a fresh "
                     "filter_dir."
                 )
             filt = filt.select("slot", "bits")
-        except ValueError:
-            raise
-        except Exception:  # first batch — empty filter
+        else:  # genuinely first batch — empty filter
             filt = spark.createDataFrame([], "slot long, bits long")
 
         pos = bloom_positions(b, "__digest", slots=slots)
@@ -473,10 +492,23 @@ def streaming_bloom_dedup(
             .agg(F.expr("bit_or(bits)").alias("bits"))
             .collect()  # <= ``slots`` rows — bounded
         )
+        # Crash-safe rewrite: write the new generation to a temp dir, then
+        # swap via renames. A crash at any point leaves either the old
+        # filter at filter_dir or (mid-swap) at filter_dir + ".old", both
+        # of which the read path above recovers; history is never lost to
+        # a torn overwrite-in-place.
+        tmp_dir = filter_dir + f".tmp-{batch_id}"
+        old_dir = filter_dir + ".old"
         spark.createDataFrame(
             [(r["slot"], r["bits"], slots) for r in new_rows],
             "slot long, bits long, slots int",
-        ).coalesce(1).write.mode("overwrite").parquet(filter_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        if _os.path.exists(filter_dir):
+            # a live generation exists, so any .old is a stale leftover
+            _shutil.rmtree(old_dir, ignore_errors=True)
+            _os.rename(filter_dir, old_dir)
+        _os.rename(tmp_dir, filter_dir)
+        _shutil.rmtree(old_dir, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(apply_batch)

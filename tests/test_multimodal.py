@@ -651,3 +651,26 @@ def test_bmp_round_trip_and_contract():
     red = bmp_encode(6, 6, b"\xff\x00\x00" * 36)
     v = pixel_features(red, dim=8)
     assert v[0] > 0 and abs(v[2]) < 1e-12 and abs(v[4]) < 1e-12
+
+
+def test_gif_trailing_subblocks_after_eoi_ignored():
+    """Sub-block bytes AFTER the LZW end-of-information code must be
+    ignored (GIF spec appendix F): some encoders pad the final sub-block
+    group. Before the ``done`` flag (ADVICE r3/r4) the decoder kept
+    consuming them as LZW codes and could raise 'corrupt GIF LZW code'
+    on a perfectly decodable image."""
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode,
+        gif_pixels,
+    )
+
+    pal = _pal4()
+    idx = bytes(i % 4 for i in range(8 * 8))
+    g = gif_encode(8, 8, idx, pal)
+    assert g.endswith(b"\x00\x3b")
+    # splice a garbage data sub-block between the real sub-blocks (which
+    # end with EOI) and the block terminator
+    padded = g[:-2] + b"\x03\xff\xa5\x5a" + b"\x00\x3b"
+    out_w, out_h, ch, pix = gif_pixels(padded)
+    assert (out_w, out_h, ch) == (8, 8, 3)
+    assert pix == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)

@@ -83,3 +83,31 @@ def test_driver_window_spans_families():
     assert list(ent.oracle_sql())[: len(window)] == [
         n for n in window if n in plans.ORACLES
     ]
+
+
+def test_driver_window_plans_green_in_artifact():
+    """No known-red plan may sit in the driver window: every window
+    plan must be OK (strong hash match) in the committed full-catalog
+    artifact (ADVICE r4 — the previous check verified membership but
+    not health, letting hash-red plans ride the window)."""
+    import json
+    import pathlib
+
+    import __spark_entry__ as ent
+
+    art = json.loads(
+        (pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_FULL.json")
+        .read_text()
+    )
+
+    def green(row):
+        return bool(
+            row
+            and row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+            and row.get("err") is None
+        )
+
+    bad = {n: art.get(n) for n in ent._DRIVER_WINDOW if not green(art.get(n))}
+    assert not bad, f"driver window contains non-green plans: {sorted(bad)}"

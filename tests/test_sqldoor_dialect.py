@@ -150,3 +150,43 @@ def test_translate_idempotent_and_literal_safe():
     )
     # trailing semicolon never lands after the splice
     assert translate("SELECT a FROM t ORDER BY a;").endswith("NULLS LAST")
+
+
+def test_token_rewrites_skip_string_literals():
+    """Presto spellings INSIDE string literals survive verbatim — the
+    rewrites are guarded by literal positions, not run on raw text
+    (ADVICE r3/r4). Spellings outside the literal in the same statement
+    still rewrite."""
+    q = (
+        "SELECT approx_distinct(x), 'use approx_distinct(x) here' AS note"
+        " FROM t"
+    )
+    out = translate(q)
+    assert out.startswith("SELECT approx_count_distinct(x)")
+    assert "'use approx_distinct(x) here'" in out
+    # date_diff with the literal-unit first arg still rewrites (the
+    # unit literal is an ARGUMENT — only matches STARTING inside a
+    # literal are skipped)
+    assert "timestampdiff(DAY," in translate(
+        "SELECT date_diff('day', a, b) FROM t"
+    )
+    q_lit = "SELECT 'keep date_diff(''day'', a, b) text' FROM t"
+    assert translate(q_lit) == q_lit
+    # arbitrary() inside a literal is kept, outside is rewritten
+    q2 = "SELECT arbitrary(v), 'arbitrary(v)' FROM t"
+    out2 = translate(q2)
+    assert out2.startswith("SELECT any_value(v)")
+    assert "'arbitrary(v)'" in out2
+
+
+def test_double_quoted_identifiers_masked():
+    """A quoted identifier like "order by" (a legal ANSI column name)
+    must not trigger the NULLS LAST splice or token rewrites
+    (VERDICT r3 ask #7)."""
+    q = 'SELECT "order by" FROM t'
+    assert translate(q) == q
+    q2 = 'SELECT "approx_distinct(" FROM t'
+    assert translate(q2) == q2
+    # and a real ORDER BY after a quoted identifier still splices
+    out = translate('SELECT "order by" AS c FROM t ORDER BY c')
+    assert out.endswith("NULLS LAST")

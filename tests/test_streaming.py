@@ -314,3 +314,73 @@ def test_streaming_bloom_dedup(spark, stream_dir, tmp_path):
     )
     filt_rows = spark.read.parquet(filt).collect()
     assert 0 < len(filt_rows) <= 256
+
+
+def test_streaming_bloom_foreign_filter_dir_raises(spark, stream_dir, tmp_path):
+    """A filter_dir that exists with content but NO _SUCCESS marker was
+    not written by the operator's atomic-rename protocol — the batch
+    must FAIL instead of treating it as 'first batch' (which would
+    silently reset dedup history; ADVICE r3/r4)."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    out = str(tmp_path / "bloom_out")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    filt = str(tmp_path / "bloom_filter")
+    os.makedirs(filt)
+    with open(os.path.join(filt, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    src = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = ops.streaming_bloom_dedup(src, out, ckpt, filt, slots=256).trigger(
+        availableNow=True
+    ).start()
+    with pytest.raises(StreamingQueryException, match="_SUCCESS"):
+        q.awaitTermination(120)
+
+
+def test_streaming_bloom_old_generation_recovery(spark, stream_dir, tmp_path):
+    """Crash-recovery: if a rewrite died mid-swap (filter renamed to
+    ``.old``, new generation not yet promoted), the next run reads the
+    ``.old`` generation — dedup history survives, so replaying the same
+    corpus admits (almost) nothing and re-promotes a live filter dir."""
+    import os
+
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    filt = str(tmp_path / "bloom_filter")
+
+    def run(out, ckpt):
+        src = (
+            spark.readStream.schema(ops.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = ops.streaming_bloom_dedup(
+            src, out, str(tmp_path / ckpt), filt, slots=256
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run(out1, "ckpt1")
+    n_first = spark.read.parquet(out1).count()
+    assert n_first > 0
+
+    # simulate the mid-swap crash window: live generation at .old only
+    os.rename(filt, filt + ".old")
+    run(out2, "ckpt2")
+
+    batch2 = [d for d in os.listdir(out2) if d.startswith("batch_id=")]
+    n_second = sum(
+        spark.read.parquet(os.path.join(out2, d)).count() for d in batch2
+    ) if batch2 else 0
+    assert n_second == 0, (
+        f"replay admitted {n_second} rows — .old generation was not read, "
+        "dedup history silently reset"
+    )
+    # the rewrite re-promoted a live committed filter and cleaned up .old
+    assert os.path.exists(os.path.join(filt, "_SUCCESS"))
+    assert not os.path.exists(filt + ".old")
