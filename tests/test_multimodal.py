@@ -674,3 +674,67 @@ def test_gif_trailing_subblocks_after_eoi_ignored():
     out_w, out_h, ch, pix = gif_pixels(padded)
     assert (out_w, out_h, ch) == (8, 8, 3)
     assert pix == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+
+
+def test_wav_round_trip_exact_samples():
+    """PCM samples survive encode -> RIFF framing -> decode bit-exactly
+    for 8/16/32-bit widths and mono/stereo interleaving."""
+    import random
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        wav_encode,
+        wav_samples,
+    )
+
+    rnd = random.Random(7)
+    cases = [
+        (1, 1, [rnd.randrange(-128, 128) for _ in range(33)]),
+        (2, 1, [rnd.randrange(-32768, 32768) for _ in range(50)]),
+        (2, 2, [rnd.randrange(-32768, 32768) for _ in range(64)]),
+        (4, 1, [rnd.randrange(-(2**31), 2**31) for _ in range(17)]),
+    ]
+    for sw, ch, sig in cases:
+        wav = wav_encode(sig, sample_rate=44100, channels=ch, sampwidth=sw)
+        got_ch, got_fr, got_sw, dec = wav_samples(wav)
+        assert (got_ch, got_fr, got_sw) == (ch, 44100, sw)
+        assert dec == sig
+
+
+def test_wav_error_contract():
+    """ValueError for recognized-but-corrupt RIFF/WAVE; 
+    NotImplementedError for foreign containers and capability gaps
+    (24-bit PCM) — same classes as the image codecs."""
+    import pytest
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        media_samples,
+        wav_encode,
+        wav_samples,
+    )
+
+    good = wav_encode([1, 2, 3, 4], sample_rate=8000)
+    with pytest.raises(ValueError):
+        wav_samples(good[:20])  # truncated inside the fmt chunk
+    with pytest.raises(NotImplementedError):
+        wav_samples(b"nonsense bytes, not RIFF")
+    with pytest.raises(NotImplementedError):
+        media_samples(b"\x89PNG\r\n\x1a\n")  # image container, no samples
+    assert media_samples(good)[3] == [1, 2, 3, 4]
+
+
+def test_wav_feeds_spark_plan(spark):
+    """wav_audio_stats end-to-end on the smoke corpus: stats computed
+    from DECODED samples match the signal formula."""
+    from comperhensive_bigdata_analysis__spark.plans.multimodal import (
+        wav_audio_stats,
+    )
+
+    from .conftest import SF_SMOKE
+
+    row = wav_audio_stats(spark, SF_SMOKE).filter("doc_id = 5").first()
+    n, b = 32 + 5 % 41, 5 % 64
+    sig = [((b * 37 + k * 17) % 2048) - 1024 for k in range(n)]
+    assert row["n_samples"] == n
+    assert row["sum_amp"] == sum(sig)
+    assert row["sum_sq"] == sum(s * s for s in sig)
+    assert row["peak"] == max(sig)
