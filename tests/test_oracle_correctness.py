@@ -76,8 +76,10 @@ def test_driver_window_spans_families():
     assert set(window) <= set(plans.ORACLES), "window must be fully oracled"
     families = {q[n].__module__.rsplit(".", 1)[-1] for n in window}
     assert len(families) >= 8, families
-    for must in ("checksum_orders", "join_key_skew", "lang_id_stats"):
-        assert must in window
+    # r1-r4 red plans went driver-green in r4; the one remaining anchor
+    # obligation is the relational flagships (stable across rotations)
+    assert "checksum_orders" in window
+    assert "pricing_summary" in window
     # oracle_sql() must present the same head order so driver-side
     # zip-style iteration stays aligned
     assert list(ent.oracle_sql())[: len(window)] == [
