@@ -19,6 +19,10 @@ Codec tiers (all stdlib; PIL/ffmpeg/librosa are NOT in this container):
   digests decoded pixel bands, `extract_features` computes channel
   moments + luminance histograms from real pixels. PIL, where
   installed, is the fast path (resize_png tries it first).
+- `jpegcodec.jpeg_pixels` / `jpeg_encode` — real baseline-JPEG ENTROPY
+  codec (huffman bitstream, DC prediction, dezigzag, dequantize, 2-D
+  IDCT; Annex-K tables, byte stuffing). Progressive/subsampled streams
+  raise the capability error; `media_pixels` dispatches 0xFFD8 here.
 - `wav_samples` / `wav_encode` / `media_samples` — real PCM AUDIO
   codec for RIFF/WAVE (stdlib wave+struct): 8/16/32-bit, any channel
   count, samples decoded bit-exactly. The audio modality's stats
@@ -907,18 +911,22 @@ def gif_encode(
 
 
 def media_pixels(content: bytes) -> tuple[int, int, int, bytes]:
-    """Pixel-codec dispatcher: PNG and GIF decode to real pixels with
-    the stdlib tiers; other recognized containers raise
-    NotImplementedError (the PIL/ffmpeg plug-in seam), corrupt streams
-    raise ValueError. All pixel consumers (features, frame digests,
-    stats) route through here so a new codec un-gates every consumer
-    at once."""
+    """Pixel-codec dispatcher: PNG, GIF, BMP and baseline JPEG decode
+    to real pixels with the stdlib tiers; other recognized containers
+    raise NotImplementedError (the PIL/ffmpeg plug-in seam), corrupt
+    streams raise ValueError. All pixel consumers (features, frame
+    digests, stats) route through here so a new codec un-gates every
+    consumer at once."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixels(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixels(content)
     if content[:2] == b"BM":
         return bmp_pixels(content)
+    if content[:2] == b"\xff\xd8":
+        from .jpegcodec import jpeg_pixels
+
+        return jpeg_pixels(content)
     raise NotImplementedError("no stdlib pixel codec for this container")
 
 

@@ -738,3 +738,117 @@ def test_wav_feeds_spark_plan(spark):
     assert row["sum_amp"] == sum(sig)
     assert row["sum_sq"] == sum(s * s for s in sig)
     assert row["peak"] == max(sig)
+
+
+def test_jpeg_solid_and_flat_quant_round_trips_exact():
+    """Constant 8x8 blocks survive the lossy pipeline bit-exactly at
+    quantization step 1 (DC = 8*(v-128) is integral; AC vanish) — the
+    property jpeg_pixel_stats' closed-form oracle relies on."""
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+    )
+
+    for w, h, v in [(8, 8, 0), (24, 16, 255), (20, 13, 150), (9, 9, 37)]:
+        pix = bytes([v]) * (w * h)
+        gw, gh, ch, dec = jpeg_pixels(
+            jpeg_encode(pix, w, h, channels=1, qtable=QTABLE_FLAT)
+        )
+        assert (gw, gh, ch) == (w, h, 1)
+        assert dec == pix
+    # per-block-constant image with DC prediction across many blocks
+    w, h = 40, 24
+    pix = bytearray(w * h)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            val = (7 * bx + 11 * by + 3) % 256
+            for y in range(8):
+                row = (by * 8 + y) * w + bx * 8
+                pix[row : row + 8] = bytes([val]) * 8
+    _, _, _, dec = jpeg_pixels(
+        jpeg_encode(bytes(pix), w, h, channels=1, qtable=QTABLE_FLAT)
+    )
+    assert dec == bytes(pix)
+
+
+def test_jpeg_gradient_tolerance_and_ac_path():
+    """Gradients exercise the AC huffman path (runs, magnitudes, ZRL,
+    byte stuffing). Flat quantization keeps max error at the DCT
+    rounding floor; Annex-K tables stay within the classic quality-50
+    envelope on smooth content."""
+    import random
+
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+    )
+
+    rnd = random.Random(11)
+    w, h = 32, 24
+    pix = bytes(
+        min(255, max(0, x * 5 + y * 3 + rnd.randrange(3)))
+        for y in range(h)
+        for x in range(w)
+    )
+    enc = jpeg_encode(pix, w, h, channels=1, qtable=QTABLE_FLAT)
+    _, _, _, dec = jpeg_pixels(enc)
+    assert max(abs(a - b) for a, b in zip(pix, dec)) <= 2
+    enc_std = jpeg_encode(pix, w, h, channels=1)
+    _, _, _, dec_std = jpeg_pixels(enc_std)
+    assert max(abs(a - b) for a, b in zip(pix, dec_std)) <= 24
+    assert len(enc_std) < len(enc)  # real quantization compresses
+
+
+def test_jpeg_color_round_trip_tolerance():
+    """4:4:4 YCbCr color: flat quantization bounds the error to the
+    two colorspace roundings."""
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+    )
+
+    w, h = 16, 16
+    pix = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((x * 16) % 256, (y * 16) % 256, (x * 8 + y * 8) % 256)
+    )
+    _, _, ch, dec = jpeg_pixels(
+        jpeg_encode(pix, w, h, channels=3, qtable=QTABLE_FLAT)
+    )
+    assert ch == 3
+    assert max(abs(a - b) for a, b in zip(pix, dec)) <= 4
+
+
+def test_jpeg_error_contract_and_dispatcher():
+    """ValueError for corrupt streams; NotImplementedError for
+    progressive/subsampled capability gaps; media_pixels routes JPEG."""
+    import pytest
+
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+    )
+    from comperhensive_bigdata_analysis__spark.multimodal import media_pixels
+
+    good = jpeg_encode(bytes([80]) * 64, 8, 8, channels=1, qtable=QTABLE_FLAT)
+    assert media_pixels(good)[3] == bytes([80]) * 64
+    with pytest.raises(ValueError):
+        jpeg_pixels(good[:40])  # truncated in the segment stream
+    with pytest.raises(ValueError):
+        jpeg_pixels(b"notajpeg")
+    # flip SOF0 -> SOF2 (progressive): capability gap, not corruption
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        jpeg_pixels(prog)
+    # 2x2-subsampled luma component: declared seam
+    i = good.find(b"\xff\xc0")
+    sub = bytearray(good)
+    sub[i + 11] = 0x22  # sampling factors byte of component 1
+    with pytest.raises(NotImplementedError):
+        jpeg_pixels(bytes(sub))

@@ -69,7 +69,16 @@ EXTRA_PROBES: dict = {
 #: declarative tier (its (vec, subspace, codeword) distance combine is
 #: the catalog's widest explode-join) and the bloom membership probe
 #: (constant-size sketch — should be flat-ish, the probe proves it).
-for _name in ("pq_adc_knn", "bloom_filter_probe"):
+#: Round-5 additions (VERDICT r4 ask #6): the two heaviest eval plans
+#: by SCALE_AUDIT exchange count — grouped_exact_median (iterative
+#: histogram refinement, 8 exchanges) and ann_recall_matrix (4 ANN
+#: legs + recall join, 18 exchanges).
+for _name in (
+    "pq_adc_knn",
+    "bloom_filter_probe",
+    "grouped_exact_median",
+    "ann_recall_matrix",
+):
     EXTRA_PROBES[_name] = plans.QUERIES[_name]
 
 def _time(fn, spark, sf_dir) -> float:
@@ -166,6 +175,18 @@ def main() -> None:
             "- bloom_filter_probe's filter is constant-size by\n"
             "  construction; its time should track the (linear) digest\n"
             "  scan, with the 64-row bit_or reduce invariant.\n"
+            "- grouped_exact_median refines a fixed 256-bucket histogram\n"
+            "  per group per round, so each round is one map-side-combined\n"
+            "  exchange over the data and the ROUND COUNT grows with the\n"
+            "  value-range bits, not the row count — the ratio should sit\n"
+            "  at or under the inflation factor (rounds are identical at\n"
+            "  both scales because the value distribution is the same).\n"
+            "- ann_recall_matrix runs all four ANN legs plus the\n"
+            "  brute-force reference and joins them on vec_id; its growth\n"
+            "  is the max of its legs (brute force: linear at fixed K and\n"
+            "  query count; IVF/JL/PQ: linear candidate scans), so the\n"
+            "  eval inherits at-worst-linear behavior and the probe pins\n"
+            "  the 18-exchange composition's constant.\n"
             "- lsh_band_pairs is SUPER-linear at fixed hyperplane count:\n"
             "  with BITS_PER_BAND=4 there are only 16 buckets per band,\n"
             "  so bucket occupancy grows with n and candidate pairs grow\n"
