@@ -418,14 +418,28 @@ def decode_media(
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for "video" rows, emitting n_frames rows per
     video — the row-explosion shape a real frame sampler has, with
-    bounded memory. PNG payloads get the REAL pixel tier: frame i is
-    the md5 of the i-th equal-height band of actually-decoded pixel
-    rows (a genuine pixel read; an ffmpeg-backed sampler swaps in at
-    the same seam). Other payloads use the deterministic
-    md5(content || i) stand-in."""
+    bounded memory. Animated GIFs get REAL temporal frames: frame i is
+    the md5 of decoded frame floor(i * F / n_frames) — an actual
+    frame-sequence read from an actual animated container. Single-image
+    payloads (PNG/BMP/JPEG/still GIF) get the real pixel tier: frame i
+    is the md5 of the i-th equal-height band of decoded pixel rows.
+    Other payloads use the deterministic md5(content || i) stand-in
+    (the ffmpeg-backed sampler swaps in at the same seam)."""
     import pandas as pd
 
     def frame_digests(raw: bytes) -> list[str]:
+        if raw[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                decoded = gif_frames(raw)
+            except (NotImplementedError, ValueError):
+                decoded = []
+            if len(decoded) > 1:  # real animation: temporal sampling
+                return [
+                    hashlib.md5(
+                        decoded[f * len(decoded) // n_frames][3]
+                    ).hexdigest()
+                    for f in range(n_frames)
+                ]
         try:
             w, h, ch, pix = media_pixels(raw)
         except NotImplementedError:
@@ -675,14 +689,82 @@ def media_stats(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _gif_indexed(content: bytes) -> tuple[int, int, bytes, bytes]:
-    """Decode the first GIF image to (width, height, palette_indices,
-    color_table) — the indexed form resize re-encodes from; gif_pixels
-    expands it to RGB."""
+def _gif_subblocks(content: bytes, pos: int) -> tuple[bytearray, int]:
+    """Collect a GIF data sub-block chain starting at ``pos``; returns
+    (payload, position after the 0-length terminator)."""
+    data = bytearray()
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated GIF image data")
+        sz = content[pos]
+        pos += 1
+        if sz == 0:
+            return data, pos
+        data += content[pos : pos + sz]
+        if len(content) < pos + sz:
+            raise ValueError("truncated GIF sub-block")
+        pos += sz
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytearray:
+    """LZW decode (spec appendix F): LSB-first variable-width codes,
+    CLEAR resets, KwKwK case, end-of-information honored."""
+    clear = 1 << mcs
+    end = clear + 1
+    dict_base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table_d = list(dict_base)
+    width_bits = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    done = False  # end-of-information seen — ignore any trailing bits
+    for byte in data:
+        if done:
+            break
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width_bits:
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                table_d = list(dict_base)
+                width_bits = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                acc = nbits = 0
+                done = True
+                break
+            if prev is None:
+                if code >= len(table_d):
+                    raise ValueError("GIF LZW stream starts mid-dictionary")
+                entry = table_d[code]
+            else:
+                if code < len(table_d):
+                    entry = table_d[code]
+                    table_d.append(prev + entry[:1])
+                elif code == len(table_d):  # KwKwK case
+                    entry = prev + prev[:1]
+                    table_d.append(entry)
+                else:
+                    raise ValueError("corrupt GIF LZW code")
+                if len(table_d) == (1 << width_bits) and width_bits < 12:
+                    width_bits += 1
+            out += entry
+            prev = entry
+    return out
+
+
+def _gif_walk(content: bytes):
+    """Parse a GIF87a/89a stream into (screen_w, screen_h, gct,
+    bg_index, frames): every image descriptor decoded with its own
+    LZW stream, local table, de-interlace, and the graphic-control
+    state (transparent index, disposal) that preceded it."""
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     try:
-        sw, sh, packed, _bg, _par = struct.unpack("<HHBBB", content[6:13])
+        sw, sh, packed, bg, _par = struct.unpack("<HHBBB", content[6:13])
         pos = 13
         gct = b""
         if packed & 0x80:
@@ -691,120 +773,134 @@ def _gif_indexed(content: bytes) -> tuple[int, int, bytes, bytes]:
             if len(gct) != n:
                 raise ValueError("truncated GIF global color table")
             pos += n
-        # Walk blocks to the first image descriptor.
+        frames = []
+        transparent = None
+        disposal = 0
         while True:
             if pos >= len(content):
+                if frames:
+                    break  # missing trailer — tolerate, frames are whole
                 raise ValueError("GIF without image data")
             block = content[pos]
             pos += 1
-            if block == 0x3B:  # trailer before any image
-                raise ValueError("GIF without image data")
-            if block == 0x21:  # extension: label + sub-blocks
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                if pos >= len(content):
+                    raise ValueError("truncated GIF extension")
+                label = content[pos]
                 pos += 1
-                while True:
-                    if pos >= len(content):
-                        raise ValueError("truncated GIF extension")
-                    sz = content[pos]
-                    pos += 1 + sz
-                    if sz == 0:
-                        break
+                ext, pos = _gif_subblocks(content, pos)
+                if label == 0xF9 and len(ext) >= 4:  # graphic control
+                    disposal = (ext[0] >> 2) & 0x07
+                    transparent = ext[3] if ext[0] & 0x01 else None
                 continue
             if block != 0x2C:
                 raise ValueError(f"unexpected GIF block 0x{block:02x}")
-            break
-        _left, _top, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
-        pos += 9
-        interlaced = bool(ipacked & 0x40)
-        table = gct
-        if ipacked & 0x80:
-            n = 3 * (2 << (ipacked & 0x07))
-            table = content[pos : pos + n]
-            if len(table) != n:
-                raise ValueError("truncated GIF local color table")
-            pos += n
-        if not table:
-            raise ValueError("GIF image without a color table")
-        mcs = content[pos]
-        pos += 1
-        if not 2 <= mcs <= 11:
-            raise ValueError(f"invalid GIF LZW min code size {mcs}")
-        data = bytearray()
-        while True:
-            if pos >= len(content):
-                raise ValueError("truncated GIF image data")
-            sz = content[pos]
-            pos += 1
-            if sz == 0:
-                break
-            data += content[pos : pos + sz]
-            if len(content) < pos + sz:
-                raise ValueError("truncated GIF sub-block")
-            pos += sz
-
-        # LZW decode (spec appendix F): LSB-first variable-width codes.
-        clear = 1 << mcs
-        end = clear + 1
-        dict_base = [bytes([i]) for i in range(clear)] + [b"", b""]
-        table_d = list(dict_base)
-        width_bits = mcs + 1
-        out = bytearray()
-        prev: bytes | None = None
-        acc = nbits = 0
-        done = False  # end-of-information seen — ignore any trailing bits
-        for byte in data:
-            if done:
-                break
-            acc |= byte << nbits
-            nbits += 8
-            while nbits >= width_bits:
-                code = acc & ((1 << width_bits) - 1)
-                acc >>= width_bits
-                nbits -= width_bits
-                if code == clear:
-                    table_d = list(dict_base)
-                    width_bits = mcs + 1
-                    prev = None
-                    continue
-                if code == end:
-                    acc = nbits = 0
-                    done = True
-                    break
-                if prev is None:
-                    if code >= len(table_d):
-                        raise ValueError("GIF LZW stream starts mid-dictionary")
-                    entry = table_d[code]
-                else:
-                    if code < len(table_d):
-                        entry = table_d[code]
-                        table_d.append(prev + entry[:1])
-                    elif code == len(table_d):  # KwKwK case
-                        entry = prev + prev[:1]
-                        table_d.append(entry)
-                    else:
-                        raise ValueError("corrupt GIF LZW code")
-                    if len(table_d) == (1 << width_bits) and width_bits < 12:
-                        width_bits += 1
-                out += entry
-                prev = entry
-        if len(out) < w * h:
-            raise ValueError(
-                f"GIF pixel stream is {len(out)} indices, expected {w * h}"
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", content[pos : pos + 9]
             )
-        idx = out[: w * h]
-        if interlaced:
-            rows = []
-            src = 0
-            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-                for y in range(start, h, step):
-                    rows.append((y, idx[src * w : (src + 1) * w]))
-                    src += 1
-            ordered = bytearray(w * h)
-            for y, row in rows:
-                ordered[y * w : (y + 1) * w] = row
-            idx = bytes(ordered)
-        return w, h, bytes(idx), bytes(table)
+            pos += 9
+            interlaced = bool(ipacked & 0x40)
+            table = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                table = content[pos : pos + n]
+                if len(table) != n:
+                    raise ValueError("truncated GIF local color table")
+                pos += n
+            if not table:
+                raise ValueError("GIF image without a color table")
+            mcs = content[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"invalid GIF LZW min code size {mcs}")
+            data, pos = _gif_subblocks(content, pos)
+            out = _gif_lzw_decode(data, mcs)
+            if len(out) < w * h:
+                raise ValueError(
+                    f"GIF pixel stream is {len(out)} indices, expected {w * h}"
+                )
+            idx = out[: w * h]
+            if interlaced:
+                rows = []
+                srci = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for y in range(start, h, step):
+                        rows.append((y, idx[srci * w : (srci + 1) * w]))
+                        srci += 1
+                ordered = bytearray(w * h)
+                for y, row in rows:
+                    ordered[y * w : (y + 1) * w] = row
+                idx = bytes(ordered)
+            frames.append(
+                {
+                    "left": left, "top": top, "w": w, "h": h,
+                    "idx": bytes(idx), "table": bytes(table),
+                    "transparent": transparent, "disposal": disposal,
+                }
+            )
+            transparent = None
+            disposal = 0
+        if not frames:
+            raise ValueError("GIF without image data")
+        return sw, sh, gct, bg, frames
     except (struct.error, IndexError) as e:
         raise ValueError(f"truncated or corrupt GIF: {e}") from e
+
+
+def _gif_indexed(content: bytes) -> tuple[int, int, bytes, bytes]:
+    """Decode the first GIF image to (width, height, palette_indices,
+    color_table) — the indexed form resize re-encodes from; gif_pixels
+    expands it to RGB. Thin wrapper over the full-stream walker."""
+    _sw, _sh, _gct, _bg, frames = _gif_walk(content)
+    f = frames[0]
+    return f["w"], f["h"], f["idx"], f["table"]
+
+
+def gif_frames(content: bytes) -> list[tuple[int, int, int, bytes]]:
+    """Decode EVERY frame of a GIF87a/89a stream to full
+    logical-screen RGB images — the real "video" tier (a frame
+    sequence in an actual animated container). Frames composite onto
+    the running canvas per the graphic-control extension: sub-rect
+    frames paint over the previous canvas, a transparent index leaves
+    the underlying pixel, disposal 2 clears the rect back to the
+    background color. Disposal 3 (restore-to-previous) raises
+    NotImplementedError — the ffmpeg-class capability seam."""
+    sw, sh, gct, bg, frames = _gif_walk(content)
+    bg_rgb = (
+        bytes(gct[bg * 3 : bg * 3 + 3]) if gct and bg * 3 + 3 <= len(gct)
+        else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg_rgb * (sw * sh))
+    out: list[tuple[int, int, int, bytes]] = []
+    for f in frames:
+        if f["disposal"] == 3:
+            raise NotImplementedError(
+                "GIF disposal 3 (restore to previous) needs a frame store"
+            )
+        table, tr = f["table"], f["transparent"]
+        left, top, w, h = f["left"], f["top"], f["w"], f["h"]
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect exceeds logical screen")
+        idx = f["idx"]
+        for y in range(h):
+            row = ((top + y) * sw + left) * 3
+            src_row = y * w
+            for x in range(w):
+                ci = idx[src_row + x]
+                if tr is not None and ci == tr:
+                    continue
+                if ci * 3 + 3 > len(table):
+                    raise ValueError(f"GIF color index {ci} out of range")
+                o = row + x * 3
+                canvas[o : o + 3] = table[ci * 3 : ci * 3 + 3]
+        out.append((sw, sh, 3, bytes(canvas)))
+        if f["disposal"] == 2:  # restore rect to background
+            for y in range(h):
+                row = ((top + y) * sw + left) * 3
+                canvas[row : row + w * 3] = bg_rgb * w
+    return out
 
 
 def gif_pixels(content: bytes) -> tuple[int, int, int, bytes]:
@@ -839,23 +935,10 @@ def resize_gif(content: bytes, max_dim: int) -> tuple[bytes, int, int, int, int]
     return gif_encode(tw, th, small, table), w, h, tw, th
 
 
-def gif_encode(
-    width: int, height: int, indices: bytes, palette: bytes
-) -> bytes:
-    """Minimal deterministic GIF89a encoder for fixtures/round-trips:
-    one frame, global color table from ``palette`` (padded to a
-    power-of-two size), literal-code LZW (each pixel emitted as its own
-    code with CLEAR resets before the dictionary would outgrow 12
-    bits) — spec-valid output any decoder accepts, optimized for
-    simplicity, not ratio."""
-    if len(indices) != width * height:
-        raise ValueError("indices length != width*height")
-    ncolors = max(2, len(palette) // 3)
-    size_exp = max(1, (ncolors - 1).bit_length())
-    mcs = max(2, size_exp)
-    table = bytearray(palette[: (1 << size_exp) * 3])
-    table += b"\x00" * ((1 << size_exp) * 3 - len(table))
-
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytearray:
+    """Literal-code LZW (each pixel emitted as its own code, CLEAR
+    resets before the dictionary would outgrow 12 bits) — spec-valid,
+    mirrors the decoder's dictionary growth exactly."""
     clear = 1 << mcs
     end = clear + 1
     bits = bytearray()
@@ -896,17 +979,82 @@ def gif_encode(
     emit(end, width_bits)
     if nbits:
         bits.append(acc & 0xFF)
+    return bits
 
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, 0x80 | ((size_exp - 1) & 7), 0, 0)
-    out += table
+
+def _gif_table_params(palette: bytes) -> tuple[int, int, bytes]:
+    """(size_exp, min_code_size, padded color table) for a palette."""
+    ncolors = max(2, len(palette) // 3)
+    size_exp = max(1, (ncolors - 1).bit_length())
+    mcs = max(2, size_exp)
+    table = bytearray(palette[: (1 << size_exp) * 3])
+    table += b"\x00" * ((1 << size_exp) * 3 - len(table))
+    return size_exp, mcs, bytes(table)
+
+
+def _gif_image_blocks(
+    width: int, height: int, indices: bytes, mcs: int
+) -> bytearray:
+    """Image descriptor + LZW data sub-blocks for one frame at (0,0)."""
+    out = bytearray()
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
     out.append(mcs)
+    bits = _gif_lzw_encode(indices, mcs)
     for i in range(0, len(bits), 255):
         chunk = bits[i : i + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3b"
+    out.append(0)  # sub-block terminator
+    return out
+
+
+def gif_encode(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Minimal deterministic GIF89a encoder for fixtures/round-trips:
+    one frame, global color table from ``palette`` (padded to a
+    power-of-two size), literal-code LZW — spec-valid output any
+    decoder accepts, optimized for simplicity, not ratio."""
+    if len(indices) != width * height:
+        raise ValueError("indices length != width*height")
+    size_exp, mcs, table = _gif_table_params(palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((size_exp - 1) & 7), 0, 0)
+    out += table
+    out += _gif_image_blocks(width, height, indices, mcs)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_encode_animated(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    palette: bytes,
+    delay_cs: int = 4,
+) -> bytes:
+    """Animated GIF89a encoder (the "video" fixture tier): NETSCAPE
+    loop extension, one graphic-control extension (delay, no
+    transparency, disposal 1 = leave) + full-screen image descriptor
+    per frame. Players animate the output; gif_frames decodes it back
+    frame-exactly."""
+    if not frames:
+        raise ValueError("gif_encode_animated needs at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame length != width*height")
+    size_exp, mcs, table = _gif_table_params(palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((size_exp - 1) & 7), 0, 0)
+    out += table
+    # NETSCAPE 2.0 infinite-loop application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack(
+            "<H", delay_cs
+        ) + b"\x00\x00"  # disposal 1, no transparency
+        out += _gif_image_blocks(width, height, f, mcs)
+    out += b"\x3b"
     return bytes(out)
 
 

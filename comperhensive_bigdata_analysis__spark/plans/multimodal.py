@@ -603,3 +603,110 @@ def jpeg_pixel_stats(spark, sf_dir):
         stats,
         schema="doc_id long, width int, height int, sum_lum long",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Animated-GIF frame census — the VIDEO modality's real tier (frame
+# sequences in an actual animated container, completing the
+# image/audio/video trio beside media_pixel_stats and wav_audio_stats).
+# Per document: synthesize an F-frame animation in the executors
+# (gif_encode_animated: NETSCAPE loop + per-frame GCE + LZW), decode
+# EVERY frame back (gif_frames: full walker + canvas compositing), and
+# sum each channel per frame. Frame f's pattern is pixel i -> palette
+# index (i + f) % 4 with palette c = (10c+1, 20c+2, 30c+3), so index c
+# appears n_c(f) = (w*h - ((c - f) mod 4) + 3) // 4 times — the oracle
+# states every frame's channel sums in closed form; a hash match
+# proves the whole animation survived encode -> GCE/descriptor framing
+# -> LZW -> compositing frame-exactly.
+# Geometry: w = 4 + doc_id % 9, h = 4 + doc_id % 7,
+# F = 2 + doc_id % 3 frames.
+# ---------------------------------------------------------------------------
+
+_VID_W = "4 + doc_id % 9"
+_VID_H = "4 + doc_id % 7"
+_VID_F = "2 + doc_id % 3"
+
+
+@plan(
+    "gif_video_frames",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST({_VID_W} AS BIGINT) AS w,
+             CAST({_VID_H} AS BIGINT) AS h,
+             CAST({_VID_F} AS BIGINT) AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_idx
+      FROM p
+    ),
+    n AS (
+      SELECT doc_id, w, h, frame_idx,
+             (w * h - ((0 - frame_idx) % 4 + 4) % 4 + 3) // 4 AS n0,
+             (w * h - ((1 - frame_idx) % 4 + 4) % 4 + 3) // 4 AS n1,
+             (w * h - ((2 - frame_idx) % 4 + 4) % 4 + 3) // 4 AS n2,
+             (w * h - ((3 - frame_idx) % 4 + 4) % 4 + 3) // 4 AS n3
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(n0 * 1 + n1 * 11 + n2 * 21 + n3 * 31 AS BIGINT) AS sum_r,
+           CAST(n0 * 2 + n1 * 22 + n2 * 42 + n3 * 62 AS BIGINT) AS sum_g,
+           CAST(n0 * 3 + n1 * 33 + n2 * 63 + n3 * 93 AS BIGINT) AS sum_b
+    FROM n
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def gif_video_frames(spark, sf_dir):
+    """See module comment above — real animated-container frame decode
+    verified against a closed-form per-frame oracle.
+
+    100 TB: embarrassingly parallel map over the media column with a
+    bounded row explosion (F <= 4 frame rows per clip — the shape a
+    real frame sampler has); bytes never shuffle. The per-pixel Python
+    compositor is the correctness tier; ffmpeg drops in at the
+    gif_frames seam for throughput.
+    """
+    import pandas as pd
+
+    from ..multimodal import gif_encode_animated, gif_frames
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes(
+        v for c in range(4) for v in (10 * c + 1, 20 * c + 2, 30 * c + 3)
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for i in pdf["doc_id"].astype("int64"):
+                w, h, nf = 4 + int(i) % 9, 4 + int(i) % 7, 2 + int(i) % 3
+                frames = [
+                    bytes((j + f) % 4 for j in range(w * h))
+                    for f in range(nf)
+                ]
+                decoded = gif_frames(
+                    gif_encode_animated(w, h, frames, palette)
+                )
+                for f, (gw, gh, _ch, rgb) in enumerate(decoded):
+                    sums = [0, 0, 0]
+                    for j, b in enumerate(rgb):
+                        sums[j % 3] += b
+                    out["doc_id"].append(int(i))
+                    out["frame_idx"].append(f)
+                    out["width"].append(gw)
+                    out["height"].append(gh)
+                    out["sum_r"].append(sums[0])
+                    out["sum_g"].append(sums[1])
+                    out["sum_b"].append(sums[2])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        stats,
+        schema="doc_id long, frame_idx long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
+    ).orderBy("doc_id", "frame_idx")

@@ -852,3 +852,99 @@ def test_jpeg_error_contract_and_dispatcher():
     sub[i + 11] = 0x22  # sampling factors byte of component 1
     with pytest.raises(NotImplementedError):
         jpeg_pixels(bytes(sub))
+
+
+def test_gif_animated_frames_round_trip():
+    """Every frame of an animated GIF decodes back frame-exactly
+    (NETSCAPE loop + GCE framing + per-frame LZW + compositing)."""
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode_animated,
+        gif_frames,
+        gif_pixels,
+    )
+
+    pal = _pal4()
+    w, h = 10, 6
+    frames = [bytes((i + f) % 4 for i in range(w * h)) for f in range(4)]
+    ag = gif_encode_animated(w, h, frames, pal)
+    dec = gif_frames(ag)
+    assert len(dec) == 4
+    for f, (gw, gh, ch, rgb) in enumerate(dec):
+        assert (gw, gh, ch) == (w, h, 3)
+        assert rgb == b"".join(
+            pal[ci * 3 : ci * 3 + 3] for ci in frames[f]
+        )
+    # first-frame consumers (pixel stats/features) see frame 0
+    assert gif_pixels(ag)[3] == dec[0][3]
+
+
+def test_gif_frames_transparency_and_disposal():
+    """A transparent index leaves the prior canvas visible; disposal 2
+    clears the rect to background between frames; disposal 3 raises
+    the capability error."""
+    import struct as st
+
+    import pytest
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode_animated,
+        gif_frames,
+    )
+
+    pal = _pal4()
+    w, h = 4, 4
+    f0 = bytes([1]) * 16  # solid green
+    f1 = bytes([2] * 8 + [0] * 8)  # top blue, bottom 'transparent' (idx 0)
+    ag = bytearray(gif_encode_animated(w, h, [f0, f1], pal))
+    # mark index 0 transparent in the SECOND frame's GCE
+    gce_positions = [
+        i for i in range(len(ag) - 1) if ag[i] == 0x21 and ag[i + 1] == 0xF9
+    ]
+    assert len(gce_positions) == 2
+    p = gce_positions[1]
+    ag[p + 3] |= 0x01  # transparency flag
+    ag[p + 6] = 0  # transparent index 0
+    dec = gif_frames(bytes(ag))
+    green, blue = pal[3:6], pal[6:9]
+    # frame 1: top half blue, bottom half still green from frame 0
+    assert dec[1][3] == blue * 8 + green * 8
+    # disposal 3 raises
+    ag2 = bytearray(gif_encode_animated(w, h, [f0, f1], pal))
+    p2 = [
+        i for i in range(len(ag2) - 1)
+        if ag2[i] == 0x21 and ag2[i + 1] == 0xF9
+    ][0]
+    ag2[p2 + 3] = (ag2[p2 + 3] & ~0x1C) | (3 << 2)
+    with pytest.raises(NotImplementedError):
+        gif_frames(bytes(ag2))
+
+
+def test_sample_frames_real_temporal_frames_for_animation(spark):
+    """Video rows backed by an animated GIF digest ACTUAL temporal
+    frames, not spatial bands."""
+    import hashlib as hl
+
+    import pandas as pd
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode_animated,
+        gif_frames,
+        sample_frames,
+    )
+
+    pal = _pal4()
+    frames = [bytes([f % 4]) * 36 for f in range(4)]
+    ag = gif_encode_animated(6, 6, frames, pal)
+    media = spark.createDataFrame(
+        pd.DataFrame({"id": [9], "content": [ag], "media_type": ["video"]})
+    )
+    got = sorted(
+        (r["frame_idx"], r["frame_digest"])
+        for r in sample_frames(media, n_frames=4).collect()
+    )
+    dec = gif_frames(ag)
+    expect = [(f, hl.md5(dec[f][3]).hexdigest()) for f in range(4)]
+    assert got == expect
+    # 4 distinct frames -> 4 distinct digests (bands of a still would
+    # collapse for solid frames)
+    assert len({d for _, d in got}) == 4
