@@ -50,3 +50,4 @@ from . import ml  # noqa: E402,F401
 from . import behavior  # noqa: E402,F401
 from . import audit  # noqa: E402,F401
 from . import sqldoor  # noqa: E402,F401
+from . import layout  # noqa: E402,F401

@@ -222,3 +222,106 @@ def embedding_argmax_dim(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-BOW retrieval pipeline — the end-to-end text -> vector ->
+# top-k composition a RAG ingest needs, fully oracled: tokenize the
+# corpus, feature-hash terms into a 32-bucket sparse embedding
+# (md5-derived bucket, identical on both engines), and retrieve the 10
+# nearest documents to doc 0 by cosine. All mass stays integer (tf
+# sums, dot products, squared norms); the only float is the ranking
+# key dot^2/norm — a single correctly-rounded IEEE division identical
+# on both engines — and it never reaches the output columns.
+# ---------------------------------------------------------------------------
+
+_HASH_DIM = 32
+_HE_QUERY_DOC = 0
+_HE_TOPK = 10
+
+_HASH_EMBED_ORACLE = rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    emb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % {_HASH_DIM}
+               AS bucket,
+             SUM(tf) AS v
+      FROM tf GROUP BY doc_id, bucket
+    ),
+    q AS (SELECT bucket, v AS qv FROM emb WHERE doc_id = {_HE_QUERY_DOC}),
+    norms AS (SELECT doc_id, SUM(v * v) AS nd FROM emb GROUP BY doc_id),
+    dots AS (
+      SELECT e.doc_id, SUM(e.v * q.qv) AS dot
+      FROM emb e JOIN q USING (bucket)
+      WHERE e.doc_id <> {_HE_QUERY_DOC}
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.dot AS BIGINT) AS dot,
+           CAST(n.nd AS BIGINT) AS norm_sq
+    FROM dots d JOIN norms n USING (doc_id)
+    ORDER BY CAST(d.dot * d.dot AS DOUBLE) / n.nd DESC, d.doc_id
+    LIMIT {_HE_TOPK}
+"""
+
+
+@plan("hash_embed_topk", _HASH_EMBED_ORACLE)
+def hash_embed_topk(spark, sf_dir):
+    """Top-{_HE_TOPK} nearest documents to doc {_HE_QUERY_DOC} under a
+    32-dim feature-hashed bag-of-words embedding (see module comment).
+
+    100 TB: the query vector is <= 32 rows (broadcast); the embedding
+    is one (doc, bucket) map-side-combined aggregate over the token
+    relation; the candidate dot products shuffle once on doc_id; the
+    final ranking is a top-k (TakeOrderedAndProject), never a global
+    sort. Cosine ranking compares dot^2/norm, so no sqrt and no float
+    accumulation anywhere.
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % _HASH_DIM
+    )
+    emb = (
+        tf.select("doc_id", bucket.alias("bucket"), "tf")
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("tf").alias("v"))
+    )
+    q = (
+        emb.filter(F.col("doc_id") == _HE_QUERY_DOC)
+        .select("bucket", F.col("v").alias("qv"))
+    )
+    norms = emb.groupBy("doc_id").agg(F.sum(F.col("v") * F.col("v")).alias("nd"))
+    dots = (
+        emb.filter(F.col("doc_id") != _HE_QUERY_DOC)
+        .join(F.broadcast(q), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+    )
+    ranked = (
+        dots.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.col("dot").alias("dot"),
+            F.col("nd").alias("norm_sq"),
+            ((F.col("dot") * F.col("dot")).cast("double") / F.col("nd")).alias(
+                "__rank"
+            ),
+        )
+        .orderBy(F.col("__rank").desc(), "doc_id")
+        .limit(_HE_TOPK)
+        .select("doc_id", "dot", "norm_sq")
+    )
+    return ranked

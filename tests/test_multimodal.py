@@ -948,3 +948,112 @@ def test_sample_frames_real_temporal_frames_for_animation(spark):
     # 4 distinct frames -> 4 distinct digests (bands of a still would
     # collapse for solid frames)
     assert len({d for _, d in got}) == 4
+
+
+def test_jpeg_block_constant_round_trip_property():
+    """Property: ANY image of constant 8x8 blocks round-trips
+    bit-exactly through jpeg_encode -> jpeg_pixels at quantization
+    step 1, for any geometry and block values (the closed-form-oracle
+    regime of jpeg_pixel_stats)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        bw=st.integers(1, 4),
+        bh=st.integers(1, 3),
+        seed=st.integers(0, 2**31),
+    )
+    def check(bw, bh, seed):
+        import random
+
+        rnd = random.Random(seed)
+        w, h = bw * 8, bh * 8
+        pix = bytearray(w * h)
+        for by in range(bh):
+            for bx in range(bw):
+                v = rnd.randrange(256)
+                for y in range(8):
+                    row = (by * 8 + y) * w + bx * 8
+                    pix[row : row + 8] = bytes([v]) * 8
+        gw, gh, ch, dec = jpeg_pixels(
+            jpeg_encode(bytes(pix), w, h, channels=1, qtable=QTABLE_FLAT)
+        )
+        assert (gw, gh, ch) == (w, h, 1)
+        assert dec == bytes(pix)
+
+    check()
+
+
+def test_wav_round_trip_property():
+    """Property: ANY 16-bit sample sequence round-trips bit-exactly
+    through wav_encode -> wav_samples for mono and stereo."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        wav_encode,
+        wav_samples,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        sig=st.lists(st.integers(-32768, 32767), min_size=2, max_size=200),
+        ch=st.sampled_from([1, 2]),
+    )
+    def check(sig, ch):
+        if len(sig) % ch:
+            sig = sig[:-1]
+        if not sig:
+            return
+        got_ch, _fr, _sw, dec = wav_samples(
+            wav_encode(sig, sample_rate=16000, channels=ch)
+        )
+        assert got_ch == ch
+        assert dec == sig
+
+    check()
+
+
+def test_gif_animated_round_trip_property():
+    """Property: ANY frame sequence of indexed images round-trips
+    frame-exactly through gif_encode_animated -> gif_frames."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        gif_encode_animated,
+        gif_frames,
+    )
+
+    pal = _pal4()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 12),
+        nf=st.integers(1, 5),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, nf, seed):
+        import random
+
+        rnd = random.Random(seed)
+        frames = [
+            bytes(rnd.randrange(4) for _ in range(w * h)) for _ in range(nf)
+        ]
+        dec = gif_frames(gif_encode_animated(w, h, frames, pal))
+        assert len(dec) == nf
+        for f, (gw, gh, ch, rgb) in enumerate(dec):
+            assert (gw, gh, ch) == (w, h, 3)
+            assert rgb == b"".join(
+                pal[ci * 3 : ci * 3 + 3] for ci in frames[f]
+            )
+
+    check()
