@@ -113,6 +113,10 @@ HEADLINE = {
     # r3 additive entries (per-query continuity: q1-q15 unchanged):
     "q16_pq_adc_knn": None,  # bound below (numpy production tier)
     "q17_unigram_surprisal": plans.QUERIES["unigram_lm_surprisal"],
+    # r5 additive entries (same policy: per-query rows + additions_sec,
+    # never the headline total):
+    "q18_hash_embed_topk": plans.QUERIES["hash_embed_topk"],
+    "q19_zorder_skipping": plans.QUERIES["zorder_skipping_stats"],
 }
 
 
@@ -134,6 +138,15 @@ def _pq_fast(spark, sf_dir):
 
 
 HEADLINE["q16_pq_adc_knn"] = _pq_fast
+
+#: Additive entries: reported per-query and in additions_sec, kept out
+#: of the headline total so it stays comparable to BENCH_r01/r02.
+_ADDITIONS = (
+    "q16_pq_adc_knn",
+    "q17_unigram_surprisal",
+    "q18_hash_embed_topk",
+    "q19_zorder_skipping",
+)
 
 #: Large-scale tier (VERDICT r2 ask #8): the 3 slowest headliners re-run
 #: on an 8x key-disjoint inflation of the sf dir, reported as
@@ -220,15 +233,12 @@ def main() -> None:
                     sum(
                         v
                         for k, v in timings.items()
-                        if "@" not in k and k not in ("q16_pq_adc_knn", "q17_unigram_surprisal")
+                        if "@" not in k and k not in _ADDITIONS
                     ),
                     3,
                 ),
                 "additions_sec": round(
-                    sum(
-                        timings.get(k, 0.0)
-                        for k in ("q16_pq_adc_knn", "q17_unigram_surprisal")
-                    ),
+                    sum(timings.get(k, 0.0) for k in _ADDITIONS),
                     3,
                 ),
                 "unit": "sec",

@@ -6,9 +6,11 @@ exercised by tests/test_layout.py against real files; what a DuckDB
 oracle CAN check is the math that makes the layout work — the integer
 bucket scaling, the Morton bit interleave, and the resulting per-file
 min/max narrowing that parquet row-group stats exploit. The plan
-models "files" as NTILE range buckets of the z-key (exactly what
-repartitionByRange produces), so the oracle verifies the whole
-skipping story end-to-end without touching a filesystem.
+models "files" as equal-width z-key ranges (the footprint shape
+repartitionByRange + sortWithinPartitions produces, computed as pure
+integer arithmetic so no global window ever touches fact rows), so
+the oracle verifies the whole skipping story end-to-end without
+touching a filesystem.
 
 Reference parity: the reference has no layout optimizer (it delegates
 storage to S3/Hive defaults, aws_utils.py); this is part of the
@@ -18,7 +20,6 @@ mandated beyond-reference scale surface (SURVEY §7.5 S12/S13 analog).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..sources.layout import zorder_key
 from ..sources.tables import load_table
@@ -61,7 +62,7 @@ _ZORDER_ORACLE = f"""
     ),
     f AS (
       SELECT cents, eday, zkey,
-             NTILE({_N_FILES}) OVER (ORDER BY zkey, o_orderkey) AS file_id
+             (zkey * {_N_FILES}) // ((SELECT MAX(zkey) FROM z) + 1) AS file_id
       FROM z
     )
     SELECT CAST(file_id AS BIGINT) AS file_id,
@@ -82,16 +83,18 @@ _ZORDER_ORACLE = f"""
 def zorder_skipping_stats(spark, sf_dir):
     """Per-"file" min/max footprint of a 2-column z-order layout of
     orders (price cents x order day, 8 bits each), files modeled as
-    the {_N_FILES} z-key range buckets write_zordered would emit.
+    equal-width z-key range buckets (write_zordered's footprint).
     Narrow per-file ranges on BOTH columns = predicates on EITHER
     column skip most files via parquet stats — the claim, verified
     cross-engine down to the interleaved bits.
 
-    100 TB: the scale agg is one tiny broadcast row; the z-key is pure
-    JVM bit arithmetic (no UDF, no shuffle); the only exchange is the
-    range partition by z-key — identical to what the real
-    write_zordered pays. Integer-only math end-to-end (DETERMINISM
-    §12): bucket = (x - mn) * top DIV span, never a float ratio.
+    100 TB: the scale aggs are two tiny broadcast rows; the z-key is
+    pure JVM bit arithmetic (no UDF, no shuffle); the only exchange is
+    the final per-file rollup — file-id assignment is arithmetic on a
+    broadcast 1-row max, so no global window or sort ever touches fact
+    rows (the thing NTILE would have cost). Integer-only math
+    end-to-end (DETERMINISM §12): bucket = (x - mn) * top DIV span,
+    never a float ratio.
     """
     o = load_table(spark, sf_dir, "orders")
     src = o.select(
@@ -115,9 +118,12 @@ def zorder_skipping_stats(spark, sf_dir):
         F.expr(f"(eday - mnd) * {_TOP} DIV GREATEST(mxd - mnd, 1)").alias("by"),
     )
     z = b.withColumn("zkey", zorder_key([F.col("bx"), F.col("by")], bits=_BITS))
-    w = Window.orderBy("zkey", "o_orderkey")
-    f = z.select(
-        "cents", "eday", "zkey", F.ntile(_N_FILES).over(w).alias("file_id")
+    zmax = z.agg(F.max("zkey").alias("zmx"))
+    f = z.crossJoin(F.broadcast(zmax)).select(
+        "cents",
+        "eday",
+        "zkey",
+        F.expr(f"zkey * {_N_FILES} DIV (zmx + 1)").alias("file_id"),
     )
     return (
         f.groupBy(F.col("file_id").cast("long").alias("file_id"))

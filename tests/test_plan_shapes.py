@@ -212,3 +212,30 @@ def test_audience_overlap_sizes_are_broadcast(spark, sf_dir):
 def test_top_event_paths_is_take_ordered(spark, sf_dir):
     ex = _explain(plans.QUERIES["top_event_paths"](spark, sf_dir))
     assert "TakeOrderedAndProject" in ex
+
+
+def test_hash_embed_topk_broadcasts_query_and_takes_ordered(spark, sf_dir):
+    """The retrieval pipeline's 100 TB posture: the <=32-row query
+    vector broadcasts into the candidate dot products, the final
+    ranking compiles to TakeOrderedAndProject (top-k, never a global
+    sort), and nothing degenerates to a nested loop."""
+    ex = _explain(plans.QUERIES["hash_embed_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in ex
+    assert "TakeOrderedAndProject" in ex
+    assert "CartesianProduct" not in ex
+    assert "BroadcastNestedLoopJoin" not in ex
+
+
+def test_zorder_skipping_stats_broadcasts_scale_row(spark, sf_dir):
+    """The z-order bucket scaling joins a ONE-row min/max aggregate
+    against every order row — that join must be a broadcast (the
+    cross join of a 1-row relation plans as BroadcastNestedLoopJoin,
+    which is the right physical shape for 1 x N), the z-key math stays
+    JVM arithmetic (no Python stage in the plan), and no global
+    window/sort ever touches the fact rows — file-id assignment is
+    pure arithmetic."""
+    ex = _explain(plans.QUERIES["zorder_skipping_stats"](spark, sf_dir))
+    assert "Broadcast" in ex
+    assert "CartesianProduct" not in ex
+    assert "BatchEvalPython" not in ex and "ArrowEvalPython" not in ex
+    assert "Window" not in ex  # NTILE would single-partition fact rows
