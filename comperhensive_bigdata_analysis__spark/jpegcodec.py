@@ -11,10 +11,12 @@ the correctness tier; PIL remains the drop-in fast path at the same
 `media_pixels` dispatcher seam.
 
 Scope (documented capability seam, same error contract as the PNG/GIF
-tiers): baseline DCT (SOF0), 8-bit, grayscale or 4:4:4 YCbCr color,
-no restart intervals. Progressive (SOF2), subsampled chroma, 12-bit,
-and arithmetic coding raise NotImplementedError; malformed streams
-raise ValueError.
+tiers): baseline DCT (SOF0), 8-bit, grayscale or YCbCr color at
+4:4:4 / 4:2:2 / 4:2:0 chroma sampling (MCU-interleaved scans with
+replication upsampling — the layouts real-world JPEGs use), no
+restart intervals. Progressive (SOF2), sampling factors above 2,
+12-bit, and arithmetic coding raise NotImplementedError; malformed
+streams raise ValueError.
 
 JPEG is lossy in general: round trips are bit-exact only where the
 math is (constant blocks whose DC quantizes exactly — what the
@@ -284,19 +286,50 @@ def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     return clamp(r), clamp(g), clamp(b)
 
 
-def _plane_blocks(plane: list[int], width: int, height: int):
-    """Yield level-shifted 8x8 blocks, edge-replicated to full blocks."""
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    for by in range(bh):
-        for bx in range(bw):
-            block = [0] * 64
-            for y in range(8):
-                sy = min(by * 8 + y, height - 1)
-                for x in range(8):
-                    sx = min(bx * 8 + x, width - 1)
-                    block[y * 8 + x] = plane[sy * width + sx] - 128
-            yield block
+def _block_at(
+    plane: list[int], pw: int, ph: int, x0: int, y0: int
+) -> list[int]:
+    """Level-shifted 8x8 block at (x0, y0), edge-replicated past the
+    plane boundary."""
+    block = [0] * 64
+    for y in range(8):
+        sy = min(y0 + y, ph - 1)
+        row = sy * pw
+        for x in range(8):
+            sx = min(x0 + x, pw - 1)
+            block[y * 8 + x] = plane[row + sx] - 128
+    return block
+
+
+def _downsample(
+    plane: list[int], width: int, height: int, fx: int, fy: int
+) -> tuple[list[int], int, int]:
+    """Box-average ``plane`` by (fx, fy) with edge clamping — the
+    chroma decimation step of 4:2:0 / 4:2:2 encoding."""
+    if fx == 1 and fy == 1:
+        return plane, width, height
+    cw = (width + fx - 1) // fx
+    ch = (height + fy - 1) // fy
+    out = [0] * (cw * ch)
+    for cy in range(ch):
+        for cx in range(cw):
+            acc = cnt = 0
+            for dy in range(fy):
+                sy = min(cy * fy + dy, height - 1)
+                for dx in range(fx):
+                    sx = min(cx * fx + dx, width - 1)
+                    acc += plane[sy * width + sx]
+                    cnt += 1
+            out[cy * cw + cx] = (acc + cnt // 2) // cnt  # round half up
+    return out, cw, ch
+
+
+#: subsampling name -> per-component (h, v) sampling factors (Y, Cb, Cr)
+_SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
 
 
 def _encode_block(
@@ -353,14 +386,19 @@ def jpeg_encode(
     height: int,
     channels: int = 3,
     qtable: list[int] | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode an 8-bit pixel buffer (grey or interleaved RGB) as a
-    baseline sequential JPEG (SOF0, 4:4:4, Annex-K huffman tables).
+    baseline sequential JPEG (SOF0, Annex-K huffman tables).
     ``qtable`` overrides the luminance table (chroma keeps Annex K.2
     unless a flat table is given, in which case chroma is flat too, for
-    the near-lossless tier)."""
+    the near-lossless tier). ``subsampling`` is "444", "422" or "420"
+    (box-averaged chroma decimation, MCU-interleaved scan — the layout
+    real-world JPEGs use); ignored for grayscale."""
     if channels not in (1, 3):
         raise NotImplementedError("jpeg_encode: 1 or 3 channels only")
+    if subsampling not in _SUBSAMPLING:
+        raise NotImplementedError(f"jpeg_encode: subsampling {subsampling}")
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"pixel buffer is {len(pixels)} bytes, expected "
@@ -371,8 +409,13 @@ def jpeg_encode(
         qtable if qtable is not None and all(q == qtable[0] for q in qtable)
         else (qtable if qtable is not None else QTABLE_CHROM)
     )
+    samp = (
+        ((1, 1),) if channels == 1 else _SUBSAMPLING[subsampling]
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
     if channels == 1:
-        planes = [list(pixels)]
+        planes = [(list(pixels), width, height)]
         qtabs = [qlum]
     else:
         ys, cbs, crs = [], [], []
@@ -383,7 +426,12 @@ def jpeg_encode(
             ys.append(y)
             cbs.append(cb)
             crs.append(cr)
-        planes = [ys, cbs, crs]
+        planes = []
+        for ci, plane in enumerate((ys, cbs, crs)):
+            h_i, v_i = samp[ci]
+            planes.append(
+                _downsample(plane, width, height, hmax // h_i, vmax // v_i)
+            )
         qtabs = [qlum, qchrom, qchrom]
 
     dc_lum = _build_codes(_DC_LUM_SPEC)
@@ -398,7 +446,8 @@ def jpeg_encode(
     # SOF0
     comp = bytearray()
     for ci in range(channels):
-        comp += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        h_i, v_i = samp[ci]
+        comp += bytes([ci + 1, (h_i << 4) | v_i, 0 if ci == 0 else 1])
     sof = struct.pack(">BHHB", 8, height, width, channels) + bytes(comp)
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _DC_LUM_SPEC)
@@ -413,23 +462,40 @@ def jpeg_encode(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    # Entropy-coded scan: MCU = one block per component (4:4:4).
+    # Entropy-coded scan. Single component => non-interleaved (one
+    # block per data unit over the component's own 8x8 grid); multi
+    # component => MCU-interleaved with h_i x v_i blocks per component
+    # per MCU, exactly the layout real-world decoders expect.
     writer = _BitWriter()
-    block_iters = [
-        list(_plane_blocks(p, width, height)) for p in planes
-    ]
     preds = [0] * channels
-    n_blocks = len(block_iters[0])
-    for bi in range(n_blocks):
-        for ci in range(channels):
-            coef = _fdct_quant(block_iters[ci][bi], qtabs[ci])
-            preds[ci] = _encode_block(
-                writer,
-                coef,
-                preds[ci],
-                dc_lum if ci == 0 else dc_chrom,
-                ac_lum if ci == 0 else ac_chrom,
-            )
+    if channels == 1:
+        plane, pw, ph = planes[0]
+        for y0 in range(0, (ph + 7) // 8 * 8, 8):
+            for x0 in range(0, (pw + 7) // 8 * 8, 8):
+                coef = _fdct_quant(_block_at(plane, pw, ph, x0, y0), qtabs[0])
+                preds[0] = _encode_block(writer, coef, preds[0], dc_lum, ac_lum)
+    else:
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(channels):
+                    h_i, v_i = samp[ci]
+                    plane, pw, ph = planes[ci]
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            block = _block_at(
+                                plane, pw, ph,
+                                (mx * h_i + bx) * 8, (my * v_i + by) * 8,
+                            )
+                            coef = _fdct_quant(block, qtabs[ci])
+                            preds[ci] = _encode_block(
+                                writer,
+                                coef,
+                                preds[ci],
+                                dc_lum if ci == 0 else dc_chrom,
+                                ac_lum if ci == 0 else ac_chrom,
+                            )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -534,9 +600,10 @@ def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                     raise NotImplementedError(f"{prec}-bit JPEG samples")
                 for c in range(nc):
                     cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                    if samp != 0x11:
+                    h_i, v_i = samp >> 4, samp & 0x0F
+                    if not (1 <= h_i <= 2 and 1 <= v_i <= 2):
                         raise NotImplementedError(
-                            "subsampled chroma (only 4:4:4 decodes)"
+                            f"sampling factors {h_i}x{v_i} (1..2 decode)"
                         )
                     comps.append((cid, samp, tq))
             elif marker == 0xDD:  # DRI
@@ -562,43 +629,85 @@ def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("JPEG without SOF frame or SOS scan")
 
     nc = len(scan_comps)
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    planes = [[0] * (bw * 8 * bh * 8) for _ in range(nc)]
+    sampling = [
+        (comps[ci][1] >> 4, comps[ci][1] & 0x0F) for ci, _, _ in scan_comps
+    ]
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
     reader = _BitReader(content[i:])
     preds = [0] * nc
+
+    def _place(plane, pw, spatial, x0, y0):
+        for y in range(8):
+            row = (y0 + y) * pw + x0
+            srow = y * 8
+            plane[row : row + 8] = spatial[srow : srow + 8]
+
     try:
-        for bi in range(bw * bh):
-            by, bx = divmod(bi, bw)
-            for si, (ci, dct, act) in enumerate(scan_comps):
-                coef, preds[si] = _decode_block(
-                    reader, preds[si], dc_maps[dct], ac_maps[act]
+        if nc == 1:
+            # non-interleaved: one block per data unit over the
+            # component's own 8x8 grid (no MCU padding)
+            bw = (width + 7) // 8
+            bh = (height + 7) // 8
+            pw, ph = bw * 8, bh * 8
+            plane = [0] * (pw * ph)
+            ci, dct, act = scan_comps[0]
+            for bi in range(bw * bh):
+                by, bx = divmod(bi, bw)
+                coef, preds[0] = _decode_block(
+                    reader, preds[0], dc_maps[dct], ac_maps[act]
                 )
                 spatial = _dequant_idct(coef, qtables[comps[ci][2]])
-                plane = planes[si]
-                for y in range(8):
-                    row = (by * 8 + y) * bw * 8 + bx * 8
-                    src = y * 8
-                    plane[row : row + 8] = spatial[src : src + 8]
+                _place(plane, pw, spatial, bx * 8, by * 8)
+            planes = [(plane, pw)]
+        else:
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            planes = []
+            for h_i, v_i in sampling:
+                pw = mcus_x * 8 * h_i
+                planes.append(([0] * (pw * mcus_y * 8 * v_i), pw))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for si, (ci, dct, act) in enumerate(scan_comps):
+                        h_i, v_i = sampling[si]
+                        plane, pw = planes[si]
+                        for by in range(v_i):
+                            for bx in range(h_i):
+                                coef, preds[si] = _decode_block(
+                                    reader, preds[si],
+                                    dc_maps[dct], ac_maps[act],
+                                )
+                                spatial = _dequant_idct(
+                                    coef, qtables[comps[ci][2]]
+                                )
+                                _place(
+                                    plane, pw, spatial,
+                                    (mx * h_i + bx) * 8, (my * v_i + by) * 8,
+                                )
     except KeyError as e:
         raise ValueError(f"JPEG scan references missing table: {e}") from e
 
-    stride = bw * 8
     if nc == 1:
+        plane, pw = planes[0]
         out = bytearray(width * height)
-        p = planes[0]
         for y in range(height):
-            row = y * stride
-            out[y * width : (y + 1) * width] = bytes(p[row : row + width])
+            row = y * pw
+            out[y * width : (y + 1) * width] = bytes(plane[row : row + width])
         return width, height, 1, bytes(out)
     if nc == 3:
         out = bytearray(width * height * 3)
-        py, pcb, pcr = planes
+        (py, pwy), (pcb, pwcb), (pcr, pwcr) = planes
+        (hy, vy), (hcb, vcb), (hcr, vcr) = sampling
         for y in range(height):
-            row = y * stride
+            ry = y * pwy
+            rcb = (y * vcb // vmax) * pwcb
+            rcr = (y * vcr // vmax) * pwcr
             for x in range(width):
                 r, g, b = _ycbcr_to_rgb(
-                    py[row + x], pcb[row + x], pcr[row + x]
+                    py[ry + x * hy // hmax],
+                    pcb[rcb + x * hcb // hmax],
+                    pcr[rcr + x * hcr // hmax],
                 )
                 o = (y * width + x) * 3
                 out[o] = r

@@ -846,10 +846,11 @@ def test_jpeg_error_contract_and_dispatcher():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
         jpeg_pixels(prog)
-    # 2x2-subsampled luma component: declared seam
+    # sampling factors above 2 (e.g. 3x3): declared seam — 1..2 decode
+    # since the 4:2:0/4:2:2 support landed
     i = good.find(b"\xff\xc0")
     sub = bytearray(good)
-    sub[i + 11] = 0x22  # sampling factors byte of component 1
+    sub[i + 11] = 0x33  # sampling factors byte of component 1
     with pytest.raises(NotImplementedError):
         jpeg_pixels(bytes(sub))
 
@@ -1057,3 +1058,69 @@ def test_gif_animated_round_trip_property():
             )
 
     check()
+
+
+def test_jpeg_chroma_subsampling_round_trips():
+    """4:2:0 and 4:2:2 MCU-interleaved scans (the real-world JPEG
+    layout): solid colors survive chroma decimation (constant chroma
+    is decimation-lossless), per-MCU-region constant luma decodes
+    bit-exactly (pins the MCU traversal order), and mixed gradients
+    stay within the flat-quant envelope."""
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+    )
+
+    pr = bytes([100, 150, 200]) * (20 * 13)
+    for sub in ("420", "422"):
+        gw, gh, ch, dec = jpeg_pixels(
+            jpeg_encode(pr, 20, 13, 3, QTABLE_FLAT, subsampling=sub)
+        )
+        assert (gw, gh, ch) == (20, 13, 3)
+        assert max(abs(a - b) for a, b in zip(pr, dec)) <= 1
+
+    # 2x2 MCU grid, one grey level per 16x16 MCU: chroma neutral and
+    # luma constant per block -> bit-exact, proving block order
+    w = h = 32
+    pix = bytearray(w * h * 3)
+    for my in range(2):
+        for mx in range(2):
+            v = 40 + 60 * (my * 2 + mx)
+            for y in range(16):
+                for x in range(16):
+                    o = ((my * 16 + y) * w + mx * 16 + x) * 3
+                    pix[o : o + 3] = bytes([v, v, v])
+    _, _, _, dec = jpeg_pixels(
+        jpeg_encode(bytes(pix), w, h, 3, QTABLE_FLAT, subsampling="420")
+    )
+    assert dec == bytes(pix)
+
+    # neutral-chroma gradient through 4:2:2: luma-only error floor
+    pix2 = bytes(
+        c
+        for y in range(24)
+        for x in range(20)
+        for c in (min(255, 4 * x + 2 * y),) * 3
+    )
+    _, _, _, dec2 = jpeg_pixels(
+        jpeg_encode(pix2, 20, 24, 3, QTABLE_FLAT, subsampling="422")
+    )
+    assert max(abs(a - b) for a, b in zip(pix2, dec2)) <= 2
+
+    # colorful gradient: subsampling is lossy on chroma edges — bounded
+    pix3 = bytes(
+        c
+        for y in range(16)
+        for x in range(16)
+        for c in ((x * 16) % 256, (y * 16) % 256, ((x + y) * 8) % 256)
+    )
+    _, _, _, dec3 = jpeg_pixels(
+        jpeg_encode(pix3, 16, 16, 3, QTABLE_FLAT, subsampling="420")
+    )
+    assert max(abs(a - b) for a, b in zip(pix3, dec3)) <= 160  # chroma edges
+    # but the luma projection stays tight everywhere
+    lum = lambda p, i: 0.299 * p[3 * i] + 0.587 * p[3 * i + 1] + 0.114 * p[3 * i + 2]  # noqa: E731
+    assert max(
+        abs(lum(pix3, i) - lum(dec3, i)) for i in range(16 * 16)
+    ) <= 6
