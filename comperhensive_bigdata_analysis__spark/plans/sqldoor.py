@@ -259,3 +259,50 @@ def sql_presto_fn_compat(spark, sf_dir):
         ORDER BY day
         """
     )
+
+
+# -- Presto URL functions through the front door ----------------------------
+
+_URL_COMPAT_ORACLE = """
+    WITH u AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+             CAST(doc_id % 7 AS VARCHAR) AS k,
+             length('/p/' || CAST(doc_id AS VARCHAR)) AS path_len
+      FROM documents
+    )
+    SELECT host, k,
+           COUNT(*) AS n,
+           CAST(MAX(path_len) AS BIGINT) AS max_path_len
+    FROM u
+    GROUP BY host, k
+    ORDER BY host, k
+"""
+
+
+@plan("sql_presto_url_compat", _URL_COMPAT_ORACLE)
+def sql_presto_url_compat(spark, sf_dir):
+    """Presto's url_extract_* family as TEXT through Engine.sql — the
+    compat layer maps each to Spark's parse_url (catalyst expression,
+    zero Python). The query synthesizes a URL per document, extracts
+    host / query parameter / path with the Presto spellings, and
+    aggregates; the DuckDB oracle restates the expected parts directly
+    from the doc_id arithmetic (an independent closed form, so the row
+    checks the MAPPING, not a replay)."""
+    return _engine(spark, sf_dir, "documents").sql(
+        """
+        SELECT url_extract_host(u) AS host,
+               url_extract_parameter(u, 'k') AS k,
+               count(*) AS n,
+               CAST(max(length(url_extract_path(u))) AS BIGINT)
+                 AS max_path_len
+        FROM (
+          SELECT 'https://h' || CAST(doc_id % 5 AS STRING)
+                 || '.example.com/p/' || CAST(doc_id AS STRING)
+                 || '?k=' || CAST(doc_id % 7 AS STRING) AS u
+          FROM documents
+        )
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )

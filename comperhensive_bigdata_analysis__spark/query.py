@@ -152,6 +152,13 @@ _PRESTO_SQL_UDFS = (
     # numeric truncate-toward-zero
     "truncate(x DOUBLE) RETURNS DOUBLE "
     "RETURN CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END",
+    # Presto URL functions -> Spark parse_url (log-analytics SQL)
+    "url_extract_host(u STRING) RETURNS STRING RETURN parse_url(u, 'HOST')",
+    "url_extract_path(u STRING) RETURNS STRING RETURN parse_url(u, 'PATH')",
+    "url_extract_protocol(u STRING) RETURNS STRING "
+    "RETURN parse_url(u, 'PROTOCOL')",
+    "url_extract_parameter(u STRING, k STRING) RETURNS STRING "
+    "RETURN parse_url(u, 'QUERY', k)",
 )
 
 

@@ -190,3 +190,25 @@ def test_double_quoted_identifiers_masked():
     # and a real ORDER BY after a quoted identifier still splices
     out = translate('SELECT "order by" AS c FROM t ORDER BY c')
     assert out.endswith("NULLS LAST")
+
+
+def test_presto_url_functions(spark):
+    """url_extract_host/path/protocol/parameter map to parse_url."""
+    from comperhensive_bigdata_analysis__spark.query import register_presto_compat
+
+    register_presto_compat(spark)
+    row = spark.sql(
+        """
+        SELECT url_extract_host(u) h,
+               url_extract_path(u) p,
+               url_extract_protocol(u) pr,
+               url_extract_parameter(u, 'q') qv,
+               url_extract_parameter(u, 'missing') miss
+        FROM (SELECT 'https://api.example.com/v1/items?q=7&x=1' AS u)
+        """
+    ).first()
+    assert row["h"] == "api.example.com"
+    assert row["p"] == "/v1/items"
+    assert row["pr"] == "https"
+    assert row["qv"] == "7"
+    assert row["miss"] is None
