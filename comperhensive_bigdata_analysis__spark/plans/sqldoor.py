@@ -306,3 +306,40 @@ def sql_presto_url_compat(spark, sf_dir):
         ORDER BY 1, 2
         """
     )
+
+
+# -- Presto CROSS JOIN UNNEST through the front door ------------------------
+
+_UNNEST_COMPAT_ORACLE = """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(lower(text)), ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT term, COUNT(*) AS n
+    FROM tok
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+"""
+
+
+@plan("sql_presto_unnest_compat", _UNNEST_COMPAT_ORACLE)
+def sql_presto_unnest_compat(spark, sf_dir):
+    """Presto's `CROSS JOIN UNNEST(arr) AS t(c)` lateral spelling as
+    TEXT — translate() rewrites it structurally to Spark's
+    `LATERAL VIEW explode(arr) t AS c` (balanced-paren scan, literal-
+    aware; WITH ORDINALITY and the multi-array zip form raise the
+    documented capability errors instead of mis-parsing). The corpus
+    Zipf head via the Presto spelling, oracled against DuckDB's own
+    unnest."""
+    return _engine(spark, sf_dir, "documents").sql(
+        """
+        SELECT t.term AS term, count(*) AS n
+        FROM documents
+        CROSS JOIN UNNEST(split(trim(lower(text)), ' ')) AS t(term)
+        WHERE length(trim(text)) > 0
+        GROUP BY t.term
+        ORDER BY n DESC, term
+        LIMIT 20
+        """
+    )

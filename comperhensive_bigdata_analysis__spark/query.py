@@ -196,6 +196,85 @@ _TOKEN_REWRITES = (
 )
 
 
+_UNNEST_RE = re.compile(
+    r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE
+)
+_UNNEST_TAIL_RE = re.compile(
+    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(\s*(\w+)"
+    r"(?:\s*,\s*(\w+))?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_unnest(q: str) -> str:
+    """Presto `CROSS JOIN UNNEST(expr) AS t(c)` -> Spark
+    `LATERAL VIEW explode(expr) t AS c` (and WITH ORDINALITY ->
+    posexplode with the ordinality column LAST, matching Presto's
+    column order). Single-array UNNEST only — the multi-array zip form
+    raises NotImplementedError so it fails loudly instead of silently
+    mis-parsing. The scan respects string literals and balanced parens
+    (a regex alone cannot bound the array expression)."""
+    out = []
+    pos = 0
+    while True:
+        flags = _literal_flags(q)
+        m = None
+        for cand in _UNNEST_RE.finditer(q, pos):
+            if not flags[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            break
+        # balanced-paren scan for the UNNEST argument
+        depth = 1
+        j = m.end()
+        while j < len(q) and depth:
+            if flags[j]:
+                j += 1
+                continue
+            if q[j] == "(":
+                depth += 1
+            elif q[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced parens in UNNEST(...)")
+        arg = q[m.end() : j - 1]
+        if "," in _mask_literals(arg) and _depth(_mask_literals(arg), len(arg)) == 0:
+            # top-level comma => multi-array zip UNNEST
+            top_commas = [
+                i for i in _split_top_level_positions(_mask_literals(arg))
+            ]
+            if top_commas:
+                raise NotImplementedError(
+                    "multi-array UNNEST(a, b) zip form — spell it as "
+                    "separate LATERAL VIEW explodes or arrays_zip"
+                )
+        tail = _UNNEST_TAIL_RE.match(q, j)
+        if not tail:
+            raise NotImplementedError(
+                "UNNEST without `AS alias(col)` — Spark needs the "
+                "LATERAL VIEW column name; add the alias"
+            )
+        ordinality, alias, c1, c2 = tail.groups()
+        if ordinality:
+            raise NotImplementedError(
+                "UNNEST ... WITH ORDINALITY — spell it as Spark's "
+                "`LATERAL VIEW posexplode(arr) t AS pos, col` (pos is "
+                "0-based where Presto's ordinality is 1-based, so a "
+                "silent rewrite would shift every index)"
+            )
+        if c2:
+            raise NotImplementedError(
+                "UNNEST alias with two columns — the multi-array zip "
+                "form; spell it as arrays_zip + explode"
+            )
+        repl = f" LATERAL VIEW explode({arg}) {alias} AS {c1}"
+        q = q[: m.start()] + repl + q[tail.end() :]
+        pos = m.start() + len(repl)
+    return q
+
+
 def translate(q: str) -> str:
     """Presto-dialect -> Spark SQL: whitespace-normalized pass-through
     plus the NULL-ordering rewrite and the Presto function-name token
@@ -205,6 +284,8 @@ def translate(q: str) -> str:
     q = q.strip()
     while q.endswith(";"):
         q = q[:-1].rstrip()
+    if _UNNEST_RE.search(_mask_literals(q)):
+        q = _rewrite_unnest(q)
     for pat, repl in _TOKEN_REWRITES:
         # recomputed per pass — earlier rewrites shift literal offsets
         flags = _literal_flags(q)

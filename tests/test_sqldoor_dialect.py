@@ -212,3 +212,35 @@ def test_presto_url_functions(spark):
     assert row["pr"] == "https"
     assert row["qv"] == "7"
     assert row["miss"] is None
+
+
+def test_unnest_rewrite():
+    """CROSS JOIN UNNEST(arr) AS t(c) becomes LATERAL VIEW explode;
+    literals are respected, unsupported forms raise the capability
+    error, and the rewrite is idempotent."""
+    import pytest
+
+    out = translate(
+        "SELECT t.w FROM docs CROSS JOIN UNNEST(split(text, ' ')) AS t(w)"
+    )
+    assert "LATERAL VIEW explode(split(text, ' ')) t AS w" in out
+    assert "UNNEST" not in out
+    # nested parens in the array expression survive the balanced scan
+    out2 = translate(
+        "SELECT x FROM d CROSS JOIN UNNEST(slice(arr, 1, size(arr))) AS u(x)"
+    )
+    assert "explode(slice(arr, 1, size(arr))) u AS x" in out2
+    # inside a string literal: untouched
+    q_lit = "SELECT a FROM t WHERE b = 'CROSS JOIN UNNEST(x) AS z(y)'"
+    assert translate(q_lit) == q_lit
+    # idempotent
+    once = translate(
+        "SELECT t.w FROM d CROSS JOIN UNNEST(a) AS t(w) ORDER BY w"
+    )
+    assert translate(once) == once
+    with pytest.raises(NotImplementedError):
+        translate("SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)")
+    with pytest.raises(NotImplementedError):
+        translate("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)")
+    with pytest.raises(NotImplementedError):
+        translate("SELECT * FROM t CROSS JOIN UNNEST(a)")
