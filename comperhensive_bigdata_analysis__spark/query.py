@@ -67,6 +67,30 @@ def _mask_literals(q: str) -> str:
     return "".join(out)
 
 
+def _unterminated_quote(q: str) -> bool:
+    """True when a single- or double-quoted region never closes — the
+    masking scans would otherwise treat the rest of the text as quoted
+    content, and rewrites on such garbage are not stable."""
+    i, n = 0, len(q)
+    while i < n:
+        if q[i] in ("'", '"'):
+            quote = q[i]
+            j = i + 1
+            while j < n:
+                if q[j] == quote:
+                    if j + 1 < n and q[j + 1] == quote:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j >= n:
+                return True
+            i = j + 1
+        else:
+            i += 1
+    return False
+
+
 def _literal_flags(q: str) -> list[bool]:
     """Per-character flags: True where the character sits INSIDE a
     single-quoted string literal or a double-quoted identifier (quote
@@ -120,7 +144,12 @@ def _presto_null_order(q: str) -> str:
     for c in cuts + [end]:
         it = tail[prev:c]
         s = it.strip()
-        items.append(s if _NULLS_RE.search(_mask_literals(s)) else s + " NULLS LAST")
+        if not s:  # degenerate/invalid item — leave untouched
+            items.append(s)
+        elif _NULLS_RE.search(_mask_literals(s)):
+            items.append(s)
+        else:
+            items.append(s + " NULLS LAST")
         prev = c + 1
     return q[:start] + " " + ", ".join(items) + ("\n" if end < len(tail) else "") + tail[end:]
 
@@ -284,6 +313,10 @@ def translate(q: str) -> str:
     q = q.strip()
     while q.endswith(";"):
         q = q[:-1].rstrip()
+    if _unterminated_quote(q):
+        raise ValueError(
+            "unterminated quote in SQL text — refusing to rewrite"
+        )
     if _UNNEST_RE.search(_mask_literals(q)):
         q = _rewrite_unnest(q)
     for pat, repl in _TOKEN_REWRITES:

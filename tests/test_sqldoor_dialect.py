@@ -244,3 +244,35 @@ def test_unnest_rewrite():
         translate("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)")
     with pytest.raises(NotImplementedError):
         translate("SELECT * FROM t CROSS JOIN UNNEST(a)")
+
+
+def test_translate_fuzz_never_crashes_and_idempotent():
+    """Property: translate() on arbitrary SQL-ish text either returns a
+    string (idempotently) or raises the documented capability errors —
+    never an unhandled exception, never an infinite loop."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sql_alphabet = st.sampled_from(
+        list("abcXYZ019 ,.()'\";=<>*") + [
+            " ORDER BY ", " SELECT ", " UNNEST(", " CROSS JOIN ",
+            " AS t(x)", " LIMIT 5", "date_diff('day',", "approx_distinct(",
+            "'it''s'", '"order by"', " NULLS FIRST",
+        ]
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(sql_alphabet, max_size=25).map("".join))
+    def check(q):
+        try:
+            once = translate(q)
+        except (NotImplementedError, ValueError):
+            return  # documented capability / malformed-input errors
+        assert isinstance(once, str)
+        try:
+            twice = translate(once)
+        except (NotImplementedError, ValueError):
+            return
+        assert twice == once
+
+    check()
