@@ -76,10 +76,29 @@ def test_driver_window_spans_families():
     assert set(window) <= set(plans.ORACLES), "window must be fully oracled"
     families = {q[n].__module__.rsplit(".", 1)[-1] for n in window}
     assert len(families) >= 8, families
-    # r1-r4 red plans went driver-green in r4; the one remaining anchor
-    # obligation is the relational flagships (stable across rotations)
-    assert "checksum_orders" in window
+    # r6 rotation contract (VERDICT r5 ask #1): a handful of stable
+    # relational anchors, and >= 80% of slots must be first-exposure —
+    # plans with no row in any committed CORRECTNESS_r0*.json artifact.
     assert "pricing_summary" in window
+    assert "revenue_by_nation" in window
+    import glob
+    import json as _json
+    import pathlib as _pl
+
+    root = _pl.Path(__file__).resolve().parents[1]
+    sampled: set[str] = set()
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0*.json"))):
+        sampled |= set(_json.loads(_pl.Path(f).read_text()))
+    fresh = [n for n in window if n not in sampled]
+    # ratchet: as long as oracled never-driver-sampled plans exist, the
+    # window must be packed with them (up to 40 of the 50 slots); once
+    # the pool is exhausted the obligation naturally drops to zero.
+    eligible = [n for n in plans.ORACLES if n not in sampled]
+    need = min(40, len(eligible))
+    assert len(fresh) >= need, (
+        f"window must carry first-exposure plans while any remain: "
+        f"got {len(fresh)}, need >= {need} (pool {len(eligible)})"
+    )
     # oracle_sql() must present the same head order so driver-side
     # zip-style iteration stays aligned
     assert list(ent.oracle_sql())[: len(window)] == [
