@@ -312,10 +312,18 @@ def sql_presto_url_compat(spark, sf_dir):
 
 _UNNEST_COMPAT_ORACLE = """
     WITH tok AS (
-      SELECT unnest(string_split(trim(lower(text)), ' ')) AS term
-      FROM documents WHERE length(trim(text)) > 0
+      SELECT unnest(toks) AS term,
+             unnest(list_concat(toks[2:], [CAST(NULL AS VARCHAR)])) AS nxt,
+             generate_subscripts(toks, 1) AS pos
+      FROM (
+        SELECT string_split(trim(lower(text)), ' ') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+      )
     )
-    SELECT term, COUNT(*) AS n
+    SELECT term,
+           COUNT(*) AS n,
+           CAST(SUM(pos) AS BIGINT) AS pos_mass,
+           CAST(COUNT(nxt) AS BIGINT) AS n_with_next
     FROM tok
     GROUP BY term
     ORDER BY n DESC, term
@@ -325,18 +333,31 @@ _UNNEST_COMPAT_ORACLE = """
 
 @plan("sql_presto_unnest_compat", _UNNEST_COMPAT_ORACLE)
 def sql_presto_unnest_compat(spark, sf_dir):
-    """Presto's `CROSS JOIN UNNEST(arr) AS t(c)` lateral spelling as
-    TEXT — translate() rewrites it structurally to Spark's
-    `LATERAL VIEW explode(arr) t AS c` (balanced-paren scan, literal-
-    aware; WITH ORDINALITY and the multi-array zip form raise the
-    documented capability errors instead of mis-parsing). The corpus
-    Zipf head via the Presto spelling, oracled against DuckDB's own
-    unnest."""
+    """Presto's lateral UNNEST spellings as TEXT, exercising the FULL
+    translate() surface in one query (r5 ask #2): the multi-array zip
+    form `UNNEST(a, b)` (positional alignment, shorter side
+    NULL-padded) combined with `WITH ORDINALITY` (1-based BIGINT
+    index, LAST column — Presto's order). translate() compiles it to
+    `LATERAL VIEW inline(transform(zip_with(...)))` — all catalyst
+    expressions, whole-stage codegen, no Python in the row path — and
+    relocates the view to the end of the FROM clause so trailing joins
+    stay parseable (the single-array `AS t(c)` -> explode form is
+    pinned by tests/test_sqldoor_dialect.py and the r5 artifact). Term
+    frequency + positional mass + bigram-successor counts via the zip
+    of the token array with its own tail, oracled against DuckDB's
+    aligned multi-unnest + generate_subscripts."""
     return _engine(spark, sf_dir, "documents").sql(
         """
-        SELECT t.term AS term, count(*) AS n
+        SELECT t.term AS term,
+               count(*) AS n,
+               CAST(sum(t.pos) AS BIGINT) AS pos_mass,
+               CAST(count(t.nxt) AS BIGINT) AS n_with_next
         FROM documents
-        CROSS JOIN UNNEST(split(trim(lower(text)), ' ')) AS t(term)
+        CROSS JOIN UNNEST(
+            split(trim(lower(text)), ' '),
+            slice(split(trim(lower(text)), ' '), 2,
+                  cardinality(split(trim(lower(text)), ' ')))
+        ) WITH ORDINALITY AS t(term, nxt, pos)
         WHERE length(trim(text)) > 0
         GROUP BY t.term
         ORDER BY n DESC, term

@@ -70,7 +70,14 @@ def _mask_literals(q: str) -> str:
 def _unterminated_quote(q: str) -> bool:
     """True when a single- or double-quoted region never closes — the
     masking scans would otherwise treat the rest of the text as quoted
-    content, and rewrites on such garbage are not stable."""
+    content, and rewrites on such garbage are not stable.
+
+    Dialect contract: this front door speaks PRESTO string-literal
+    rules, where a quote inside a literal is escaped by DOUBLING
+    (``'it''s'``) and a backslash is an ordinary character. Spark's
+    non-default backslash spelling (``'it\\'s'``) therefore reads as a
+    literal ``it\\`` followed by an unterminated ``s'`` and is rejected
+    here by design — matching what Presto itself would do."""
     i, n = 0, len(q)
     while i < n:
         if q[i] in ("'", '"'):
@@ -229,21 +236,88 @@ _UNNEST_RE = re.compile(
     r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE
 )
 _UNNEST_TAIL_RE = re.compile(
-    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(\s*(\w+)"
-    r"(?:\s*,\s*(\w+))?\s*\)",
+    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(\s*"
+    r"(\w+(?:\s*,\s*\w+)*)\s*\)",
+    re.IGNORECASE,
+)
+#: Keywords that terminate a FROM clause at its own paren depth. The
+#: LATERAL VIEW must be spliced immediately before the first of these
+#: (or the block's closing paren / end of text) — Spark's grammar puts
+#: lateral views AFTER all join relations, so splicing at the UNNEST's
+#: own position would emit `LATERAL VIEW ... JOIN b`, which does not
+#: parse (ADVICE r5). `LATERAL` is deliberately NOT a terminator so a
+#: second UNNEST's view lands after the first's — Presto lets a later
+#: UNNEST argument reference an earlier one's columns, and Spark
+#: resolves chained lateral views left-to-right the same way.
+_FROM_END_RE = re.compile(
+    r"\b(where|group|having|order|limit|offset|fetch|union|except"
+    r"|intersect|window|qualify)\b",
     re.IGNORECASE,
 )
 
 
+def _unnest_generator(
+    args: list[str], cols: list[str], ordinality: bool
+) -> str:
+    """Compile one Presto UNNEST into a Spark generator expression.
+
+    - 1 array, no ordinality: plain ``explode(a)``.
+    - k arrays (zip form): iterated ``zip_with`` folding the arrays
+      into an array of named structs (zip_with pads the shorter side
+      with NULLs — exactly Presto's positional alignment), then
+      ``inline`` to turn struct fields into the alias columns.
+    - WITH ORDINALITY: a final ``transform((e, i) -> ...)`` appends
+      ``CAST(i + 1 AS BIGINT)`` as the LAST struct field — Presto's
+      1-based BIGINT ordinality in Presto's column order.
+
+    Everything is catalyst expressions (explode/inline/zip_with/
+    transform/named_struct): whole-stage-codegen'd, no Python in the
+    row path.
+    """
+    if len(args) == 1 and not ordinality:
+        return f"explode({args[0]})"
+    value_cols = cols[:-1] if ordinality else cols
+    if len(args) == 1:  # single array WITH ORDINALITY
+        elem, ordcol = value_cols[0], cols[-1]
+        arr = (
+            f"transform({args[0]}, (e0, i) -> named_struct("
+            f"'{elem}', e0, '{ordcol}', CAST(i + 1 AS BIGINT)))"
+        )
+        return f"inline({arr})"
+    # k >= 2: fold arrays pairwise into an array of named structs
+    fields = f"'{value_cols[0]}', e0, '{value_cols[1]}', e1"
+    acc = f"zip_with({args[0]}, {args[1]}, (e0, e1) -> named_struct({fields}))"
+    for k in range(2, len(args)):
+        keep = ", ".join(
+            f"'{c}', s.{c}" for c in value_cols[:k]
+        )
+        acc = (
+            f"zip_with({acc}, {args[k]}, (s, e{k}) -> "
+            f"named_struct({keep}, '{value_cols[k]}', e{k}))"
+        )
+    if ordinality:
+        keep = ", ".join(f"'{c}', s.{c}" for c in value_cols)
+        ordcol = cols[-1]
+        acc = (
+            f"transform({acc}, (s, i) -> named_struct("
+            f"{keep}, '{ordcol}', CAST(i + 1 AS BIGINT)))"
+        )
+    return f"inline({acc})"
+
+
 def _rewrite_unnest(q: str) -> str:
-    """Presto `CROSS JOIN UNNEST(expr) AS t(c)` -> Spark
-    `LATERAL VIEW explode(expr) t AS c` (and WITH ORDINALITY ->
-    posexplode with the ordinality column LAST, matching Presto's
-    column order). Single-array UNNEST only — the multi-array zip form
-    raises NotImplementedError so it fails loudly instead of silently
-    mis-parsing. The scan respects string literals and balanced parens
-    (a regex alone cannot bound the array expression)."""
-    out = []
+    """Presto `CROSS JOIN UNNEST(a [, b ...]) [WITH ORDINALITY]
+    AS t(c ...)` -> a Spark `LATERAL VIEW <generator> t AS c ...`
+    spliced at the END of the enclosing FROM clause (Spark's grammar
+    requires lateral views after all join relations, so `... UNNEST(x)
+    AS t(c) JOIN b` must not leave the view at the UNNEST's position).
+    Forms: single array -> explode; WITH ORDINALITY -> inline(transform)
+    with a 1-based BIGINT ordinality column LAST (Presto's order);
+    multi-array zip -> inline(zip_with named structs), NULL-padded to
+    the longest array like Presto. The single-argument two-column form
+    (a map or array-of-row UNNEST) is textually ambiguous and raises.
+    The scan respects string literals and balanced parens (a regex
+    alone cannot bound the array expressions)."""
     pos = 0
     while True:
         flags = _literal_flags(q)
@@ -254,7 +328,7 @@ def _rewrite_unnest(q: str) -> str:
                 break
         if m is None:
             break
-        # balanced-paren scan for the UNNEST argument
+        # balanced-paren scan for the UNNEST argument list
         depth = 1
         j = m.end()
         while j < len(q) and depth:
@@ -269,38 +343,60 @@ def _rewrite_unnest(q: str) -> str:
         if depth:
             raise ValueError("unbalanced parens in UNNEST(...)")
         arg = q[m.end() : j - 1]
-        if "," in _mask_literals(arg) and _depth(_mask_literals(arg), len(arg)) == 0:
-            # top-level comma => multi-array zip UNNEST
-            top_commas = [
-                i for i in _split_top_level_positions(_mask_literals(arg))
-            ]
-            if top_commas:
-                raise NotImplementedError(
-                    "multi-array UNNEST(a, b) zip form — spell it as "
-                    "separate LATERAL VIEW explodes or arrays_zip"
-                )
+        marg = _mask_literals(arg)
+        cuts = _split_top_level_positions(marg)
+        args, prev = [], 0
+        for c in cuts + [len(arg)]:
+            args.append(arg[prev:c].strip())
+            prev = c + 1
         tail = _UNNEST_TAIL_RE.match(q, j)
         if not tail:
             raise NotImplementedError(
-                "UNNEST without `AS alias(col)` — Spark needs the "
-                "LATERAL VIEW column name; add the alias"
+                "UNNEST without `AS alias(col, ...)` — Spark needs the "
+                "LATERAL VIEW column names; add the alias"
             )
-        ordinality, alias, c1, c2 = tail.groups()
-        if ordinality:
-            raise NotImplementedError(
-                "UNNEST ... WITH ORDINALITY — spell it as Spark's "
-                "`LATERAL VIEW posexplode(arr) t AS pos, col` (pos is "
-                "0-based where Presto's ordinality is 1-based, so a "
-                "silent rewrite would shift every index)"
+        ordinality, alias, collist = tail.groups()
+        cols = [c.strip() for c in collist.split(",")]
+        expected = len(args) + (1 if ordinality else 0)
+        if len(cols) != expected:
+            if len(args) == 1 and not ordinality and len(cols) == 2:
+                raise NotImplementedError(
+                    "single-argument UNNEST with a two-column alias is "
+                    "ambiguous in text (map or array-of-row) — spell "
+                    "maps as explode(map) and row arrays as "
+                    "inline(arr) directly"
+                )
+            raise ValueError(
+                f"UNNEST alias column count {len(cols)} != "
+                f"{len(args)} array(s)"
+                + (" + 1 ordinality" if ordinality else "")
             )
-        if c2:
-            raise NotImplementedError(
-                "UNNEST alias with two columns — the multi-array zip "
-                "form; spell it as arrays_zip + explode"
-            )
-        repl = f" LATERAL VIEW explode({arg}) {alias} AS {c1}"
-        q = q[: m.start()] + repl + q[tail.end() :]
-        pos = m.start() + len(repl)
+        gen = _unnest_generator(args, cols, bool(ordinality))
+        repl = f" LATERAL VIEW {gen} {alias} AS {', '.join(cols)} "
+        # remove the UNNEST text, then splice the LATERAL VIEW at the
+        # end of the enclosing FROM clause (first clause keyword at the
+        # UNNEST's own paren depth, the block's closing paren, or EOT)
+        base = q[: m.start()] + " " + q[tail.end() :]
+        mbase = _mask_literals(base)
+        d0 = _depth(mbase, m.start())
+        i, depth, insert_at = m.start(), d0, len(base)
+        while i < len(base):
+            ch = mbase[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == d0:
+                    insert_at = i
+                    break
+                depth -= 1
+            elif depth == d0 and (i == 0 or not mbase[i - 1].isalnum()):
+                kw = _FROM_END_RE.match(mbase, i)
+                if kw:
+                    insert_at = i
+                    break
+            i += 1
+        q = base[:insert_at] + repl + base[insert_at:]
+        pos = m.start()
     return q
 
 
@@ -315,7 +411,9 @@ def translate(q: str) -> str:
         q = q[:-1].rstrip()
     if _unterminated_quote(q):
         raise ValueError(
-            "unterminated quote in SQL text — refusing to rewrite"
+            "unterminated quote in SQL text — refusing to rewrite "
+            "(this Presto-dialect door escapes quotes by doubling: "
+            "'it''s', never backslash)"
         )
     if _UNNEST_RE.search(_mask_literals(q)):
         q = _rewrite_unnest(q)

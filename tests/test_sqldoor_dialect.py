@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 
-from comperhensive_bigdata_analysis__spark.query import translate
+from comperhensive_bigdata_analysis__spark.query import Engine, translate
 
 
 def _norm(s: str) -> str:
@@ -238,12 +238,108 @@ def test_unnest_rewrite():
         "SELECT t.w FROM d CROSS JOIN UNNEST(a) AS t(w) ORDER BY w"
     )
     assert translate(once) == once
-    with pytest.raises(NotImplementedError):
-        translate("SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)")
-    with pytest.raises(NotImplementedError):
-        translate("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)")
+    # bare UNNEST (no alias) still raises — Spark needs the column names
     with pytest.raises(NotImplementedError):
         translate("SELECT * FROM t CROSS JOIN UNNEST(a)")
+    # single-arg two-column alias is ambiguous (map or array-of-row)
+    with pytest.raises(NotImplementedError):
+        translate("SELECT * FROM t CROSS JOIN UNNEST(a) AS u(k, v)")
+    # column-count / arity mismatch is a loud error, not a mis-parse
+    with pytest.raises(ValueError):
+        translate("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x)")
+
+
+def test_unnest_with_ordinality_rewrite():
+    """WITH ORDINALITY compiles to inline(transform(...)) with a
+    1-based BIGINT ordinality column LAST — Presto's column order —
+    instead of raising (r5 ask #2)."""
+    out = translate(
+        "SELECT w, i FROM d CROSS JOIN UNNEST(split(t, ' ')) "
+        "WITH ORDINALITY AS u(w, i)"
+    )
+    assert "UNNEST" not in out
+    assert "inline(transform(split(t, ' ')" in out
+    assert "CAST(i + 1 AS BIGINT)" in out
+    assert "u AS w, i" in out
+
+
+def test_unnest_zip_rewrite():
+    """Multi-array UNNEST(a, b[, c]) compiles to inline(zip_with(...))
+    named structs — positional alignment with NULL padding, exactly
+    Presto's zip semantics — instead of raising (r5 ask #2)."""
+    out2 = translate("SELECT x, y FROM d CROSS JOIN UNNEST(a, b) AS u(x, y)")
+    assert "inline(zip_with(a, b, (e0, e1) -> named_struct('x', e0, 'y', e1))) u AS x, y" in out2
+    # three arrays fold pairwise
+    out3 = translate(
+        "SELECT * FROM d CROSS JOIN UNNEST(a, b, c) AS u(x, y, z)"
+    )
+    assert "zip_with(zip_with(a, b" in out3
+    assert "'z', e2" in out3
+    # zip + ordinality together
+    out4 = translate(
+        "SELECT * FROM d CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS u(x, y, i)"
+    )
+    assert "transform(zip_with(a, b" in out4
+    assert "'i', CAST(i + 1 AS BIGINT)" in out4
+
+
+def test_unnest_relocates_past_trailing_joins():
+    """A join AFTER the UNNEST must not strand the LATERAL VIEW before
+    it — Spark's grammar puts lateral views after all join relations
+    (ADVICE r5). The view is spliced at the end of the FROM clause,
+    before WHERE/GROUP/ORDER or the subquery's closing paren."""
+    out = translate(
+        "SELECT t.w FROM a CROSS JOIN UNNEST(x) AS t(w) "
+        "JOIN b ON a.k = b.k WHERE b.v > 0"
+    )
+    j = out.index("JOIN b ON a.k = b.k")
+    lv = out.index("LATERAL VIEW")
+    w = out.index("WHERE")
+    assert j < lv < w
+    # comma-join after the unnest: view lands after the last relation
+    out2 = translate("SELECT * FROM a CROSS JOIN UNNEST(x) AS t(c), b WHERE 1=1")
+    assert out2.index(", b") < out2.index("LATERAL VIEW") < out2.index("WHERE")
+    # inside a subquery the view stays inside the subquery's parens
+    out3 = translate(
+        "SELECT * FROM (SELECT c FROM a CROSS JOIN UNNEST(x) AS t(c)) s "
+        "JOIN b ON s.c = b.c"
+    )
+    assert out3.index("LATERAL VIEW") < out3.index(") s")
+    # two unnests keep their order (the 2nd may reference the 1st)
+    out4 = translate(
+        "SELECT * FROM a CROSS JOIN UNNEST(x) AS t1(c1) "
+        "CROSS JOIN UNNEST(c1arr) AS t2(c2) WHERE 1=1"
+    )
+    assert out4.index("explode(x) t1") < out4.index("explode(c1arr) t2")
+
+
+def test_unnest_executes_on_spark(spark):
+    """The rewritten forms run end-to-end on Spark with Presto's
+    semantics: 1-based ordinality, NULL-padded zip to the longest
+    array, qualified and unqualified column references both resolve."""
+    eng = Engine(spark)
+    eng.register(
+        spark.sql(
+            "SELECT array('a','b','c') AS xs, array(10, 20) AS ys"
+        ),
+        "zt",
+    )
+    rows = eng.sql(
+        "SELECT t.x AS x, y, i FROM zt "
+        "CROSS JOIN UNNEST(xs, ys) WITH ORDINALITY AS t(x, y, i) "
+        "ORDER BY i"
+    ).collect()
+    assert [(r["x"], r["y"], r["i"]) for r in rows] == [
+        ("a", 10, 1), ("b", 20, 2), ("c", None, 3),
+    ]
+    # trailing join after the unnest parses and resolves
+    eng.register(spark.sql("SELECT 'a' AS k, 99 AS v"), "dim")
+    got = eng.sql(
+        "SELECT t.x AS x, d.v AS v FROM zt "
+        "CROSS JOIN UNNEST(xs) AS t(x) "
+        "JOIN dim d ON d.k = 'a' WHERE t.x = 'a'"
+    ).collect()
+    assert [(r["x"], r["v"]) for r in got] == [("a", 99)]
 
 
 def test_translate_fuzz_never_crashes_and_idempotent():
