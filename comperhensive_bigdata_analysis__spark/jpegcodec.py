@@ -405,10 +405,14 @@ def jpeg_encode(
             f"{width * height * channels}"
         )
     qlum = qtable if qtable is not None else QTABLE_LUM
-    qchrom = (
-        qtable if qtable is not None and all(q == qtable[0] for q in qtable)
-        else (qtable if qtable is not None else QTABLE_CHROM)
-    )
+    # chroma keeps Annex K.2 unless the custom table is FLAT (uniform
+    # step), in which case chroma goes flat too — the near-lossless
+    # tier wants every channel at the same step, while a shaped custom
+    # luma table says nothing about how to quantize chroma (ADVICE r5).
+    if qtable is not None and all(q == qtable[0] for q in qtable):
+        qchrom = qtable
+    else:
+        qchrom = QTABLE_CHROM
     samp = (
         ((1, 1),) if channels == 1 else _SUBSAMPLING[subsampling]
     )
@@ -700,7 +704,11 @@ def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
         (py, pwy), (pcb, pwcb), (pcr, pwcr) = planes
         (hy, vy), (hcb, vcb), (hcr, vcr) = sampling
         for y in range(height):
-            ry = y * pwy
+            # every plane (luma included) maps through its own sampling
+            # ratio — a legal stream may give component 0 less than
+            # (hmax, vmax) sampling (e.g. Y 1x1 with Cb 2x2), and the
+            # unscaled row index would misaddress its rows (ADVICE r5)
+            ry = (y * vy // vmax) * pwy
             rcb = (y * vcb // vmax) * pwcb
             rcr = (y * vcr // vmax) * pwcr
             for x in range(width):

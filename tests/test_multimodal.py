@@ -1124,3 +1124,24 @@ def test_jpeg_chroma_subsampling_round_trips():
     assert max(
         abs(lum(pix3, i) - lum(dec3, i)) for i in range(16 * 16)
     ) <= 6
+
+
+def test_jpeg_luma_subsampled_component_rows(monkeypatch):
+    """A legal stream whose FIRST component is not max-sampled (Y 1x1
+    with Cb/Cr 2x2) must map luma rows through its own vertical ratio —
+    the unscaled row index read garbage for the lower image half
+    (ADVICE r5)."""
+    from comperhensive_bigdata_analysis__spark import jpegcodec as jc
+
+    monkeypatch.setitem(jc._SUBSAMPLING, "inv420", ((1, 1), (2, 2), (2, 2)))
+    w = h = 16
+    # neutral-chroma vertical gradient: luma varies by ROW, constant per
+    # 2x2 box, so the box-averaged Y plane is exact and any row
+    # misaddressing shows up as a large error in the lower half
+    pix = bytes(
+        c for y in range(h) for _x in range(w) for c in ((y // 2) * 30,) * 3
+    )
+    enc = jc.jpeg_encode(pix, w, h, 3, jc.QTABLE_FLAT, subsampling="inv420")
+    gw, gh, ch, dec = jc.jpeg_pixels(enc)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(pix, dec)) <= 2
