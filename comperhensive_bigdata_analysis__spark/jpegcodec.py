@@ -11,12 +11,15 @@ the correctness tier; PIL remains the drop-in fast path at the same
 `media_pixels` dispatcher seam.
 
 Scope (documented capability seam, same error contract as the PNG/GIF
-tiers): baseline DCT (SOF0), 8-bit, grayscale or YCbCr color at
-4:4:4 / 4:2:2 / 4:2:0 chroma sampling (MCU-interleaved scans with
-replication upsampling — the layouts real-world JPEGs use), no
-restart intervals. Progressive (SOF2), sampling factors above 2,
-12-bit, and arithmetic coding raise NotImplementedError; malformed
-streams raise ValueError.
+tiers): sequential (SOF0/SOF1) AND progressive (SOF2) huffman DCT,
+8-bit, grayscale or YCbCr color, sampling factors 1..4 (MCU-
+interleaved scans with replication upsampling — the layouts
+real-world JPEGs use), restart intervals (DRI/RSTn). The encoder
+writes baseline or progressive (successive-approximation scan
+script) streams, optionally with restart markers. Still out of
+scope: 12-bit samples, 16-bit quant tables, arithmetic coding, and
+the lossless/hierarchical processes — those raise
+NotImplementedError; malformed streams raise ValueError.
 
 JPEG is lossy in general: round trips are bit-exact only where the
 math is (constant blocks whose DC quantizes exactly — what the
@@ -205,10 +208,19 @@ class _BitWriter:
             if byte == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def _pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (markers are literal bytes — the
+        0xFF is NOT stuffed)."""
+        self._pad_to_byte()
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
+    def flush(self) -> bytes:
+        self._pad_to_byte()
         return bytes(self.buf)
 
 
@@ -231,7 +243,9 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1  # stuffed 0xFF data byte
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("JPEG restart markers")
+                # an RST where data was expected: the decoder's MCU
+                # count drifted from the stream's — corrupt input
+                raise ValueError("unexpected JPEG restart marker mid-MCU")
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
         self.acc = (self.acc << 8) | b
@@ -248,6 +262,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an expected RSTn at a restart boundary: discard the
+        pad bits to the byte boundary, then the two marker bytes. The
+        restart number is not sequence-checked (a resynchronizing
+        decoder couldn't rely on it anyway)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("JPEG stream ends where RST expected")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
 
 
 def _extend(v: int, n: int) -> int:
@@ -369,6 +398,19 @@ def _encode_block(
     return dc
 
 
+#: Flat 8-bit AC huffman spec for PROGRESSIVE scans: all 176 run/size
+#: symbols (RRRR 0..15 x SSSS 0..10) at code length 8 — a legal
+#: canonical table (176 < 255, so the reserved all-ones code is never
+#: assigned). Progressive AC scans need the EOBn symbols (n<<4)|0 that
+#: the Annex K sequential tables don't define; a fixed flat table keeps
+#: the encoder one-pass (real encoders optimize per scan — compression,
+#: not legality). The decoder reads whatever DHT the stream carries.
+_AC_FLAT_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
 def _dqt_segment(tid: int, table: list[int]) -> bytes:
     payload = bytes([tid]) + bytes(table[ZIGZAG[i]] for i in range(64))
     return b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
@@ -387,14 +429,23 @@ def jpeg_encode(
     channels: int = 3,
     qtable: list[int] | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an 8-bit pixel buffer (grey or interleaved RGB) as a
-    baseline sequential JPEG (SOF0, Annex-K huffman tables).
-    ``qtable`` overrides the luminance table (chroma keeps Annex K.2
-    unless a flat table is given, in which case chroma is flat too, for
-    the near-lossless tier). ``subsampling`` is "444", "422" or "420"
-    (box-averaged chroma decimation, MCU-interleaved scan — the layout
-    real-world JPEGs use); ignored for grayscale."""
+    JPEG. Default is baseline sequential (SOF0, Annex-K huffman
+    tables); ``progressive=True`` writes a progressive-DCT stream
+    (SOF2) with a successive-approximation scan script (DC first at
+    Al=1 + DC refine, per-component AC band splits 1-5 / 6-63 at Al=1
+    + full-band AC refines) so every progressive decode path — DC
+    first/refine, AC first/refine, EOB runs — is exercised.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs in every scan. ``qtable`` overrides the luminance
+    table (chroma keeps Annex K.2 unless a flat table is given, in
+    which case chroma is flat too, for the near-lossless tier).
+    ``subsampling`` is "444", "422" or "420" (box-averaged chroma
+    decimation, MCU-interleaved scan — the layout real-world JPEGs
+    use); ignored for grayscale."""
     if channels not in (1, 3):
         raise NotImplementedError("jpeg_encode: 1 or 3 channels only")
     if subsampling not in _SUBSAMPLING:
@@ -438,70 +489,291 @@ def jpeg_encode(
             )
         qtabs = [qlum, qchrom, qchrom]
 
-    dc_lum = _build_codes(_DC_LUM_SPEC)
-    ac_lum = _build_codes(_AC_LUM_SPEC)
-    dc_chrom = _build_codes(_DC_CHROM_SPEC)
-    ac_chrom = _build_codes(_AC_CHROM_SPEC)
+    dc_codes = [
+        _build_codes(_DC_LUM_SPEC if ci == 0 else _DC_CHROM_SPEC)
+        for ci in range(channels)
+    ]
+    ac_codes = [
+        _build_codes(_AC_LUM_SPEC if ci == 0 else _AC_CHROM_SPEC)
+        for ci in range(channels)
+    ]
+    ac_flat = _build_codes(_AC_FLAT_SPEC)
+
+    # Quantized coefficient store: blocks[ci][by][bx] in natural order,
+    # over the MCU-padded block grid (multi-component frames code the
+    # padding blocks in interleaved scans; single-component grids have
+    # no MCU padding).
+    if channels == 1:
+        mcus_x = ((planes[0][1] + 7) // 8)
+        mcus_y = ((planes[0][2] + 7) // 8)
+    else:
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    grids = []  # per component: (bw_pad, bh_pad, bw_own, bh_own)
+    blocks: list[list[list[list[int]]]] = []
+    for ci in range(channels):
+        h_i, v_i = samp[ci]
+        plane, pw, ph = planes[ci]
+        if channels == 1:
+            bw_pad, bh_pad = mcus_x, mcus_y
+        else:
+            bw_pad, bh_pad = mcus_x * h_i, mcus_y * v_i
+        bw_own, bh_own = (pw + 7) // 8, (ph + 7) // 8
+        grids.append((bw_pad, bh_pad, bw_own, bh_own))
+        rows = []
+        for by in range(bh_pad):
+            row = []
+            for bx in range(bw_pad):
+                row.append(
+                    _fdct_quant(
+                        _block_at(plane, pw, ph, bx * 8, by * 8), qtabs[ci]
+                    )
+                )
+            rows.append(row)
+        blocks.append(rows)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _dqt_segment(0, qlum)
     if channels == 3:
         out += _dqt_segment(1, qchrom)
-    # SOF0
     comp = bytearray()
     for ci in range(channels):
         h_i, v_i = samp[ci]
         comp += bytes([ci + 1, (h_i << 4) | v_i, 0 if ci == 0 else 1])
     sof = struct.pack(">BHHB", 8, height, width, channels) + bytes(comp)
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _DC_LUM_SPEC)
-    out += _dht_segment(1, 0, _AC_LUM_SPEC)
     if channels == 3:
         out += _dht_segment(0, 1, _DC_CHROM_SPEC)
-        out += _dht_segment(1, 1, _AC_CHROM_SPEC)
-    # SOS
-    sos = bytes([channels])
-    for ci in range(channels):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-
-    # Entropy-coded scan. Single component => non-interleaved (one
-    # block per data unit over the component's own 8x8 grid); multi
-    # component => MCU-interleaved with h_i x v_i blocks per component
-    # per MCU, exactly the layout real-world decoders expect.
-    writer = _BitWriter()
-    preds = [0] * channels
-    if channels == 1:
-        plane, pw, ph = planes[0]
-        for y0 in range(0, (ph + 7) // 8 * 8, 8):
-            for x0 in range(0, (pw + 7) // 8 * 8, 8):
-                coef = _fdct_quant(_block_at(plane, pw, ph, x0, y0), qtabs[0])
-                preds[0] = _encode_block(writer, coef, preds[0], dc_lum, ac_lum)
+    if progressive:
+        out += _dht_segment(1, 0, _AC_FLAT_SPEC)
+        ac_scan_codes = [ac_flat] * channels
+        ac_tid = [0] * channels
     else:
-        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for ci in range(channels):
-                    h_i, v_i = samp[ci]
-                    plane, pw, ph = planes[ci]
-                    for by in range(v_i):
-                        for bx in range(h_i):
-                            block = _block_at(
-                                plane, pw, ph,
-                                (mx * h_i + bx) * 8, (my * v_i + by) * 8,
-                            )
-                            coef = _fdct_quant(block, qtabs[ci])
-                            preds[ci] = _encode_block(
-                                writer,
-                                coef,
-                                preds[ci],
-                                dc_lum if ci == 0 else dc_chrom,
-                                ac_lum if ci == 0 else ac_chrom,
-                            )
-    out += writer.flush()
-    out += b"\xff\xd9"  # EOI
+        out += _dht_segment(1, 0, _AC_LUM_SPEC)
+        if channels == 3:
+            out += _dht_segment(1, 1, _AC_CHROM_SPEC)
+        ac_scan_codes = ac_codes
+        ac_tid = [0 if ci == 0 else 1 for ci in range(channels)]
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos_header(cis: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            dct = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dct << 4) | ac_tid[ci]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    def scan_mcus(cis: list[int]):
+        """Yield one list of (ci, by, bx) data units per MCU, in the
+        order the scan codes them: non-interleaved = one block per MCU
+        over the component's OWN grid; interleaved = h_i x v_i blocks
+        per component per MCU over the padded grid."""
+        if len(cis) == 1:
+            ci = cis[0]
+            _, _, bw, bh = grids[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(ci, by, bx)]
+        else:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    units = []
+                    for ci in cis:
+                        h_i, v_i = samp[ci]
+                        for by in range(v_i):
+                            for bx in range(h_i):
+                                units.append(
+                                    (ci, my * v_i + by, mx * h_i + bx)
+                                )
+                    yield units
+
+    all_cis = list(range(channels))
+
+    if not progressive:
+        out += sos_header(all_cis if channels > 1 else [0], 0, 63, 0, 0)
+        writer = _BitWriter()
+        preds = [0] * channels
+        rstn = count = 0
+        for units in scan_mcus(all_cis if channels > 1 else [0]):
+            if restart_interval and count and count % restart_interval == 0:
+                writer.restart(rstn)
+                rstn = (rstn + 1) & 7
+                preds = [0] * channels
+            for ci, by, bx in units:
+                preds[ci] = _encode_block(
+                    writer, blocks[ci][by][bx], preds[ci],
+                    dc_codes[ci], ac_codes[ci],
+                )
+            count += 1
+        out += writer.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive scan script (successive approximation) ----
+    def emit_dc_scan(cis: list[int], ah: int, al: int) -> bytes:
+        writer = _BitWriter()
+        preds = {ci: 0 for ci in cis}
+        rstn = count = 0
+        for units in scan_mcus(cis):
+            if restart_interval and count and count % restart_interval == 0:
+                writer.restart(rstn)
+                rstn = (rstn + 1) & 7
+                preds = {ci: 0 for ci in cis}
+            for ci, by, bx in units:
+                dc = blocks[ci][by][bx][0]
+                if ah == 0:
+                    v = dc >> al  # arithmetic shift: DC point transform
+                    n, code = _magnitude(v - preds[ci])
+                    c, ln = dc_codes[ci][n]
+                    writer.write(c, ln)
+                    if n:
+                        writer.write(code, n)
+                    preds[ci] = v
+                else:  # refinement: one bit per block
+                    writer.write((dc >> al) & 1, 1)
+            count += 1
+        return writer.flush()
+
+    def emit_ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        writer = _BitWriter()
+        codes = ac_scan_codes[ci]
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                c, ln = codes[nbits << 4]
+                writer.write(c, ln)
+                if nbits:
+                    writer.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        rstn = count = 0
+        for units in scan_mcus([ci]):
+            if restart_interval and count and count % restart_interval == 0:
+                flush_eob()
+                writer.restart(rstn)
+                rstn = (rstn + 1) & 7
+            ((_, by, bx),) = units
+            coef = blocks[ci][by][bx]
+            r = 0
+            for k in range(ss, se + 1):
+                vraw = coef[ZIGZAG[k]]
+                av = abs(vraw) >> al  # magnitude shift (sign separate)
+                if av == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    c, ln = codes[0xF0]
+                    writer.write(c, ln)
+                    r -= 16
+                vs = av if vraw > 0 else -av
+                n, code = _magnitude(vs)
+                c, ln = codes[(r << 4) | n]
+                writer.write(c, ln)
+                writer.write(code, n)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+            count += 1
+        flush_eob()
+        return writer.flush()
+
+    def emit_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        """T.81 G.1.2.3 (the libjpeg phuff strategy): newly-significant
+        coefficients emit run/1 symbols with a sign bit; already-coded
+        ones append correction bits after the next emitted symbol; EOB
+        runs buffer their correction bits until the run flushes."""
+        writer = _BitWriter()
+        codes = ac_scan_codes[ci]
+        eobrun = 0
+        pend: list[int] = []  # correction bits owed after next EOBn
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                c, ln = codes[nbits << 4]
+                writer.write(c, ln)
+                if nbits:
+                    writer.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+            for b in pend:
+                writer.write(b, 1)
+            pend.clear()
+
+        rstn = count = 0
+        for units in scan_mcus([ci]):
+            if restart_interval and count and count % restart_interval == 0:
+                flush_eob()
+                writer.restart(rstn)
+                rstn = (rstn + 1) & 7
+            ((_, by, bx),) = units
+            coef = blocks[ci][by][bx]
+            absv = [abs(coef[ZIGZAG[k]]) >> al for k in range(ss, se + 1)]
+            last_new = -1  # band index of last newly-significant coef
+            for idx, t in enumerate(absv):
+                if t == 1:
+                    last_new = idx
+            r = 0
+            br: list[int] = []  # correction bits since last symbol
+            for idx, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx <= last_new:
+                    flush_eob()
+                    c, ln = codes[0xF0]
+                    writer.write(c, ln)
+                    r -= 16
+                    for b in br:
+                        writer.write(b, 1)
+                    br.clear()
+                if t > 1:  # history-significant: correction bit only
+                    br.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                flush_eob()
+                c, ln = codes[(r << 4) | 1]
+                writer.write(c, ln)
+                writer.write(1 if coef[ZIGZAG[ss + idx]] > 0 else 0, 1)
+                for b in br:
+                    writer.write(b, 1)
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pend.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+            count += 1
+        flush_eob()
+        return writer.flush()
+
+    # DC: first scan at Al=1 (interleaved for color), then the refine
+    out += sos_header(all_cis, 0, 0, 0, 1)
+    out += emit_dc_scan(all_cis, 0, 1)
+    out += sos_header(all_cis, 0, 0, 1, 0)
+    out += emit_dc_scan(all_cis, 1, 0)
+    # AC: per component (progressive AC scans are non-interleaved) —
+    # band-split first scans at Al=1, then a full-band refine to Al=0
+    for ci in all_cis:
+        out += sos_header([ci], 1, 5, 0, 1)
+        out += emit_ac_first(ci, 1, 5, 1)
+        out += sos_header([ci], 6, 63, 0, 1)
+        out += emit_ac_first(ci, 6, 63, 1)
+    for ci in all_cis:
+        out += sos_header([ci], 1, 63, 1, 0)
+        out += emit_ac_refine(ci, 1, 63, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -549,31 +821,243 @@ def _decode_block(
     return coef, dc
 
 
+def _read_symbol(
+    reader: _BitReader, table: dict[tuple[int, int], int]
+) -> int:
+    """MSB-first canonical huffman decode of one symbol."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _decode_ac_first(
+    reader: _BitReader,
+    coef: list[int],
+    ac_map: dict[tuple[int, int], int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC first scan (Ah=0) for one block; returns the
+    remaining EOB run. EOBn symbols (RRRR<15, SSSS=0) start a run of
+    (1<<RRRR)+ext blocks whose band is entirely zero — including the
+    current one."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, ac_map)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past end of band")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(
+    reader: _BitReader,
+    coef: list[int],
+    ac_map: dict[tuple[int, int], int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement scan (Ah=Al+1) for one block — the
+    T.81 G.2 correction-bit algorithm: already-nonzero coefficients
+    consume one correction bit as they are passed; run/1 symbols place
+    newly-significant +-1<<Al values; EOB runs correct the remaining
+    nonzero history in the band. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(reader, ac_map)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement symbol with size > 1"
+                    )
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    if reader.read_bit() and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                if reader.read_bit() and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+#: SOF markers by capability: sequential-decodable, progressive, and
+#: the genuinely-unsupported processes (lossless, hierarchical,
+#: arithmetic-coded, differential).
+_SOF_SEQUENTIAL = (0xC0, 0xC1)  # baseline + extended sequential huffman
+_SOF_PROGRESSIVE = (0xC2,)
+_SOF_UNSUPPORTED = (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                    0xCE, 0xCF)
+
+
 def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG to (width, height, channels,
-    interleaved 8-bit pixels) — grayscale stays 1 channel, YCbCr comes
-    back as RGB. See module docstring for the capability seam."""
+    """Decode a JPEG to (width, height, channels, interleaved 8-bit
+    pixels) — grayscale stays 1 channel, YCbCr comes back as RGB.
+
+    Sequential (SOF0/SOF1) and progressive (SOF2) huffman streams both
+    decode, including restart intervals (DRI/RSTn) and sampling
+    factors 1..4. The decoder is a multi-scan coefficient accumulator:
+    every SOS scan writes into a per-component coefficient store
+    (sequential is the one-scan special case; progressive DC
+    first/refine and AC first/refine with EOB runs fill it over
+    several), and reconstruction (dequantize, IDCT, upsample, color
+    convert) runs once at EOI. See module docstring for the remaining
+    capability seam (lossless/hierarchical/arithmetic processes,
+    12-bit)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     qtables: dict[int, list[int]] = {}
     dc_maps: dict[int, dict[tuple[int, int], int]] = {}
     ac_maps: dict[int, dict[tuple[int, int], int]] = {}
     width = height = None
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab id)
-    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
+    progressive = False
+    restart_interval = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, qtab id)
+    sampling: list[tuple[int, int]] = []
+    grids: list[tuple[int, int, int, int]] = []
+    store: list[list[list[list[int]]]] = []
+    mcus_x = mcus_y = 0
+    hmax = vmax = 1
+    scans_decoded = 0
+
+    def decode_scan(
+        reader: _BitReader,
+        scan: list[tuple[int, int, int]],
+        ss: int,
+        se: int,
+        ah: int,
+        al: int,
+    ) -> None:
+        nonlocal scans_decoded
+        interleaved = len(scan) > 1
+        if progressive:
+            if ss == 0 and se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            if ss > 0 and interleaved:
+                raise ValueError("progressive AC scan must be "
+                                 "non-interleaved")
+            if ss > se or se > 63:
+                raise ValueError("bad spectral selection")
+        elif (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("sequential scan with progressive header")
+
+        def mcus():
+            if not interleaved:
+                ci = scan[0][0]
+                _, _, bw, bh = grids[ci]
+                for by in range(bh):
+                    for bx in range(bw):
+                        yield [(scan[0], by, bx)]
+            else:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        units = []
+                        for sc in scan:
+                            h_i, v_i = sampling[sc[0]]
+                            for by in range(v_i):
+                                for bx in range(h_i):
+                                    units.append(
+                                        (sc, my * v_i + by, mx * h_i + bx)
+                                    )
+                        yield units
+
+        preds = {sc[0]: 0 for sc in scan}
+        eobrun = 0
+        count = 0
+        for units in mcus():
+            if restart_interval and count and count % restart_interval == 0:
+                reader.restart()
+                preds = {sc[0]: 0 for sc in scan}
+                eobrun = 0
+            for (ci, dct, act), by, bx in units:
+                coef = store[ci][by][bx]
+                if not progressive:
+                    newcoef, preds[ci] = _decode_block(
+                        reader, preds[ci], dc_maps[dct], ac_maps[act]
+                    )
+                    coef[:] = newcoef
+                elif ss == 0:
+                    if ah == 0:  # DC first
+                        n = _read_symbol(reader, dc_maps[dct])
+                        preds[ci] += _extend(reader.read_bits(n), n)
+                        coef[0] = preds[ci] << al
+                    elif reader.read_bit():  # DC refine
+                        coef[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _decode_ac_first(
+                        reader, coef, ac_maps[act], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        reader, coef, ac_maps[act], ss, se, al, eobrun
+                    )
+            count += 1
+        scans_decoded += 1
+
     i = 2
     try:
-        while i + 4 <= len(content):
+        while i + 2 <= len(content):
             if content[i] != 0xFF:
                 raise ValueError(f"expected marker at offset {i}")
             marker = content[i + 1]
             if marker == 0xD9:  # EOI
                 break
-            if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                          0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no segment
+                continue
+            if marker in _SOF_UNSUPPORTED:
                 raise NotImplementedError(
-                    f"JPEG SOF 0x{marker:02x}: only baseline sequential "
-                    "(SOF0) decodes; plug PIL in via the media_pixels seam"
+                    f"JPEG SOF 0x{marker:02x}: sequential (SOF0/1) and "
+                    "progressive (SOF2) huffman decode; lossless/"
+                    "hierarchical/arithmetic processes plug PIL in via "
+                    "the media_pixels seam"
                 )
             seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
             seg = content[i + 4 : i + 2 + seg_len]
@@ -598,48 +1082,80 @@ def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                     m = _build_decode_map((bits, values))
                     (dc_maps if cls == 0 else ac_maps)[tid] = m
                     p += 17 + nval
-            elif marker == 0xC0:  # SOF0
+            elif marker in _SOF_SEQUENTIAL + _SOF_PROGRESSIVE:
+                progressive = marker in _SOF_PROGRESSIVE
                 prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8:
                     raise NotImplementedError(f"{prec}-bit JPEG samples")
                 for c in range(nc):
                     cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                     h_i, v_i = samp >> 4, samp & 0x0F
-                    if not (1 <= h_i <= 2 and 1 <= v_i <= 2):
+                    if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
                         raise NotImplementedError(
-                            f"sampling factors {h_i}x{v_i} (1..2 decode)"
+                            f"sampling factors {h_i}x{v_i} (1..4 decode)"
                         )
-                    comps.append((cid, samp, tq))
+                    comps.append((cid, h_i, v_i, tq))
+                    sampling.append((h_i, v_i))
+                hmax = max(h for h, _ in sampling)
+                vmax = max(v for _, v in sampling)
+                mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+                for h_i, v_i in sampling:
+                    if nc == 1:
+                        cw, ch = width, height
+                        bw_pad = bw_own = (cw + 7) // 8
+                        bh_pad = bh_own = (ch + 7) // 8
+                    else:
+                        cw = (width * h_i + hmax - 1) // hmax
+                        ch = (height * v_i + vmax - 1) // vmax
+                        bw_pad, bh_pad = mcus_x * h_i, mcus_y * v_i
+                        bw_own, bh_own = (cw + 7) // 8, (ch + 7) // 8
+                    grids.append((bw_pad, bh_pad, bw_own, bh_own))
+                    store.append(
+                        [
+                            [[0] * 64 for _ in range(bw_pad)]
+                            for _ in range(bh_pad)
+                        ]
+                    )
             elif marker == 0xDD:  # DRI
-                if struct.unpack(">H", seg[:2])[0] != 0:
-                    raise NotImplementedError("JPEG restart intervals")
+                restart_interval = struct.unpack(">H", seg[:2])[0]
             elif marker == 0xDA:  # SOS
+                if width is None:
+                    raise ValueError("JPEG SOS before SOF frame")
                 ns = seg[0]
+                scan = []
                 for c in range(ns):
                     cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                     idx = next(
-                        k for k, (ccid, _, _) in enumerate(comps) if ccid == cid
+                        k for k, comp in enumerate(comps) if comp[0] == cid
                     )
-                    scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
-                i = i + 2 + seg_len
-                break
+                    scan.append((idx, tabs >> 4, tabs & 0x0F))
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                reader = _BitReader(content[i + 2 + seg_len :])
+                try:
+                    decode_scan(reader, scan, ss, se, ahal >> 4, ahal & 0x0F)
+                except KeyError as e:
+                    raise ValueError(
+                        f"JPEG scan references missing table: {e}"
+                    ) from e
+                # skip entropy pad bytes to the next true marker
+                p = i + 2 + seg_len + reader.pos
+                while p + 1 < len(content) and not (
+                    content[p] == 0xFF
+                    and content[p + 1] != 0x00
+                    and not (0xD0 <= content[p + 1] <= 0xD7)
+                ):
+                    p += 1
+                i = p
+                continue
             i += 2 + seg_len
-        else:
-            raise ValueError("JPEG without SOS scan")
     except (struct.error, IndexError, StopIteration) as e:
         raise ValueError(f"truncated or corrupt JPEG: {e}") from e
 
-    if width is None or not scan_comps:
-        raise ValueError("JPEG without SOF frame or SOS scan")
-
-    nc = len(scan_comps)
-    sampling = [
-        (comps[ci][1] >> 4, comps[ci][1] & 0x0F) for ci, _, _ in scan_comps
-    ]
-    hmax = max(h for h, _ in sampling)
-    vmax = max(v for _, v in sampling)
-    reader = _BitReader(content[i:])
-    preds = [0] * nc
+    if width is None:
+        raise ValueError("JPEG without SOF frame")
+    if not scans_decoded:
+        raise ValueError("JPEG without SOS scan")
 
     def _place(plane, pw, spatial, x0, y0):
         for y in range(8):
@@ -647,50 +1163,24 @@ def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
             srow = y * 8
             plane[row : row + 8] = spatial[srow : srow + 8]
 
+    nc = len(comps)
+    planes = []
     try:
-        if nc == 1:
-            # non-interleaved: one block per data unit over the
-            # component's own 8x8 grid (no MCU padding)
-            bw = (width + 7) // 8
-            bh = (height + 7) // 8
-            pw, ph = bw * 8, bh * 8
-            plane = [0] * (pw * ph)
-            ci, dct, act = scan_comps[0]
-            for bi in range(bw * bh):
-                by, bx = divmod(bi, bw)
-                coef, preds[0] = _decode_block(
-                    reader, preds[0], dc_maps[dct], ac_maps[act]
-                )
-                spatial = _dequant_idct(coef, qtables[comps[ci][2]])
-                _place(plane, pw, spatial, bx * 8, by * 8)
-            planes = [(plane, pw)]
-        else:
-            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-            planes = []
-            for h_i, v_i in sampling:
-                pw = mcus_x * 8 * h_i
-                planes.append(([0] * (pw * mcus_y * 8 * v_i), pw))
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    for si, (ci, dct, act) in enumerate(scan_comps):
-                        h_i, v_i = sampling[si]
-                        plane, pw = planes[si]
-                        for by in range(v_i):
-                            for bx in range(h_i):
-                                coef, preds[si] = _decode_block(
-                                    reader, preds[si],
-                                    dc_maps[dct], ac_maps[act],
-                                )
-                                spatial = _dequant_idct(
-                                    coef, qtables[comps[ci][2]]
-                                )
-                                _place(
-                                    plane, pw, spatial,
-                                    (mx * h_i + bx) * 8, (my * v_i + by) * 8,
-                                )
+        for ci in range(nc):
+            bw_pad, bh_pad, _, _ = grids[ci]
+            pw = bw_pad * 8
+            plane = [0] * (pw * bh_pad * 8)
+            qt = qtables[comps[ci][3]]
+            for by in range(bh_pad):
+                for bx in range(bw_pad):
+                    _place(
+                        plane, pw,
+                        _dequant_idct(store[ci][by][bx], qt),
+                        bx * 8, by * 8,
+                    )
+            planes.append((plane, pw))
     except KeyError as e:
-        raise ValueError(f"JPEG scan references missing table: {e}") from e
+        raise ValueError(f"JPEG frame references missing table: {e}") from e
 
     if nc == 1:
         plane, pw = planes[0]
@@ -722,4 +1212,4 @@ def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 out[o + 1] = g
                 out[o + 2] = b
         return width, height, 3, bytes(out)
-    raise NotImplementedError(f"{nc}-component JPEG scans")
+    raise NotImplementedError(f"{nc}-component JPEG frames")

@@ -842,17 +842,21 @@ def test_jpeg_error_contract_and_dispatcher():
         jpeg_pixels(good[:40])  # truncated in the segment stream
     with pytest.raises(ValueError):
         jpeg_pixels(b"notajpeg")
-    # flip SOF0 -> SOF2 (progressive): capability gap, not corruption
+    # relabeling SOF0 -> SOF2 leaves a sequential-shaped scan header
+    # (Ss=0, Se=63) that is ILLEGAL progressive: corruption, loudly
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpeg_pixels(prog)
-    # sampling factors above 2 (e.g. 3x3): declared seam — 1..2 decode
-    # since the 4:2:0/4:2:2 support landed
+    # sampling factors above 4 stay a declared seam (1..4 decode since
+    # the progressive/DRI support landed); 5x5 is also spec-illegal
     i = good.find(b"\xff\xc0")
     sub = bytearray(good)
-    sub[i + 11] = 0x33  # sampling factors byte of component 1
+    sub[i + 11] = 0x55  # sampling factors byte of component 1
     with pytest.raises(NotImplementedError):
         jpeg_pixels(bytes(sub))
+    # lossless (SOF3) remains NotImplementedError
+    with pytest.raises(NotImplementedError):
+        jpeg_pixels(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
 
 
 def test_gif_animated_frames_round_trip():
@@ -1124,6 +1128,103 @@ def test_jpeg_chroma_subsampling_round_trips():
     assert max(
         abs(lum(pix3, i) - lum(dec3, i)) for i in range(16 * 16)
     ) <= 6
+
+
+def test_jpeg_restart_interval_round_trip():
+    """DRI/RSTn: the encoder byte-aligns and emits restart markers
+    every Ri MCUs with DC-predictor resets, and the decoder resyncs at
+    each — pixels identical to the no-restart stream."""
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+    )
+
+    w, h = 24, 16
+    grad = bytes(min(255, 4 * x + 3 * y) for y in range(h) for x in range(w))
+    base = jpeg_pixels(jpeg_encode(grad, w, h, 1, QTABLE_FLAT))[3]
+    for ri in (1, 2, 5):
+        enc = jpeg_encode(grad, w, h, 1, QTABLE_FLAT, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        assert b"\xff\xd0" in enc  # at least RST0 fired
+        assert jpeg_pixels(enc)[3] == base
+    # color MCU-interleaved restarts too
+    pr = bytes(
+        c
+        for y in range(13)
+        for x in range(20)
+        for c in ((x * 12) % 256, (y * 17) % 256, ((x + y) * 7) % 256)
+    )
+    a = jpeg_pixels(jpeg_encode(pr, 20, 13, 3, subsampling="420"))[3]
+    b = jpeg_pixels(
+        jpeg_encode(pr, 20, 13, 3, subsampling="420", restart_interval=1)
+    )[3]
+    assert a == b
+
+
+def test_jpeg_progressive_round_trip():
+    """Progressive (SOF2) streams decode pixel-identically to the
+    sequential encoding of the same source — the scan script exercises
+    DC first/refine, AC first/refine and EOB runs (r5 ask #4)."""
+    import random
+
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+    )
+
+    # constant image: every AC scan is one long EOBRUN across blocks
+    w, h = 64, 48
+    flat = bytes([77]) * (w * h)
+    enc = jpeg_encode(flat, w, h, 1, QTABLE_FLAT, progressive=True)
+    assert enc.count(b"\xff\xda") == 5  # DC first+refine, 2 AC, refine
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    assert jpeg_pixels(enc)[3] == flat
+
+    # dark noise (negative DC path) through the standard tables
+    rnd = random.Random(7)
+    dark = bytes(rnd.randrange(0, 60) for _ in range(w * h))
+    assert (
+        jpeg_pixels(jpeg_encode(dark, w, h, 1, progressive=True))[3]
+        == jpeg_pixels(jpeg_encode(dark, w, h, 1))[3]
+    )
+
+    # color, odd dims, every subsampling, with and without restarts
+    pix = bytes(rnd.randrange(0, 256) for _ in range(21 * 17 * 3))
+    for sub in ("444", "422", "420"):
+        seq = jpeg_pixels(jpeg_encode(pix, 21, 17, 3, subsampling=sub))[3]
+        pro = jpeg_pixels(
+            jpeg_encode(pix, 21, 17, 3, subsampling=sub, progressive=True)
+        )[3]
+        pro_ri = jpeg_pixels(
+            jpeg_encode(
+                pix, 21, 17, 3, subsampling=sub, progressive=True,
+                restart_interval=2,
+            )
+        )[3]
+        assert seq == pro == pro_ri
+
+
+def test_jpeg_sampling_factor_4_decodes(monkeypatch):
+    """Sampling factors up to the spec max of 4 decode (4:1:1 is the
+    DV-family layout); above 4 stays the declared seam."""
+    from comperhensive_bigdata_analysis__spark import jpegcodec as jc
+
+    monkeypatch.setitem(jc._SUBSAMPLING, "411", ((4, 1), (1, 1), (1, 1)))
+    pr = bytes(
+        c
+        for y in range(9)
+        for x in range(33)
+        for c in ((x * 7) % 256, (y * 31) % 256, 128)
+    )
+    enc = jc.jpeg_encode(pr, 33, 9, 3, jc.QTABLE_FLAT, subsampling="411")
+    gw, gh, ch, dec = jc.jpeg_pixels(enc)
+    assert (gw, gh, ch) == (33, 9, 3)
+    pro = jc.jpeg_encode(
+        pr, 33, 9, 3, jc.QTABLE_FLAT, subsampling="411", progressive=True
+    )
+    assert jc.jpeg_pixels(pro)[3] == dec
 
 
 def test_jpeg_luma_subsampled_component_rows(monkeypatch):
