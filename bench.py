@@ -117,6 +117,19 @@ HEADLINE = {
     # never the headline total):
     "q18_hash_embed_topk": plans.QUERIES["hash_embed_topk"],
     "q19_zorder_skipping": plans.QUERIES["zorder_skipping_stats"],
+    # r6 additive entries: the numpy media fast tiers next to their
+    # Python correctness tiers, so the speedup is a measured row pair.
+    # The JPEG pair runs on a 1-in-10 doc sample (sample_mod) — the
+    # full-corpus pure-Python DCT costs minutes at sf0.1, which would
+    # dominate the whole bench; the RATIO is the signal either way.
+    "q20_wav_stats_py": plans.QUERIES["wav_audio_stats"],
+    "q21_wav_stats_np": plans.QUERIES["wav_audio_stats_np"],
+    "q22_jpeg_stats_py": lambda s, d: plans.QUERIES["jpeg_pixel_stats"](
+        s, d, sample_mod=10
+    ),
+    "q23_jpeg_stats_np": lambda s, d: plans.QUERIES["jpeg_pixel_stats_np"](
+        s, d, sample_mod=10
+    ),
 }
 
 
@@ -146,6 +159,10 @@ _ADDITIONS = (
     "q17_unigram_surprisal",
     "q18_hash_embed_topk",
     "q19_zorder_skipping",
+    "q20_wav_stats_py",
+    "q21_wav_stats_np",
+    "q22_jpeg_stats_py",
+    "q23_jpeg_stats_np",
 )
 
 #: Large-scale tier (VERDICT r2 ask #8): the 3 slowest headliners re-run

@@ -937,20 +937,15 @@ _SOF_UNSUPPORTED = (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                     0xCE, 0xCF)
 
 
-def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a JPEG to (width, height, channels, interleaved 8-bit
-    pixels) — grayscale stays 1 channel, YCbCr comes back as RGB.
+def _jpeg_coefficients(content: bytes):
+    """Parse segments and entropy-decode EVERY scan of a JPEG into a
+    per-component quantized-coefficient store. Shared by the Python and
+    numpy reconstruction tiers — the huffman bitstream is inherently
+    sequential; only the reconstruction math vectorizes.
 
-    Sequential (SOF0/SOF1) and progressive (SOF2) huffman streams both
-    decode, including restart intervals (DRI/RSTn) and sampling
-    factors 1..4. The decoder is a multi-scan coefficient accumulator:
-    every SOS scan writes into a per-component coefficient store
-    (sequential is the one-scan special case; progressive DC
-    first/refine and AC first/refine with EOB runs fill it over
-    several), and reconstruction (dequantize, IDCT, upsample, color
-    convert) runs once at EOI. See module docstring for the remaining
-    capability seam (lossless/hierarchical/arithmetic processes,
-    12-bit)."""
+    Returns (width, height, comps, sampling, grids, store, qtables)
+    where store[ci][by][bx] is the natural-order 64-coefficient block
+    over the component's MCU-padded grid."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     qtables: dict[int, list[int]] = {}
@@ -1157,6 +1152,30 @@ def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     if not scans_decoded:
         raise ValueError("JPEG without SOS scan")
 
+    return width, height, comps, sampling, grids, store, qtables
+
+
+def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a JPEG to (width, height, channels, interleaved 8-bit
+    pixels) — grayscale stays 1 channel, YCbCr comes back as RGB.
+
+    Sequential (SOF0/SOF1) and progressive (SOF2) huffman streams both
+    decode, including restart intervals (DRI/RSTn) and sampling
+    factors 1..4. The decoder is a multi-scan coefficient accumulator:
+    every SOS scan writes into a per-component coefficient store
+    (sequential is the one-scan special case; progressive DC
+    first/refine and AC first/refine with EOB runs fill it over
+    several), and reconstruction (dequantize, IDCT, upsample, color
+    convert) runs once at EOI. This is the pure-Python correctness
+    tier; ``jpeg_pixels_np`` vectorizes the reconstruction. See module
+    docstring for the remaining capability seam (lossless/
+    hierarchical/arithmetic processes, 12-bit)."""
+    width, height, comps, sampling, grids, store, qtables = (
+        _jpeg_coefficients(content)
+    )
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+
     def _place(plane, pw, spatial, x0, y0):
         for y in range(8):
             row = (y0 + y) * pw + x0
@@ -1212,4 +1231,91 @@ def jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes]:
                 out[o + 1] = g
                 out[o + 2] = b
         return width, height, 3, bytes(out)
+    raise NotImplementedError(f"{nc}-component JPEG frames")
+
+#: Orthonormal 8-point DCT basis for the vectorized IDCT:
+#: _A[u, x] = 0.5 * C_u * cos((2x+1) u pi / 16), so a spatial block is
+#: A.T @ K @ A for dequantized coefficients K — the same math as
+#: _dequant_idct's quadruple loop, as two 8x8 matmuls.
+def _idct_basis():
+    import numpy as np
+
+    a = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        for x in range(8):
+            a[u, x] = 0.5 * _C[u] * _COS[u][x]
+    return a
+
+
+def jpeg_pixels_np(content: bytes) -> tuple[int, int, int, bytes]:
+    """Numpy fast tier of ``jpeg_pixels`` (VERDICT r5 ask #3): the
+    entropy decode is shared (huffman is sequential by nature), but
+    dequantization, the 2-D IDCT (batched 8x8 matmuls over all blocks
+    at once), block placement, sampling-ratio upsampling (fancy
+    indexing) and YCbCr->RGB all vectorize. Output is pinned
+    bit-identical to the Python tier by tests/test_multimodal.py —
+    same float64 math, same banker's rounding (np.rint == round)."""
+    import numpy as np
+
+    width, height, comps, sampling, grids, store, qtables = (
+        _jpeg_coefficients(content)
+    )
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    basis = _idct_basis()
+    dezig = np.array(ZIGZAG, dtype=np.int64)  # noqa: F841  (store is natural order)
+
+    nc = len(comps)
+    planes2d = []
+    try:
+        for ci in range(nc):
+            bw_pad, bh_pad, _, _ = grids[ci]
+            qt = np.array(qtables[comps[ci][3]], dtype=np.float64)
+            flat = np.array(
+                [
+                    store[ci][by][bx]
+                    for by in range(bh_pad)
+                    for bx in range(bw_pad)
+                ],
+                dtype=np.float64,
+            ).reshape(bh_pad * bw_pad, 64)
+            deq = (flat * qt).reshape(-1, 8, 8)
+            # batched IDCT: X_n = A.T @ K_n @ A, then level shift
+            spatial = np.einsum("uy,nuv,vx->nyx", basis, deq, basis)
+            pix = np.clip(np.rint(spatial + 128.0), 0, 255)
+            # blocks -> plane: (bh, bw, 8, 8) -> (bh*8, bw*8)
+            plane = (
+                pix.reshape(bh_pad, bw_pad, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh_pad * 8, bw_pad * 8)
+            )
+            planes2d.append(plane)
+    except KeyError as e:
+        raise ValueError(f"JPEG frame references missing table: {e}") from e
+
+    if nc == 1:
+        out = planes2d[0][:height, :width].astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    if nc == 3:
+        ups = []
+        for ci in range(3):
+            h_i, v_i = sampling[ci]
+            rows = (np.arange(height, dtype=np.int64) * v_i) // vmax
+            cols = (np.arange(width, dtype=np.int64) * h_i) // hmax
+            ups.append(planes2d[ci][rows][:, cols])
+        y, cb, cr = ups
+        # identical per-element expressions to _ycbcr_to_rgb, so the
+        # float64 results (and banker's rounding) match exactly
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.stack(
+            [
+                np.clip(np.rint(r), 0, 255),
+                np.clip(np.rint(g), 0, 255),
+                np.clip(np.rint(b), 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        return width, height, 3, rgb.tobytes()
     raise NotImplementedError(f"{nc}-component JPEG frames")

@@ -1214,6 +1214,62 @@ def wav_samples(content: bytes) -> tuple[int, int, int, list[int]]:
     return ch, fr, sw, samples
 
 
+def wav_samples_np(content: bytes):
+    """Numpy fast tier of ``wav_samples`` (VERDICT r5 ask #3): same
+    RIFF parse via the ``wave`` stdlib module, but the PCM buffer
+    converts with a single ``np.frombuffer`` view instead of a Python
+    loop — and the vectorized byte assembly un-gates 24-bit PCM, the
+    width the struct tier declares as its seam. Returns (channels,
+    sample_rate, sampwidth_bytes, int64 ndarray); values are pinned
+    equal to the Python tier by tests/test_multimodal.py."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE container; plug an audio codec "
+            "(librosa/ffmpeg) in via decode_media(..., decoder=...)"
+        )
+    try:
+        with wave.open(io.BytesIO(content), "rb") as wf:
+            ch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            fr = wf.getframerate()
+            nf = wf.getnframes()
+            raw = wf.readframes(nf)
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt WAV: {e}") from e
+    if len(raw) != nf * ch * sw:
+        raise ValueError(
+            f"WAV data chunk holds {len(raw)} bytes, header promises "
+            f"{nf} frames x {ch} ch x {sw} B"
+        )
+    if sw == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    elif sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif sw == 3:
+        # little-endian signed 24-bit: assemble 3 bytes, sign-extend
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = np.where(v >= 1 << 23, v - (1 << 24), v)
+    elif sw == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit PCM")
+    return ch, fr, sw, samples
+
+
+def media_samples_np(content: bytes):
+    """``media_samples``' numpy twin — the dispatcher for the fast
+    sample tier (same seam, ndarray out)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return wav_samples_np(content)
+    raise NotImplementedError("no stdlib sample codec for this container")
+
+
 def wav_encode(
     samples: list[int],
     sample_rate: int = 8000,
@@ -1232,6 +1288,9 @@ def wav_encode(
         data = bytes((s + 128) & 0xFF for s in samples)
     elif sampwidth == 2:
         data = struct.pack(f"<{len(samples)}h", *samples)
+    elif sampwidth == 3:
+        # low 3 bytes of the 32-bit two's complement = 24-bit LE signed
+        data = b"".join(struct.pack("<i", s)[:3] for s in samples)
     elif sampwidth == 4:
         data = struct.pack(f"<{len(samples)}i", *samples)
     else:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..multimodal import attach_fake_media, codec_decoder, decode_media, media_stats
 from ..sources.tables import load_table
-from . import plan
+from . import ORACLES, plan
 
 #: Gradient-image parameters for the pixel plans: doc_id -> a small RGB
 #: image whose pixel (x, y) is (b+x+y, 2b+x, b+2y) with b = doc_id % 64,
@@ -509,6 +509,53 @@ def wav_audio_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@plan("wav_audio_stats_np", ORACLES["wav_audio_stats"])
+def wav_audio_stats_np(spark, sf_dir):
+    """The numpy throughput tier of wav_audio_stats (VERDICT r5 ask
+    #3): identical output contract and the SAME DuckDB oracle, but the
+    decode is one ``np.frombuffer`` view (multimodal.wav_samples_np)
+    and the amplitude folds are vectorized reductions instead of
+    per-sample Python. Tier equality is additionally pinned by
+    tests/test_multimodal.py.
+
+    100 TB: same shape as the correctness tier — embarrassingly
+    parallel map, bytes never shuffle — with the per-sample Python
+    interpreter cost removed from the hot loop.
+    """
+    import pandas as pd
+
+    from ..multimodal import media_samples_np, wav_encode
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sum_amp": [],
+                   "sum_abs": [], "sum_sq": [], "peak": []}
+            for i in pdf["doc_id"].astype("int64"):
+                n, b = 32 + int(i) % 41, int(i) % 64
+                sig = ((b * 37 + np.arange(n, dtype=np.int64) * 17)
+                       % 2048) - 1024
+                _ch, _fr, _sw, dec = media_samples_np(
+                    wav_encode(sig.tolist(), sample_rate=8000)
+                )
+                out["doc_id"].append(int(i))
+                out["n_samples"].append(int(dec.size))
+                out["sum_amp"].append(int(dec.sum()))
+                out["sum_abs"].append(int(np.abs(dec).sum()))
+                out["sum_sq"].append(int((dec * dec).sum()))
+                out["peak"].append(int(dec.max()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        stats,
+        schema="doc_id long, n_samples long, sum_amp long, "
+        "sum_abs long, sum_sq long, peak long",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # JPEG round-trip stats — the baseline-JPEG twin of media_pixel_stats
 # (closing the "JPEG is header-only" gap, VERDICT r3/r4). Per document:
@@ -560,15 +607,17 @@ _JPG_B = "doc_id % 64"
     ORDER BY doc_id
     """,
 )
-def jpeg_pixel_stats(spark, sf_dir):
+def jpeg_pixel_stats(spark, sf_dir, sample_mod=None):
     """See module comment above — real baseline-JPEG entropy round
     trip verified against a closed-form oracle.
 
     100 TB: embarrassingly parallel map over the media column (bytes
     never shuffle; the only exchange carries one stats row per image);
     Arrow batches bound Python memory. The pure-Python DCT is the
-    correctness tier — PIL/libjpeg drops in at the media_pixels seam
-    for throughput.
+    correctness tier — jpeg_pixel_stats_np / PIL drop in at the
+    media_pixels seam for throughput. ``sample_mod`` (bench-only,
+    never set by the oracle gate) keeps only doc_id % mod == 0 so the
+    bench row pair costs seconds, not minutes.
     """
     import pandas as pd
 
@@ -576,6 +625,8 @@ def jpeg_pixel_stats(spark, sf_dir):
     from ..multimodal import media_pixels
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    if sample_mod:
+        d = d.filter(F.col("doc_id") % sample_mod == 0)
 
     def stats(batches):
         for pdf in batches:
@@ -597,6 +648,61 @@ def jpeg_pixel_stats(spark, sf_dir):
                 out["width"].append(gw)
                 out["height"].append(gh)
                 out["sum_lum"].append(sum(dec))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, sum_lum long",
+    ).orderBy("doc_id")
+
+
+@plan("jpeg_pixel_stats_np", ORACLES["jpeg_pixel_stats"])
+def jpeg_pixel_stats_np(spark, sf_dir, sample_mod=None):
+    """The numpy throughput tier of jpeg_pixel_stats (VERDICT r5 ask
+    #3): identical output contract and the SAME DuckDB oracle, but the
+    reconstruction runs through jpegcodec.jpeg_pixels_np — batched
+    8x8-matmul IDCT over all blocks at once, vectorized dequantize /
+    placement / clamp — and the pixel fold is one np.frombuffer sum.
+    The entropy decode stays shared with the correctness tier (huffman
+    is sequential by nature). Bit-identical output is pinned by
+    tests/test_multimodal.py.
+
+    100 TB: embarrassingly parallel map over the media column (bytes
+    never shuffle); the O(pixels) Python interpreter cost is gone from
+    the IDCT and fold hot loops.
+    """
+    import pandas as pd
+
+    from ..jpegcodec import QTABLE_FLAT, jpeg_encode, jpeg_pixels_np
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    if sample_mod:
+        d = d.filter(F.col("doc_id") % sample_mod == 0)
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "sum_lum": []}
+            for i in pdf["doc_id"].astype("int64"):
+                bw, bh, b = 1 + int(i) % 5, 1 + int(i) % 3, int(i) % 64
+                w, h = bw * 8, bh * 8
+                pix = bytearray(w * h)
+                for by in range(bh):
+                    for bx in range(bw):
+                        val = (b + 7 * bx + 11 * by) % 256
+                        for y in range(8):
+                            row = (by * 8 + y) * w + bx * 8
+                            pix[row : row + 8] = bytes([val]) * 8
+                enc = jpeg_encode(bytes(pix), w, h, channels=1,
+                                  qtable=QTABLE_FLAT)
+                gw, gh, _ch, dec = jpeg_pixels_np(enc)
+                out["doc_id"].append(int(i))
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["sum_lum"].append(
+                    int(np.frombuffer(dec, dtype=np.uint8).sum())
+                )
             yield pd.DataFrame(out)
 
     return d.mapInPandas(

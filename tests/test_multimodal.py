@@ -1130,6 +1130,88 @@ def test_jpeg_chroma_subsampling_round_trips():
     ) <= 6
 
 
+def test_jpeg_numpy_tier_bit_identical():
+    """jpeg_pixels_np (vectorized dequant/IDCT/upsample/color) must
+    produce BYTE-identical output to the Python correctness tier —
+    same float64 math, same banker's rounding — across gray/color,
+    every subsampling, both SOF modes, restarts, and both quant
+    tables (r5 ask #3)."""
+    import random
+
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+        jpeg_pixels_np,
+    )
+
+    rnd = random.Random(42)
+    for _ in range(25):
+        w, h = rnd.randrange(8, 40), rnd.randrange(8, 40)
+        chn = rnd.choice([1, 3])
+        enc = jpeg_encode(
+            bytes(rnd.randrange(256) for _ in range(w * h * chn)),
+            w, h, chn,
+            rnd.choice([None, QTABLE_FLAT]),
+            subsampling=rnd.choice(["444", "422", "420"]),
+            progressive=rnd.choice([False, True]),
+            restart_interval=rnd.choice([0, 0, 2]),
+        )
+        assert jpeg_pixels(enc) == jpeg_pixels_np(enc)
+
+
+def test_wav_numpy_tier_matches_and_ungates_24bit():
+    """wav_samples_np (frombuffer) equals the struct tier on every
+    width the struct tier supports, and additionally decodes 24-bit
+    PCM — the width the struct tier declares as its seam (r5 ask #3)."""
+    import random
+
+    import pytest
+
+    from comperhensive_bigdata_analysis__spark.multimodal import (
+        media_samples_np,
+        wav_encode,
+        wav_samples,
+        wav_samples_np,
+    )
+
+    rnd = random.Random(3)
+    for sw, lo, hi in ((1, -128, 127), (2, -(2**15), 2**15 - 1),
+                       (4, -(2**31), 2**31 - 1)):
+        sig = [rnd.randrange(lo, hi + 1) for _ in range(257)]
+        enc = wav_encode(sig, sampwidth=sw)
+        ch, fr, sw_a, a = wav_samples(enc)
+        ch_b, fr_b, sw_b, b = wav_samples_np(enc)
+        assert (ch, fr, sw_a) == (ch_b, fr_b, sw_b)
+        assert a == list(b) == sig
+    sig24 = [rnd.randrange(-(2**23), 2**23) for _ in range(100)]
+    enc24 = wav_encode(sig24, sampwidth=3)
+    with pytest.raises(NotImplementedError):
+        wav_samples(enc24)  # struct tier: documented seam
+    assert list(media_samples_np(enc24)[3]) == sig24
+
+
+def test_media_fast_tier_plans_equal_correctness_tiers(spark, sf_dir):
+    """The registered fast-tier plans return row-identical results to
+    their correctness-tier twins (both are also independently
+    DuckDB-oracled)."""
+    from comperhensive_bigdata_analysis__spark.plans.multimodal import (
+        jpeg_pixel_stats,
+        jpeg_pixel_stats_np,
+        wav_audio_stats,
+        wav_audio_stats_np,
+    )
+
+    assert (
+        wav_audio_stats(spark, sf_dir).collect()
+        == wav_audio_stats_np(spark, sf_dir).collect()
+    )
+    assert (
+        jpeg_pixel_stats(spark, sf_dir).collect()
+        == jpeg_pixel_stats_np(spark, sf_dir).collect()
+    )
+
+
 def test_jpeg_restart_interval_round_trip():
     """DRI/RSTn: the encoder byte-aligns and emits restart markers
     every Ri MCUs with DC-predictor resets, and the decoder resyncs at
