@@ -387,3 +387,94 @@ def approx_percentile_calibration(spark, sf_dir):
         F.col("z.approx").alias("approx"),
         rel_err.alias("rel_err"),
     ).orderBy("p")
+
+
+# ---------------------------------------------------------------------------
+# Tolerance contracts for the rows-only sketch plans (VERDICT r5 ask
+# #8). A sketch's output legitimately cannot hash-match a cross-engine
+# oracle, but its ERROR ENVELOPE is still checkable: each entry below
+# pairs an EXACT DuckDB computation with the documented bound, and the
+# correctness sweep stamps `tol_ok` into CORRECTNESS_FULL.json so the
+# weaker rows-only entries carry a verified tolerance instead of
+# nothing. The bounds mirror the local pytest contracts
+# (tests/test_sketch_and_bucketing.py / test_sketch_probe_invariants):
+# 5% for the HLL-family distincts (rsd=0.02 sketches, >=3 sigma), 5%
+# for approx_percentile vs interpolated exact (the actual-data-value
+# vs interpolation semantic gap dominates at small group sizes), 1%
+# rel_err for the accuracy=10000 calibration.
+# ---------------------------------------------------------------------------
+
+
+def _tol_approx_distinct(rows, exact):
+    ex = {r[0]: r[1] for r in exact}
+    got = {r["event_type"]: r["approx_users"] for r in rows}
+    return set(got) == set(ex) and all(
+        abs(got[k] - ex[k]) / ex[k] <= 0.05 for k in ex
+    )
+
+
+def _tol_approx_percentile(rows, exact):
+    ex = {r[0]: (r[1], r[2]) for r in exact}
+    got = {r["o_orderpriority"]: (r["ap50"], r["ap90"]) for r in rows}
+    return set(got) == set(ex) and all(
+        abs(a - e) / abs(e) <= 0.05
+        for k in ex
+        for a, e in zip(got[k], ex[k])
+    )
+
+
+def _tol_hll_mergeable(rows, exact):
+    ex = {r[0]: r[1] for r in exact}
+    got = {r["grain"]: r["approx_users"] for r in rows}
+    return set(got) == set(ex) and all(
+        abs(got[k] - ex[k]) / ex[k] <= 0.05 for k in ex
+    )
+
+
+def _tol_calibration(rows, exact):
+    ex = {float(r[0]): float(r[1]) for r in exact}
+    return all(r["rel_err"] <= 0.01 for r in rows) and all(
+        abs(r["approx"] - ex[float(r["p"])]) / ex[float(r["p"])] <= 0.01
+        for r in rows
+    )
+
+
+#: plan name -> (exact DuckDB SQL over the same tables, check(rows,
+#: exact_rows) -> bool). Consumed by tools/correctness_sweep.py.
+TOL_CHECKS = {
+    "approx_distinct_users": (
+        """
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        _tol_approx_distinct,
+    ),
+    "approx_percentile_prices": (
+        """
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90
+        FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        _tol_approx_percentile,
+    ),
+    "hll_mergeable_distinct": (
+        """
+        SELECT event_type AS grain,
+               COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+        """,
+        _tol_hll_mergeable,
+    ),
+    "approx_percentile_calibration": (
+        """
+        SELECT unnest([0.5, 0.9, 0.99]) AS p,
+               unnest(quantile_cont(o_totalprice, [0.5, 0.9, 0.99]))
+                 AS exact
+        FROM orders
+        """,
+        _tol_calibration,
+    ),
+}

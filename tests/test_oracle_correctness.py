@@ -54,6 +54,41 @@ def test_every_plan_has_oracle():
     assert missing == set(), f"plans missing oracles: {missing}"
 
 
+def test_rows_only_plans_carry_verified_tolerance():
+    """VERDICT r5 ask #8: every rows-only plan must (a) register a
+    tolerance contract (exact DuckDB SQL + envelope check) in
+    plans.sketch.TOL_CHECKS and (b) carry `tol_ok: true` in the
+    committed artifact — the sweep evaluated the sketch estimate
+    against the EXACT cross-engine computation, so the weaker entries
+    hold a checkable bound instead of nothing."""
+    import json
+    import pathlib
+
+    from comperhensive_bigdata_analysis__spark.plans.sketch import TOL_CHECKS
+
+    assert set(TOL_CHECKS) == NO_ORACLE_ALLOWED
+    art = json.loads(
+        (pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_FULL.json")
+        .read_text()
+    )
+    for name, row in art.items():
+        if row.get("mode") == "rows-only":
+            assert name in NO_ORACLE_ALLOWED, name
+            assert row.get("tol_ok") is True, (name, row)
+
+
+def test_tolerance_contracts_hold_at_smoke_scale(spark, con):
+    """Run the TOL_CHECKS contracts live at sf0.001 (the committed
+    artifact pins sf0.01) so a sketch regression fails in pytest, not
+    only at the next sweep."""
+    from comperhensive_bigdata_analysis__spark.plans.sketch import TOL_CHECKS
+
+    for name, (exact_sql, check) in TOL_CHECKS.items():
+        rows = plans.QUERIES[name](spark, SF_SMOKE).collect()
+        exact = con.execute(exact_sql).fetchall()
+        assert check(rows, exact), name
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as ent
 

@@ -66,7 +66,7 @@ def sweep(sf_dir: str, only: list[str] | None) -> dict[str, dict]:
             print(f"ERROR     {name}: {str(e)[:200]}", flush=True)
             continue
         if r.get("status") == "rows-only":
-            out[name] = {
+            row = {
                 "rows_match": True,
                 "schema_match": True,
                 "hash_match": None,
@@ -75,6 +75,27 @@ def sweep(sf_dir: str, only: list[str] | None) -> dict[str, dict]:
                 "oracle_rows": None,
                 "err": None,
             }
+            # VERDICT r5 ask #8: sketches can't hash-match, but their
+            # error envelope is checkable — evaluate the plan's
+            # tolerance contract against an EXACT DuckDB computation
+            # and stamp the verdict into the artifact.
+            from comperhensive_bigdata_analysis__spark.plans.sketch import (
+                TOL_CHECKS,
+            )
+
+            if name in TOL_CHECKS:
+                exact_sql, check = TOL_CHECKS[name]
+                try:
+                    row["tol_ok"] = bool(
+                        check(
+                            fn(spark, sf_dir).collect(),
+                            con.execute(exact_sql).fetchall(),
+                        )
+                    )
+                except Exception as e:
+                    row["tol_ok"] = False
+                    row["err"] = f"tol check: {str(e)[:400]}"
+            out[name] = row
         else:
             out[name] = {
                 "rows_match": r["rows_match"],
@@ -125,7 +146,7 @@ def main() -> None:
         n
         for n, r in ordered.items()
         if r.get("err") or r["rows_match"] is False or r["schema_match"] is False
-        or r["hash_match"] is False
+        or r["hash_match"] is False or r.get("tol_ok") is False
     ]
     print(f"\nartifact: {len(ordered)}/{len(all_names)} rows, {len(bad)} failing")
     for n in bad:
