@@ -73,11 +73,19 @@ EXTRA_PROBES: dict = {
 #: by SCALE_AUDIT exchange count — grouped_exact_median (iterative
 #: histogram refinement, 8 exchanges) and ann_recall_matrix (4 ANN
 #: legs + recall join, 18 exchanges).
+#: Round-6 additions (VERDICT r5 ask #7): the two r5-new plans —
+#: hash_embed_topk (broadcast query vector -> one doc_id shuffle ->
+#: TakeOrderedAndProject) and zorder_skipping_stats (arithmetic
+#: range-bucket file ids from a broadcast 1-row max; the global-NTILE
+#: scale-killer was designed out in 2ab2d72) — probed empirically now
+#: that their structural stories are pinned by plan tests.
 for _name in (
     "pq_adc_knn",
     "bloom_filter_probe",
     "grouped_exact_median",
     "ann_recall_matrix",
+    "hash_embed_topk",
+    "zorder_skipping_stats",
 ):
     EXTRA_PROBES[_name] = plans.QUERIES[_name]
 
@@ -187,6 +195,16 @@ def main() -> None:
             "  query count; IVF/JL/PQ: linear candidate scans), so the\n"
             "  eval inherits at-worst-linear behavior and the probe pins\n"
             "  the 18-exchange composition's constant.\n"
+            "- hash_embed_topk tokenizes and feature-hashes every doc\n"
+            "  into 32 buckets, broadcasts the <=32-row query vector,\n"
+            "  partial-aggregates the (doc, bucket) mass map-side, and\n"
+            "  finishes with one doc_id exchange into a\n"
+            "  TakeOrderedAndProject — linear scan work, constant-size\n"
+            "  broadcast, top-k never materializes the full score set.\n"
+            "- zorder_skipping_stats assigns file ids by integer range\n"
+            "  arithmetic against a broadcast 1-row max (no global sort,\n"
+            "  no window), then aggregates per-file min/max — one\n"
+            "  map-side-combined exchange over the fact rows.\n"
             "- lsh_band_pairs is SUPER-linear at fixed hyperplane count:\n"
             "  with BITS_PER_BAND=4 there are only 16 buckets per band,\n"
             "  so bucket occupancy grows with n and candidate pairs grow\n"
