@@ -364,3 +364,47 @@ def sql_presto_unnest_compat(spark, sf_dir):
         LIMIT 20
         """
     )
+
+
+# -- Presto map_agg / histogram through the front door -----------------------
+
+_MAP_COMPAT_ORACLE = """
+    SELECT r.r_name AS region,
+           CAST(MAX(CASE WHEN n.n_name = 'ALGERIA'
+                         THEN n.n_nationkey END) AS BIGINT) AS algeria_key,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(COUNT(*) AS BIGINT) AS hist_self
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+"""
+
+
+@plan("sql_presto_map_compat", _MAP_COMPAT_ORACLE)
+def sql_presto_map_compat(spark, sf_dir):
+    """Presto's aggregate-map spellings as TEXT: `map_agg(k, v)` and
+    `histogram(x)` — aggregates, so the SQL-UDF layer can't host them,
+    and their arguments splice into multiple places, so the token
+    layer can't either. translate()'s paren-aware call rewriter
+    compiles them to map_from_entries(collect_list(struct ...)) /
+    a distinct-transform-filter-count composition (all catalyst;
+    LAST_WIN key dedup pinned to Presto's tolerant semantics). The
+    oracle states the same scalars relationally (CASE extraction,
+    COUNT) — proving the MAP algebra equals plain aggregation, not
+    that two copies of one query agree. Nation keys probed via
+    element_at; the self-bucket of a regionkey histogram must equal
+    the region's nation count."""
+    return _engine(spark, sf_dir, "nation", "region").sql(
+        """
+        SELECT r.r_name AS region,
+               CAST(element_at(map_agg(n.n_name, n.n_nationkey),
+                               'ALGERIA') AS BIGINT) AS algeria_key,
+               CAST(cardinality(map_agg(n.n_name, n.n_nationkey))
+                    AS BIGINT) AS n_nations,
+               element_at(histogram(n.n_regionkey),
+                          r.r_regionkey) AS hist_self
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, r.r_regionkey
+        ORDER BY region
+        """
+    )

@@ -195,6 +195,20 @@ _PRESTO_SQL_UDFS = (
     "RETURN parse_url(u, 'PROTOCOL')",
     "url_extract_parameter(u STRING, k STRING) RETURNS STRING "
     "RETURN parse_url(u, 'QUERY', k)",
+    # Presto bitwise function spellings (Spark speaks operators)
+    "bitwise_and(x BIGINT, y BIGINT) RETURNS BIGINT RETURN x & y",
+    "bitwise_or(x BIGINT, y BIGINT) RETURNS BIGINT RETURN x | y",
+    "bitwise_xor(x BIGINT, y BIGINT) RETURNS BIGINT RETURN x ^ y",
+    "bitwise_not(x BIGINT) RETURNS BIGINT RETURN ~x",
+    # hex / radix conversion (Presto names; Spark's are hex/unhex/conv)
+    "to_hex(b BINARY) RETURNS STRING RETURN upper(hex(b))",
+    "from_hex(s STRING) RETURNS BINARY RETURN unhex(s)",
+    "from_base(s STRING, r INT) RETURNS BIGINT "
+    "RETURN CAST(conv(s, r, 10) AS BIGINT)",
+    "to_base(x BIGINT, r INT) RETURNS STRING "
+    "RETURN lower(conv(CAST(x AS STRING), 10, r))",
+    # legacy Presto alias of strpos
+    "index(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
 )
 
 
@@ -207,6 +221,10 @@ def register_presto_compat(spark: SparkSession) -> None:
         return  # once per session — plans build an Engine per call
     for ddl in _PRESTO_SQL_UDFS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {ddl}")
+    # Presto's map_agg keeps an arbitrary entry on duplicate keys;
+    # Spark's map_from_entries throws by default. LAST_WIN gives the
+    # front door Presto's tolerant semantics (_CALL_REWRITES).
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.cba.prestoCompatRegistered", "true")
 
 
@@ -228,6 +246,85 @@ _TOKEN_REWRITES = (
     (
         re.compile(r"\bdate_add\(\s*'(\w+)'\s*,", re.IGNORECASE),
         lambda m: f"timestampadd({m.group(1).upper()},",
+    ),
+    # Presto zip(a, b, ...) -> arrays_zip (same positional-struct
+    # semantics incl. NULL padding; Spark names the struct fields after
+    # the inputs where Presto leaves them anonymous — access stays
+    # positional either way). Call syntax only, so a column named
+    # `zip` never matches.
+    (re.compile(r"\bzip\s*\(", re.IGNORECASE), "arrays_zip("),
+)
+
+
+def _rewrite_call(q: str, name: str, nargs: int, template) -> str:
+    """Paren-aware rewrite of ``name(arg1, ..., argN)`` call sites —
+    for Presto spellings whose arguments must be SPLICED into a Spark
+    expression (aggregates can't be SQL UDFs, and a flat token rewrite
+    can't reuse an argument twice). Arguments are extracted with the
+    same literal-masked balanced-paren scan as UNNEST, so commas inside
+    nested calls or string literals never split, and occurrences inside
+    literals are left untouched. ``template`` receives the argument
+    texts and returns the replacement expression. Runs until no match
+    so nested occurrences (e.g. in different subqueries) all rewrite;
+    the template must not emit the rewritten name itself."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        flags = _literal_flags(q)
+        m = None
+        for cand in pat.finditer(q, pos):
+            if not flags[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return q
+        depth, j = 1, m.end()
+        while j < len(q) and depth:
+            if not flags[j]:
+                if q[j] == "(":
+                    depth += 1
+                elif q[j] == ")":
+                    depth -= 1
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced parens in {name}(...)")
+        arg = q[m.end() : j - 1]
+        cuts = _split_top_level_positions(_mask_literals(arg))
+        args, prev = [], 0
+        for c in cuts + [len(arg)]:
+            args.append(arg[prev:c].strip())
+            prev = c + 1
+        if len(args) != nargs:
+            raise ValueError(
+                f"{name}() takes {nargs} argument(s), got {len(args)}"
+            )
+        repl = template(*args)
+        q = q[: m.start()] + repl + q[j:]
+        pos = m.start() + len(repl)
+
+
+#: Presto aggregate-map spellings -> Spark catalyst compositions.
+#: map_agg(k, v): Presto keeps an arbitrary entry on duplicate keys;
+#: register_presto_compat pins spark.sql.mapKeyDedupPolicy=LAST_WIN so
+#: map_from_entries matches that tolerance instead of throwing.
+#: histogram(x): value-frequency map — distinct keys from one
+#: collect_list, counts by a filtered size over another (quadratic per
+#: GROUP, which is fine: group cardinalities are the small side; the
+#: whole expression stays catalyst/codegen).
+_CALL_REWRITES = (
+    (
+        "map_agg",
+        2,
+        lambda k, v: f"map_from_entries(collect_list(struct({k}, {v})))",
+    ),
+    (
+        "histogram",
+        1,
+        lambda x: (
+            f"map_from_entries(transform(array_distinct(collect_list({x}))"
+            f", __hk -> struct(__hk, CAST(size(filter(collect_list({x})"
+            f", __he -> __he <=> __hk)) AS BIGINT))))"
+        ),
     ),
 )
 
@@ -427,6 +524,9 @@ def translate(q: str) -> str:
             return _repl(m) if callable(_repl) else _repl
 
         q = pat.sub(_guarded, q)
+    for name, nargs, template in _CALL_REWRITES:
+        if re.search(rf"\b{name}\s*\(", _mask_literals(q), re.IGNORECASE):
+            q = _rewrite_call(q, name, nargs, template)
     return _presto_null_order(q)
 
 

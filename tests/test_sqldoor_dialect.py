@@ -313,6 +313,74 @@ def test_unnest_relocates_past_trailing_joins():
     assert out4.index("explode(x) t1") < out4.index("explode(c1arr) t2")
 
 
+def test_presto_bitwise_hex_base_functions(spark):
+    """The r6 compat batch: bitwise_*, to_hex/from_hex, from_base/
+    to_base, e(), index(), and the zip->arrays_zip token rewrite."""
+    eng = Engine(spark)
+    cases = {
+        "SELECT bitwise_and(12, 10) AS v": 8,
+        "SELECT bitwise_or(12, 10) AS v": 14,
+        "SELECT bitwise_xor(12, 10) AS v": 6,
+        "SELECT bitwise_not(0) AS v": -1,
+        "SELECT to_hex(CAST('AB' AS BINARY)) AS v": "4142",
+        "SELECT CAST(from_hex('4142') AS STRING) AS v": "AB",
+        "SELECT from_base('ff', 16) AS v": 255,
+        "SELECT to_base(255, 16) AS v": "ff",
+        "SELECT index('hello', 'll') AS v": 3,
+    }
+    for q, want in cases.items():
+        assert eng.sql(q).first()["v"] == want, q
+    row = eng.sql(
+        "SELECT zip(array(1, 2, 3), array('a', 'b')) AS z"
+    ).first()["z"]
+    assert [tuple(r) for r in row] == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_map_agg_and_histogram_rewrite():
+    """map_agg / histogram are aggregates whose args splice into
+    multiple places — the paren-aware call rewriter compiles them to
+    catalyst compositions; literals and nested-call commas survive."""
+    import pytest
+
+    out = translate("SELECT r, map_agg(k, v) m FROM t GROUP BY r")
+    assert "map_from_entries(collect_list(struct(k, v)))" in out
+    # nested calls with commas don't split the top-level args
+    out2 = translate("SELECT map_agg(concat(a, ','), f(b, c)) FROM t")
+    assert "struct(concat(a, ','), f(b, c))" in out2
+    # histogram reuses its argument twice (distinct keys + counts)
+    out3 = translate("SELECT histogram(x) FROM t")
+    assert "array_distinct(collect_list(x))" in out3
+    assert "filter(collect_list(x)" in out3
+    # inside a string literal: untouched
+    q_lit = "SELECT 'map_agg(k, v)' FROM t"
+    assert translate(q_lit) == q_lit
+    with pytest.raises(ValueError):
+        translate("SELECT map_agg(k) FROM t")
+
+
+def test_map_agg_executes_with_presto_semantics(spark):
+    """Executed behavior: element_at/cardinality over the rewritten
+    map, histogram counts, and Presto's tolerant duplicate-key rule
+    (LAST_WIN, not Spark's default throw)."""
+    eng = Engine(spark)
+    eng.register(
+        spark.sql(
+            "SELECT * FROM VALUES ('a', 1), ('b', 2), ('a', 3) AS t(k, v)"
+        ),
+        "kv",
+    )
+    row = eng.sql(
+        "SELECT cardinality(map_agg(k, v)) AS n, "
+        "element_at(map_agg(k, v), 'b') AS b, "
+        "element_at(map_agg(k, v), 'a') AS a, "
+        "element_at(histogram(k), 'a') AS ha FROM kv"
+    ).first()
+    assert row["n"] == 2  # duplicate 'a' collapses, no throw
+    assert row["b"] == 2
+    assert row["a"] in (1, 3)  # Presto: arbitrary entry kept
+    assert row["ha"] == 2
+
+
 def test_unnest_executes_on_spark(spark):
     """The rewritten forms run end-to-end on Spark with Presto's
     semantics: 1-based ordinality, NULL-padded zip to the longest
@@ -353,7 +421,8 @@ def test_translate_fuzz_never_crashes_and_idempotent():
         list("abcXYZ019 ,.()'\";=<>*") + [
             " ORDER BY ", " SELECT ", " UNNEST(", " CROSS JOIN ",
             " AS t(x)", " LIMIT 5", "date_diff('day',", "approx_distinct(",
-            "'it''s'", '"order by"', " NULLS FIRST",
+            "'it''s'", '"order by"', " NULLS FIRST", " map_agg(",
+            " histogram(", " WITH ORDINALITY ",
         ]
     )
 
