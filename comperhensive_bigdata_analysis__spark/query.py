@@ -300,7 +300,11 @@ def _rewrite_call(q: str, name: str, nargs: int, template) -> str:
             )
         repl = template(*args)
         q = q[: m.start()] + repl + q[j:]
-        pos = m.start() + len(repl)
+        # rescan FROM the rewrite site, not past it: an occurrence
+        # spliced through verbatim inside the arguments (e.g. in a
+        # scalar subquery) still needs rewriting. Terminates because
+        # each pass removes one `name(` and the template emits none.
+        pos = m.start()
 
 
 #: Presto aggregate-map spellings -> Spark catalyst compositions.

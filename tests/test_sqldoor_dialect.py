@@ -354,6 +354,13 @@ def test_map_agg_and_histogram_rewrite():
     # inside a string literal: untouched
     q_lit = "SELECT 'map_agg(k, v)' FROM t"
     assert translate(q_lit) == q_lit
+    # an occurrence inside another site's ARGUMENTS (scalar subquery)
+    # still rewrites — the rescan restarts at the rewrite site
+    out4 = translate(
+        "SELECT map_agg(k, (SELECT cardinality(map_agg(a, b)) FROM u))"
+        " FROM t"
+    )
+    assert "map_agg" not in out4
     with pytest.raises(ValueError):
         translate("SELECT map_agg(k) FROM t")
 
