@@ -974,8 +974,10 @@ def test_jpeg_block_constant_round_trip_property():
         bw=st.integers(1, 4),
         bh=st.integers(1, 3),
         seed=st.integers(0, 2**31),
+        progressive=st.booleans(),
+        ri=st.sampled_from([0, 0, 1, 3]),
     )
-    def check(bw, bh, seed):
+    def check(bw, bh, seed, progressive, ri):
         import random
 
         rnd = random.Random(seed)
@@ -988,12 +990,41 @@ def test_jpeg_block_constant_round_trip_property():
                     row = (by * 8 + y) * w + bx * 8
                     pix[row : row + 8] = bytes([v]) * 8
         gw, gh, ch, dec = jpeg_pixels(
-            jpeg_encode(bytes(pix), w, h, channels=1, qtable=QTABLE_FLAT)
+            jpeg_encode(
+                bytes(pix), w, h, channels=1, qtable=QTABLE_FLAT,
+                progressive=progressive, restart_interval=ri,
+            )
         )
         assert (gw, gh, ch) == (w, h, 1)
         assert dec == bytes(pix)
 
     check()
+
+
+def test_jpeg_tiny_geometry_matrix():
+    """Images smaller than one block/MCU (1x1 up to sub-8 widths)
+    decode to exact dimensions in both SOF modes, every subsampling,
+    both reconstruction tiers."""
+    from comperhensive_bigdata_analysis__spark.jpegcodec import (
+        QTABLE_FLAT,
+        jpeg_encode,
+        jpeg_pixels,
+        jpeg_pixels_np,
+    )
+
+    for (w, h, ch) in ((1, 1, 1), (1, 1, 3), (3, 5, 3), (7, 2, 1),
+                       (8, 1, 3), (2, 9, 3)):
+        pix = bytes((i * 37) % 256 for i in range(w * h * ch))
+        for prog in (False, True):
+            subs = ("444",) if ch == 1 else ("444", "422", "420")
+            for sub in subs:
+                enc = jpeg_encode(
+                    pix, w, h, ch, QTABLE_FLAT, subsampling=sub,
+                    progressive=prog,
+                )
+                out = jpeg_pixels(enc)
+                assert out[:3] == (w, h, ch), (w, h, ch, prog, sub)
+                assert jpeg_pixels_np(enc) == out
 
 
 def test_wav_round_trip_property():
