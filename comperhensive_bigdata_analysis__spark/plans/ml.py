@@ -134,3 +134,126 @@ def kmeans_update(spark, sf_dir):
         )
         .orderBy("centroid", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup census — the cluster-scoped embedding
+# dedup SCALE PATH (public SemDeDup recipe: k-means the embedding
+# space, then look for near-duplicate pairs only WITHIN each cluster,
+# because cross-cluster cosines can't clear a high threshold). The
+# existing embedding_near_dup plan is the exact global tier (all-pairs
+# — quadratic); this plan is the shape you run at 100 TB: assignment
+# is a broadcast-centroid map pass, and the pair join carries cid in
+# its key so candidate pairs shrink from n^2/2 to sum_k(n_k^2)/2.
+# Pruning policy (deterministic): a vector is pruned when ANY
+# lower-id member of its own cluster is a >=0.35-cosine duplicate —
+# the keep-first-representative greedy, stated per pair so both
+# engines count identically. Exactness: the ml.py/vector.py decimal
+# discipline (per-component row math, DECIMAL(28,12) reductions,
+# identical double division both sides of the threshold).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESH = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_ASSIGN_CTE},
+    a2 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    nrm AS (
+      SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sq
+      FROM v GROUP BY vec_id
+    ),
+    p AS (
+      SELECT aa.cid AS cid, a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM v a
+      JOIN v b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      JOIN a2 aa ON aa.vec_id = a.vec_id
+      JOIN a2 ab ON ab.vec_id = b.vec_id AND ab.cid = aa.cid
+      GROUP BY 1, 2, 3
+    ),
+    dup AS (
+      SELECT p.cid, id_a, id_b
+      FROM p
+      JOIN nrm x ON id_a = x.vec_id
+      JOIN nrm y ON id_b = y.vec_id
+      WHERE dot / (sqrt(x.sq) * sqrt(y.sq)) >= {SEMDEDUP_THRESH}
+    ),
+    mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
+    SELECT mem.cid AS cluster,
+           CAST(mem.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(dd.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(dd.n_pruned, 0) AS BIGINT) AS n_pruned,
+           CAST(mem.n_members - COALESCE(dd.n_pruned, 0) AS BIGINT) AS n_kept
+    FROM mem
+    LEFT JOIN (
+      SELECT cid, COUNT(*) AS n_dup_pairs,
+             COUNT(DISTINCT id_b) AS n_pruned
+      FROM dup GROUP BY cid
+    ) dd ON mem.cid = dd.cid
+    ORDER BY cluster
+"""
+
+
+@plan("semantic_dedup_census", _SEMDEDUP_ORACLE)
+def semantic_dedup_census(spark, sf_dir):
+    """Per-cluster semantic-dedup census: members, duplicate pairs
+    (cosine >= 0.35 within the cluster only), vectors pruned by the
+    keep-first-representative rule, and survivors.
+
+    100 TB: centroids broadcast (K rows); assignment is one grouped
+    reduction per vector; the pair join's equality key is (pos, cid)
+    so candidates never leave their cluster — the SemDeDup trick that
+    makes embedding dedup sub-quadratic. The census output is K rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = _assignment(e).select("vec_id", "cid")
+    v = _exploded(e).join(assign, "vec_id")
+    nrm = v.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(PDEC)).cast("double").alias("sq")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    d = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+        .agg(
+            F.sum((F.col("a.x") * F.col("b.x")).cast(PDEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nx = nrm.select(F.col("vec_id").alias("id_a"), F.col("sq").alias("sq_a"))
+    ny = nrm.select(F.col("vec_id").alias("id_b"), F.col("sq").alias("sq_b"))
+    cos = F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b"))
+    dup = (
+        d.join(F.broadcast(nx), "id_a")
+        .join(F.broadcast(ny), "id_b")
+        .filter(cos >= SEMDEDUP_THRESH)
+        .select("cid", "id_a", "id_b")
+    )
+    dd = dup.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_pruned"),
+    )
+    mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        mem.join(dd, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            (F.col("n_members") - F.coalesce("n_pruned", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("cluster")
+    )
