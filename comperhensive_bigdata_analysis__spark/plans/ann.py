@@ -13,12 +13,14 @@ constants embedded in BOTH engines' queries):
   identical shape MinHash banding gives text dedup. Candidates are
   rescored exactly, so output = exact pairs ∩ candidate set.
   Scale: each band's bucket key is ~uniform; the join shuffles
-  n·BANDS rows, never n^2 — but the CANDIDATE set it emits grows
-  ~n^2/2^BITS_PER_BAND at fixed band width (SCALE_PROBE.md measured
-  10.3x time at 8x data with these demo constants). The contract at
-  scale: BITS_PER_BAND must grow ~log2(n) so per-bucket occupancy —
-  and with it candidates and rescore cost — stays bounded; the demo
-  keeps 4 bits so the oracle corpus actually produces collisions.
+  n·BANDS rows, never n^2 — and since round 7 the band width is
+  AUTO-SCALED (auto_bits_per_band: ~ceil(log2(n)) - 5 bits, floor 4,
+  cap MAX_BPB) from a cheap corpus count, so per-bucket occupancy —
+  and with it candidates and rescore cost — stays bounded as n grows.
+  The fixed-4-bit shape's ~n^2/2^bits candidate blow-up is kept in
+  SCALE_PROBE.md as a measured negative control. At the oracle corpus
+  size (n=500) the rule lands on exactly the 4-bit demo shape, so
+  collisions still occur and historical artifacts replay unchanged.
   Skewed buckets (dense clusters) are AQE-skew-join territory.
 - ivf_knn: inverted-file search. A fixed small centroid set (here the
   first 16 vectors; at scale a k-means sample) partitions the space;
@@ -47,7 +49,8 @@ from .vector import PDEC, _exploded
 
 DIM = 64
 BANDS = 4
-BITS_PER_BAND = 4
+BITS_PER_BAND = 4  # floor band width (and the demo/fast-tier shape)
+MAX_BPB = 16  # widest auto band — 4 bands x 16 bits covers n ~ 2^21+
 NBITS = BANDS * BITS_PER_BAND
 NCENTROIDS = 16
 NPROBE = 4
@@ -62,7 +65,25 @@ def _hp_sign(j: int, pos: int) -> int:
     return 1 if int(h[:8], 16) & 1 else -1
 
 
-_SIGNS = [[_hp_sign(j, p) for p in range(DIM)] for j in range(NBITS)]
+#: Full hyperplane table up to the widest auto band shape; _SIGNS is
+#: the 16-bit demo prefix the fast/np tiers and their tests consume.
+_SIGNS_FULL = [[_hp_sign(j, p) for p in range(DIM)] for j in range(BANDS * MAX_BPB)]
+_SIGNS = _SIGNS_FULL[:NBITS]
+
+
+def auto_bits_per_band(n: int) -> int:
+    """The LSH band-width contract, applied instead of documented
+    (VERDICT r6 ask #4): per-band buckets number 2^bits, so per-bucket
+    occupancy — and with it the candidate-pair count and rescore cost —
+    is ~n/2^bits. Growing bits with ceil(log2(n)) pins occupancy to a
+    constant (~2^5 = 32 vectors per bucket here), which keeps total
+    candidates LINEAR in n. ceil(log2(n)) is computed as
+    (n-1).bit_length(), exactly the integer value DuckDB's
+    CEIL(LOG2(n)) yields (log2 of a non-power-of-2 is never within one
+    double ulp of an integer for realistic n, and powers of 2 are
+    exact), so both engines derive the identical width from the same
+    corpus count."""
+    return min(MAX_BPB, max(BITS_PER_BAND, (max(n, 2) - 1).bit_length() - 5))
 
 
 # ---------------------------------------------------------------------------
@@ -72,9 +93,14 @@ _SIGNS = [[_hp_sign(j, p) for p in range(DIM)] for j in range(NBITS)]
 def _lsh_oracle() -> str:
     # DuckDB generate_subscripts is 1-based (Spark posexplode 0-based);
     # the signs list is indexed identically, only the join key shifts.
+    # The band width is NOT a constant: params derives it from the
+    # corpus count with the same rule auto_bits_per_band applies on the
+    # Spark side, so the oracle replays the auto-widened shape at any
+    # scale. The hyperplane VALUES table is generated up to MAX_BPB and
+    # filtered to the first bands*bpb rows at query time.
     hp_rows = ",".join(
-        f"({p + 1},{j},{_SIGNS[j][p]})"
-        for j in range(NBITS)
+        f"({p + 1},{j},{_SIGNS_FULL[j][p]})"
+        for j in range(BANDS * MAX_BPB)
         for p in range(DIM)
     )
     return f"""
@@ -83,18 +109,24 @@ def _lsh_oracle() -> str:
              generate_subscripts(embedding, 1) AS pos
       FROM embeddings
     ),
+    params AS (
+      SELECT LEAST({MAX_BPB}, GREATEST({BITS_PER_BAND},
+               CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT) - 5)) AS bpb
+      FROM embeddings
+    ),
     h(pos, j, s) AS (VALUES {hp_rows}),
     bits AS (
       SELECT v.vec_id, h.j,
              CASE WHEN SUM(CAST(v.x * h.s AS DECIMAL(28,12))) >= 0
                   THEN '1' ELSE '0' END AS bit
       FROM v JOIN h USING (pos)
+      WHERE h.j < {BANDS} * (SELECT bpb FROM params)
       GROUP BY v.vec_id, h.j
     ),
     buckets AS (
-      SELECT vec_id, j // {BITS_PER_BAND} AS band,
+      SELECT vec_id, j // p.bpb AS band,
              string_agg(bit, '' ORDER BY j) AS bucket
-      FROM bits GROUP BY vec_id, j // {BITS_PER_BAND}
+      FROM bits CROSS JOIN params p GROUP BY vec_id, j // p.bpb
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -129,7 +161,7 @@ def _sign_bits(spark, v, n_bits: int = NBITS):
     engine-reproducible."""
     h = spark.createDataFrame(
         [
-            (p, j, _SIGNS[j][p] if j < NBITS else _hp_sign(j, p))
+            (p, j, _SIGNS_FULL[j][p] if j < len(_SIGNS_FULL) else _hp_sign(j, p))
             for j in range(n_bits)
             for p in range(DIM)
         ],
@@ -205,7 +237,16 @@ def lsh_pairs_at(spark, sf_dir, bands: int = BANDS, bits_per_band: int = BITS_PE
 
 @plan("lsh_band_pairs", _lsh_oracle())
 def lsh_band_pairs(spark, sf_dir):
-    return lsh_pairs_at(spark, sf_dir)
+    """Banded sign-LSH near-dup pairs with the band width AUTO-SCALED
+    from a cheap corpus count: bits_per_band = clamp(ceil(log2(n)) - 5)
+    keeps per-band bucket occupancy ~32 no matter the corpus size, so
+    the candidate set — the term that made the fixed-4-bit shape
+    super-linear in SCALE_PROBE.md — stays linear in n. The count is a
+    single-scalar action over parquet metadata, not a collect. The
+    oracle derives the identical width from COUNT(*) in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bpb = auto_bits_per_band(e.count())
+    return lsh_pairs_at(spark, sf_dir, bands=BANDS, bits_per_band=bpb)
 
 
 # ---------------------------------------------------------------------------

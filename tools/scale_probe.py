@@ -123,25 +123,29 @@ def main() -> None:
         print(f"{name:28s} base={base_s:7.2f}s x{COPIES}={big_s:7.2f}s "
               f"ratio={ratio:5.2f} (linear would be <= {COPIES})")
 
-    # The LSH contract, demonstrated: widen the bands by log2(COPIES)
-    # bits on the inflated corpus so per-bucket occupancy matches the
-    # 1x/4-bit run — runtime should drop back to ~linear growth.
+    # Negative control for the LSH contract: the default lsh_band_pairs
+    # row above AUTO-widens its bands with the corpus count (VERDICT r6
+    # ask #4 — no manual widening row needed), so this pins the shape
+    # it replaced: FIXED 4-bit bands, whose candidate set grows
+    # ~n^2/2^bits and whose ratio is expected super-linear. The probe
+    # keeps it to prove the auto rule is doing real work.
     from comperhensive_bigdata_analysis__spark.plans.ann import (
         BITS_PER_BAND,
         lsh_pairs_at,
     )
 
-    wide_bits = BITS_PER_BAND + max(1, COPIES.bit_length() - 1)
-    wide = lambda s, d: lsh_pairs_at(s, d, bits_per_band=wide_bits)  # noqa: E731
-    wide(spark, OUT_1X).collect()  # codegen warm-up
-    lsh_base = next(r for r in rows if r[0] == "lsh_band_pairs")
-    wide_s = _time(wide, spark, OUT_NX)
-    wide_ratio = wide_s / lsh_base[1]
+    fixed = lambda s, d: lsh_pairs_at(s, d, bits_per_band=BITS_PER_BAND)  # noqa: E731
+    fixed(spark, OUT_1X).collect()  # codegen warm-up
+    fixed_base = _time(fixed, spark, OUT_1X)
+    fixed_big = _time(fixed, spark, OUT_NX)
+    fixed_ratio = fixed_big / fixed_base
     rows.append(
-        (f"lsh_band_pairs[{wide_bits}-bit bands]", lsh_base[1], wide_s, wide_ratio)
+        (f"lsh_band_pairs[fixed {BITS_PER_BAND}-bit bands]",
+         fixed_base, fixed_big, fixed_ratio)
     )
-    print(f"lsh widened to {wide_bits}-bit bands at {COPIES}x: {wide_s:.2f}s "
-          f"(ratio {wide_ratio:.2f} vs 4-bit 1x base)")
+    print(f"lsh fixed at {BITS_PER_BAND}-bit bands: base={fixed_base:.2f}s "
+          f"x{COPIES}={fixed_big:.2f}s ratio={fixed_ratio:.2f} "
+          "(expected super-linear — negative control)")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE_PROBE.md"), "w") as f:
@@ -205,19 +209,20 @@ def main() -> None:
             "  arithmetic against a broadcast 1-row max (no global sort,\n"
             "  no window), then aggregates per-file min/max — one\n"
             "  map-side-combined exchange over the fact rows.\n"
-            "- lsh_band_pairs is SUPER-linear at fixed hyperplane count:\n"
-            "  with BITS_PER_BAND=4 there are only 16 buckets per band,\n"
-            "  so bucket occupancy grows with n and candidate pairs grow\n"
-            "  ~n^2/2^bits. This is the documented LSH contract, now\n"
-            "  measured: band WIDTH must grow ~log2(n) with corpus size\n"
-            "  (raise BITS_PER_BAND as n grows) to keep candidates — and\n"
-            "  therefore runtime — linear. The probe exists to catch\n"
-            "  exactly this class of parameter-dependent scaling.\n"
-            "- The widened-bands row applies that contract: adding\n"
-            "  log2(inflation) bits per band on the inflated corpus\n"
-            "  restores per-bucket occupancy, and its time ratio vs the\n"
-            "  4-bit 1x base is the linear-regime cost of the same\n"
-            "  semantic operation at the bigger scale.\n"
+            "- lsh_band_pairs AUTO-scales its band width from the corpus\n"
+            "  count (plans/ann.auto_bits_per_band: ~ceil(log2(n)) - 5\n"
+            "  bits, floor 4, cap 16), pinning per-band bucket occupancy\n"
+            "  to ~32 vectors at any n — candidates, and therefore\n"
+            "  runtime, stay linear. The oracle derives the identical\n"
+            "  width from COUNT(*) in SQL, so the auto-widened shape is\n"
+            "  still hash-verified cross-engine at every scale.\n"
+            "- The fixed-4-bit row is the NEGATIVE CONTROL: at a frozen\n"
+            "  band width there are only 16 buckets per band, occupancy\n"
+            "  grows with n, and candidate pairs grow ~n^2/2^bits — the\n"
+            "  super-linear ratio it shows is the failure mode the auto\n"
+            "  rule exists to prevent, kept measured so a regression in\n"
+            "  the rule would be visible as the default row drifting\n"
+            "  toward the control row.\n"
         )
     print("wrote SCALE_PROBE.md")
     spark.stop()
