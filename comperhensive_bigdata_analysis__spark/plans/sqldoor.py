@@ -408,3 +408,43 @@ def sql_presto_map_compat(spark, sf_dir):
         ORDER BY region
         """
     )
+
+
+# -- typed single-argument UNNEST (map / array-of-row) -----------------------
+
+_UNNEST_TYPED_ORACLE = """
+    SELECT n_regionkey AS rk,
+           CAST(COUNT(*) AS BIGINT) AS cnt_map,
+           CAST(COUNT(*) AS BIGINT) AS cnt_entries
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY rk
+"""
+
+
+@plan("sql_presto_unnest_typed", _UNNEST_TYPED_ORACLE)
+def sql_presto_unnest_typed(spark, sf_dir):
+    """The last Presto UNNEST spellings through the front door (r6 ask
+    #7): single-argument multi-column UNNEST over a MAP (`UNNEST(m) AS
+    t(k, v)` -> `explode(m)`) and over an ARRAY(ROW) (`UNNEST(
+    map_entries(m)) AS t(k, v)` -> `inline(a)`). The type is pinned by
+    the argument's outermost function (map_concat / map_entries here —
+    translate()'s disambiguation table); a bare column stays a loud
+    NotImplementedError with the workaround in the message. The query
+    builds one histogram of nation region keys, expands it BOTH ways
+    in one FROM clause, equi-filters the two expansions against each
+    other, and the oracle restates the counts relationally — so the
+    row proves both expansions agree with plain GROUP BY, not that two
+    copies of one rewrite agree."""
+    return _engine(spark, sf_dir, "nation").sql(
+        """
+        SELECT m.rk AS rk,
+               CAST(m.cnt AS BIGINT) AS cnt_map,
+               CAST(e.cnt2 AS BIGINT) AS cnt_entries
+        FROM (SELECT histogram(n_regionkey) AS h FROM nation) s
+        CROSS JOIN UNNEST(map_concat(h)) AS m(rk, cnt)
+        CROSS JOIN UNNEST(map_entries(h)) AS e(rk2, cnt2)
+        WHERE m.rk = e.rk2
+        ORDER BY rk
+        """
+    )

@@ -336,6 +336,23 @@ _CALL_REWRITES = (
 _UNNEST_RE = re.compile(
     r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE
 )
+#: Single-argument multi-column UNNEST disambiguation (VERDICT r6 ask
+#: #7): the alias column count alone cannot tell a map from an
+#: array-of-row, but the ARGUMENT's outermost function often can.
+#: These are Presto functions with statically-known return types —
+#: map-typed (UNNEST yields key, value -> Spark `explode(m)`) vs
+#: array(row)-typed (UNNEST expands the row fields -> Spark
+#: `inline(a)`). A bare column reference stays ambiguous and raises
+#: with the spell-it-directly workaround.
+_UNNEST_MAP_FN_RE = re.compile(
+    r"^\s*(map|map_from_entries|map_from_arrays|map_concat|map_filter"
+    r"|map_zip_with|transform_keys|transform_values|multimap_agg"
+    r"|map_agg|histogram)\s*\(",
+    re.IGNORECASE,
+)
+_UNNEST_ROWARR_FN_RE = re.compile(
+    r"^\s*(map_entries|zip|arrays_zip)\s*\(", re.IGNORECASE
+)
 _UNNEST_TAIL_RE = re.compile(
     r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(\s*"
     r"(\w+(?:\s*,\s*\w+)*)\s*\)",
@@ -415,10 +432,15 @@ def _rewrite_unnest(q: str) -> str:
     Forms: single array -> explode; WITH ORDINALITY -> inline(transform)
     with a 1-based BIGINT ordinality column LAST (Presto's order);
     multi-array zip -> inline(zip_with named structs), NULL-padded to
-    the longest array like Presto. The single-argument two-column form
-    (a map or array-of-row UNNEST) is textually ambiguous and raises.
-    The scan respects string literals and balanced parens (a regex
-    alone cannot bound the array expressions)."""
+    the longest array like Presto. The single-argument multi-column
+    form (a map or array-of-row UNNEST) is resolved when the
+    argument's outermost function pins the type — map-returning
+    functions compile to `explode(m)` (key, value columns),
+    array(row)-returning ones (map_entries, zip) to `inline(a)` —
+    and raises with a workaround message when a bare column leaves it
+    genuinely ambiguous. The scan respects string literals and
+    balanced parens (a regex alone cannot bound the array
+    expressions)."""
     pos = 0
     while True:
         flags = _literal_flags(q)
@@ -460,19 +482,33 @@ def _rewrite_unnest(q: str) -> str:
         cols = [c.strip() for c in collist.split(",")]
         expected = len(args) + (1 if ordinality else 0)
         if len(cols) != expected:
-            if len(args) == 1 and not ordinality and len(cols) == 2:
-                raise NotImplementedError(
-                    "single-argument UNNEST with a two-column alias is "
-                    "ambiguous in text (map or array-of-row) — spell "
-                    "maps as explode(map) and row arrays as "
-                    "inline(arr) directly"
+            gen = None
+            if len(args) == 1 and not ordinality and len(cols) >= 2:
+                # map vs array-of-row: resolvable when the argument's
+                # outermost function pins the type (see the regexes).
+                if _UNNEST_ROWARR_FN_RE.match(args[0]):
+                    gen = f"inline({args[0]})"
+                elif len(cols) == 2 and _UNNEST_MAP_FN_RE.match(args[0]):
+                    gen = f"explode({args[0]})"
+            if gen is None:
+                if len(args) == 1 and not ordinality and len(cols) >= 2:
+                    raise NotImplementedError(
+                        "single-argument UNNEST with a multi-column "
+                        "alias is ambiguous in text (map or "
+                        "array-of-row) unless the argument's outer "
+                        "function pins the type — spell maps as "
+                        "explode(map) and row arrays as inline(arr) "
+                        "directly, or wrap the argument (e.g. "
+                        "map_concat(m) / map_entries(m)) so the type "
+                        "is syntactically visible"
+                    )
+                raise ValueError(
+                    f"UNNEST alias column count {len(cols)} != "
+                    f"{len(args)} array(s)"
+                    + (" + 1 ordinality" if ordinality else "")
                 )
-            raise ValueError(
-                f"UNNEST alias column count {len(cols)} != "
-                f"{len(args)} array(s)"
-                + (" + 1 ordinality" if ordinality else "")
-            )
-        gen = _unnest_generator(args, cols, bool(ordinality))
+        else:
+            gen = _unnest_generator(args, cols, bool(ordinality))
         repl = f" LATERAL VIEW {gen} {alias} AS {', '.join(cols)} "
         # remove the UNNEST text, then splice the LATERAL VIEW at the
         # end of the enclosing FROM clause (first clause keyword at the

@@ -241,7 +241,8 @@ def test_unnest_rewrite():
     # bare UNNEST (no alias) still raises — Spark needs the column names
     with pytest.raises(NotImplementedError):
         translate("SELECT * FROM t CROSS JOIN UNNEST(a)")
-    # single-arg two-column alias is ambiguous (map or array-of-row)
+    # single-arg two-column alias on a BARE COLUMN is ambiguous
+    # (map or array-of-row) — raises with the workaround spelled out
     with pytest.raises(NotImplementedError):
         translate("SELECT * FROM t CROSS JOIN UNNEST(a) AS u(k, v)")
     # column-count / arity mismatch is a loud error, not a mis-parse
@@ -281,6 +282,39 @@ def test_unnest_zip_rewrite():
     )
     assert "transform(zip_with(a, b" in out4
     assert "'i', CAST(i + 1 AS BIGINT)" in out4
+
+
+def test_unnest_typed_argument_disambiguation():
+    """The single-argument multi-column UNNEST resolves when the
+    argument's outermost function pins the type (r6 ask #7): map-
+    returning functions -> `explode(m)` (key, value), array(row)-
+    returning ones -> `inline(a)`."""
+    import pytest
+
+    # map-returning argument -> explode
+    out = translate(
+        "SELECT k, v FROM t CROSS JOIN UNNEST(map_concat(m)) AS u(k, v)"
+    )
+    assert "LATERAL VIEW explode(map_concat(m)) u AS k, v" in out
+    out = translate(
+        "SELECT k, v FROM t CROSS JOIN UNNEST(map_filter(m, (k, v) -> v > 0)) AS u(k, v)"
+    )
+    assert "explode(map_filter(m, (k, v) -> v > 0))" in out
+    # array(row)-returning argument -> inline (2 and 3 alias columns)
+    out = translate(
+        "SELECT k, v FROM t CROSS JOIN UNNEST(map_entries(m)) AS u(k, v)"
+    )
+    assert "LATERAL VIEW inline(map_entries(m)) u AS k, v" in out
+    out = translate(
+        "SELECT * FROM t CROSS JOIN UNNEST(zip(a, b, c)) AS u(x, y, z)"
+    )
+    # the later token pass rewrites Presto zip -> arrays_zip
+    assert "inline(arrays_zip(a, b, c)) u AS x, y, z" in out
+    # a map argument with THREE alias columns is still an arity error
+    with pytest.raises(NotImplementedError):
+        translate(
+            "SELECT * FROM t CROSS JOIN UNNEST(map_concat(m)) AS u(k, v, w)"
+        )
 
 
 def test_unnest_relocates_past_trailing_joins():
