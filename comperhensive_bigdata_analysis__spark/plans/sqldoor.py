@@ -386,9 +386,10 @@ def sql_presto_map_compat(spark, sf_dir):
     `histogram(x)` — aggregates, so the SQL-UDF layer can't host them,
     and their arguments splice into multiple places, so the token
     layer can't either. translate()'s paren-aware call rewriter
-    compiles them to map_from_entries(collect_list(struct ...)) /
-    a distinct-transform-filter-count composition (all catalyst;
-    LAST_WIN key dedup pinned to Presto's tolerant semantics). The
+    compiles them to map_from_entries over expression-level key-dedup
+    (keep-last, so Presto's tolerant duplicate-key semantics hold
+    WITHOUT touching the session's mapKeyDedupPolicy) /
+    a distinct-transform-filter-count composition (all catalyst). The
     oracle states the same scalars relationally (CASE extraction,
     COUNT) — proving the MAP algebra equals plain aggregation, not
     that two copies of one query agree. Nation keys probed via

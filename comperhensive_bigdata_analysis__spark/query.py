@@ -221,10 +221,6 @@ def register_presto_compat(spark: SparkSession) -> None:
         return  # once per session — plans build an Engine per call
     for ddl in _PRESTO_SQL_UDFS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {ddl}")
-    # Presto's map_agg keeps an arbitrary entry on duplicate keys;
-    # Spark's map_from_entries throws by default. LAST_WIN gives the
-    # front door Presto's tolerant semantics (_CALL_REWRITES).
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.cba.prestoCompatRegistered", "true")
 
 
@@ -309,17 +305,31 @@ def _rewrite_call(q: str, name: str, nargs: int, template) -> str:
 
 #: Presto aggregate-map spellings -> Spark catalyst compositions.
 #: map_agg(k, v): Presto keeps an arbitrary entry on duplicate keys;
-#: register_presto_compat pins spark.sql.mapKeyDedupPolicy=LAST_WIN so
-#: map_from_entries matches that tolerance instead of throwing.
+#: Spark's map_from_entries throws on duplicates under the default
+#: spark.sql.mapKeyDedupPolicy. Rather than flipping that conf
+#: session-wide (ADVICE r6: it silently changed duplicate-key behavior
+#: for every non-compat query sharing the SparkSession, and Spark's
+#: lazy execution means a set/restore around Engine.sql would not
+#: actually scope the RUNTIME read of the conf), the rewrite dedups
+#: keys inside the expression itself: distinct keys in
+#: last-occurrence-first order, each paired with its last-seen value —
+#: map_from_entries then never sees a duplicate, under any policy.
+#: Quadratic per GROUP like histogram below, which is fine: group
+#: cardinalities are the small side; the whole expression stays
+#: catalyst/codegen.
 #: histogram(x): value-frequency map — distinct keys from one
-#: collect_list, counts by a filtered size over another (quadratic per
-#: GROUP, which is fine: group cardinalities are the small side; the
-#: whole expression stays catalyst/codegen).
+#: collect_list, counts by a filtered size over another.
 _CALL_REWRITES = (
     (
         "map_agg",
         2,
-        lambda k, v: f"map_from_entries(collect_list(struct({k}, {v})))",
+        lambda k, v: (
+            f"map_from_entries(transform(array_distinct(transform("
+            f"reverse(collect_list(named_struct('k', {k}, 'v', {v})))"
+            f", __me -> __me.k)), __mk -> named_struct('k', __mk, 'v', "
+            f"filter(reverse(collect_list(named_struct('k', {k}, 'v', {v})))"
+            f", __mf -> __mf.k <=> __mk)[0].v)))"
+        ),
     ),
     (
         "histogram",

@@ -377,10 +377,15 @@ def test_map_agg_and_histogram_rewrite():
     import pytest
 
     out = translate("SELECT r, map_agg(k, v) m FROM t GROUP BY r")
-    assert "map_from_entries(collect_list(struct(k, v)))" in out
+    # expression-level keep-last key dedup: distinct keys from the
+    # REVERSED entry list, each paired with its last-seen value, so
+    # map_from_entries never sees a duplicate under any session policy
+    assert "map_from_entries(transform(array_distinct(transform(" in out
+    assert "reverse(collect_list(named_struct('k', k, 'v', v)))" in out
+    assert "__mf -> __mf.k <=> __mk)[0].v" in out
     # nested calls with commas don't split the top-level args
     out2 = translate("SELECT map_agg(concat(a, ','), f(b, c)) FROM t")
-    assert "struct(concat(a, ','), f(b, c))" in out2
+    assert "named_struct('k', concat(a, ','), 'v', f(b, c))" in out2
     # histogram reuses its argument twice (distinct keys + counts)
     out3 = translate("SELECT histogram(x) FROM t")
     assert "array_distinct(collect_list(x))" in out3
@@ -401,9 +406,16 @@ def test_map_agg_and_histogram_rewrite():
 
 def test_map_agg_executes_with_presto_semantics(spark):
     """Executed behavior: element_at/cardinality over the rewritten
-    map, histogram counts, and Presto's tolerant duplicate-key rule
-    (LAST_WIN, not Spark's default throw)."""
+    map, histogram counts, and Presto's tolerant duplicate-key rule —
+    implemented by key-dedup INSIDE the rewritten expression, so the
+    session's mapKeyDedupPolicy stays untouched (ADVICE r6: the compat
+    layer must not change duplicate-map-key behavior for non-compat
+    queries sharing the SparkSession)."""
     eng = Engine(spark)
+    assert (
+        spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        == "EXCEPTION"
+    )
     eng.register(
         spark.sql(
             "SELECT * FROM VALUES ('a', 1), ('b', 2), ('a', 3) AS t(k, v)"
