@@ -173,9 +173,34 @@ _COS = [
 _C = [1 / math.sqrt(2)] + [1.0] * 7
 
 
+try:  # numpy fast path for the encoder FDCT; the codec itself stays
+    import numpy as _np  # stdlib-decodable — this only speeds fixtures
+
+    _FDCT_A = _np.array(
+        [[0.5 * _C[u] * _COS[u][x] for x in range(8)] for u in range(8)]
+    )
+except ImportError:  # pragma: no cover - numpy is baked into this env
+    _np = None
+    _FDCT_A = None
+
+
 def _fdct_quant(block: list[int], qtable: list[int]) -> list[int]:
     """Level-shifted 8x8 spatial block -> quantized coefficients
-    (natural order)."""
+    (natural order). With numpy present the 4096-multiply quadruple
+    loop is two 8x8 matmuls (A @ B @ A.T — the transpose of the
+    vectorized IDCT, same orthonormal basis) + one vectorized
+    quantize; np.rint matches Python round()'s banker's rounding, and
+    the pure-Python loop remains the importable fallback. The two
+    paths may differ by one quantization step on knife-edge
+    coefficients (matmul vs loop float summation order is a 1-ulp
+    effect) — both produce legal JPEG; the exact-round-trip fixtures
+    (constant blocks, flat qtable) are DC-only and boundary-free, so
+    plan results are identical under either path."""
+    if _np is not None:
+        b = _np.asarray(block, dtype=_np.float64).reshape(8, 8)
+        k = _FDCT_A @ b @ _FDCT_A.T
+        q = _np.asarray(qtable, dtype=_np.float64).reshape(8, 8)
+        return [int(v) for v in _np.rint(k / q).ravel()]
     out = [0] * 64
     for u in range(8):
         for v in range(8):
