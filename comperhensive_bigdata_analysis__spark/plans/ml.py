@@ -172,8 +172,11 @@ def kmeans_update(spark, sf_dir):
 SEMDEDUP_THRESH = 0.35
 SEMDEDUP_MAX_CLUSTER = 48  # re-split clusters larger than this
 
-_SEMDEDUP_ORACLE = f"""
-    WITH {_ASSIGN_CTE},
+#: Shared CTE chain for the semantic-dedup family: cluster assignment,
+#: member counts, md5 sub-bucket re-split, decimal-exact pair cosines,
+#: and the duplicate-edge list (id_a < id_b within one (cid, sub)).
+_SEMDEDUP_CTE = f"""
+    {_ASSIGN_CTE},
     a2 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
     mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid),
     a3 AS (
@@ -185,7 +188,8 @@ _SEMDEDUP_ORACLE = f"""
       FROM a2 JOIN mem ON a2.cid = mem.cid
     ),
     p AS (
-      SELECT aa.cid AS cid, a.vec_id AS id_a, b.vec_id AS id_b,
+      SELECT aa.cid AS cid, aa.sub AS sub,
+             a.vec_id AS id_a, b.vec_id AS id_b,
              CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot,
              CAST(SUM(CAST(a.x * a.x AS DECIMAL(28,12))) AS DOUBLE) AS sq_a,
              CAST(SUM(CAST(b.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sq_b
@@ -194,12 +198,16 @@ _SEMDEDUP_ORACLE = f"""
       JOIN a3 aa ON aa.vec_id = a.vec_id
       JOIN a3 ab ON ab.vec_id = b.vec_id
                 AND ab.cid = aa.cid AND ab.sub = aa.sub
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2, 3, 4
     ),
     dup AS (
-      SELECT cid, id_a, id_b FROM p
+      SELECT cid, sub, id_a, id_b FROM p
       WHERE dot / (sqrt(sq_a) * sqrt(sq_b)) >= {SEMDEDUP_THRESH}
     )
+"""
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_SEMDEDUP_CTE}
     SELECT mem.cid AS cluster,
            CAST(mem.n_members AS BIGINT) AS n_members,
            CAST(COALESCE(dd.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
@@ -215,22 +223,11 @@ _SEMDEDUP_ORACLE = f"""
 """
 
 
-@plan("semantic_dedup_census", _SEMDEDUP_ORACLE)
-def semantic_dedup_census(spark, sf_dir):
-    """Per-cluster semantic-dedup census: members, duplicate pairs
-    (cosine >= 0.35 within the cluster's sub-buckets only), vectors
-    pruned by the any-lower-id-duplicate rule, and survivors.
-
-    100 TB: the only broadcasts are K-row tables (centroids inside
-    ``_assignment``; the per-cluster size/sub-bucket-count table here).
-    Assignment is one grouped reduction per vector; the pair join's
-    equality key is (pos, cid, sub) so candidates never leave their
-    sub-bucket, and the SEMDEDUP_MAX_CLUSTER re-split caps the pair
-    count at n*cap/2 — linear in corpus size. Squared norms ride the
-    pair aggregation itself (no n-row side table, no n-row broadcast).
-    The census output is K rows.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
+def _assign_sub(e):
+    """(vec_id, cid, sub, n_members): cluster assignment plus the
+    SEMDEDUP_MAX_CLUSTER md5 sub-bucket re-split. Only K-row tables
+    broadcast (centroids inside ``_assignment``; the per-cluster
+    size/sub-bucket-count table here)."""
     assign = _assignment(e).select("vec_id", "cid")
     mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     n_sub = F.ceil(F.col("n_members") / F.lit(float(SEMDEDUP_MAX_CLUSTER)))
@@ -242,9 +239,16 @@ def semantic_dedup_census(spark, sf_dir):
         ).cast("long")
         % n_sub.cast("long")
     )
-    assign = assign.join(F.broadcast(mem), "cid").select(
+    return assign.join(F.broadcast(mem), "cid").select(
         "vec_id", "cid", sub.alias("sub")
-    )
+    ), mem
+
+
+def _dup_edges(e, assign):
+    """(cid, sub, id_a, id_b) duplicate-pair edges: decimal-exact
+    cosines >= SEMDEDUP_THRESH between members of one (cid, sub)
+    bucket, id_a < id_b. Squared norms ride the pair aggregation
+    itself (no n-row side table, no n-row broadcast)."""
     v = _exploded(e).join(assign, "vec_id")
     a, b = v.alias("a"), v.alias("b")
     d = (
@@ -257,6 +261,7 @@ def semantic_dedup_census(spark, sf_dir):
         )
         .groupBy(
             F.col("a.cid").alias("cid"),
+            F.col("a.sub").alias("sub"),
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
         )
@@ -273,7 +278,26 @@ def semantic_dedup_census(spark, sf_dir):
         )
     )
     cos = F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b"))
-    dup = d.filter(cos >= SEMDEDUP_THRESH).select("cid", "id_a", "id_b")
+    return d.filter(cos >= SEMDEDUP_THRESH).select("cid", "sub", "id_a", "id_b")
+
+
+@plan("semantic_dedup_census", _SEMDEDUP_ORACLE)
+def semantic_dedup_census(spark, sf_dir):
+    """Per-cluster semantic-dedup census: members, duplicate pairs
+    (cosine >= 0.35 within the cluster's sub-buckets only), vectors
+    pruned by the any-lower-id-duplicate rule, and survivors.
+
+    100 TB: the only broadcasts are K-row tables; assignment is one
+    grouped reduction per vector; the pair join's equality key is
+    (pos, cid, sub) so candidates never leave their sub-bucket, and
+    the SEMDEDUP_MAX_CLUSTER re-split caps the pair count at n*cap/2 —
+    linear in corpus size. The census output is K rows. The pruning
+    rule here upper-bounds the sequential greedy; see
+    semantic_dedup_greedy for the exact greedy census.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    assign, mem = _assign_sub(e)
+    dup = _dup_edges(e, assign)
     dd = dup.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.countDistinct("id_b").alias("n_pruned"),
@@ -285,6 +309,122 @@ def semantic_dedup_census(spark, sf_dir):
             "n_members",
             F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
             F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            (F.col("n_members") - F.coalesce("n_pruned", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# True sequential greedy (ADVICE r6: the census's any-lower-id rule
+# only UPPER-BOUNDS the SemDeDup keep-first greedy — chain A~B, B~C
+# with A!~C: greedy keeps C, the census prunes it). This plan runs the
+# exact greedy: walk each (cid, sub) bucket's members in ascending
+# vec_id; a vector is pruned iff it is a duplicate of an already-KEPT
+# lower id; pruned vectors don't prune others. The per-bucket walk is
+# inherently sequential, so it runs as a grouped applyInPandas over
+# the duplicate-edge list — buckets are capped at SEMDEDUP_MAX_CLUSTER
+# members by the re-split, so every group is tiny and the stage is
+# embarrassingly parallel across buckets no matter the corpus size.
+# The oracle replays the same walk as a DuckDB recursive CTE carrying
+# the kept-id list bucket-by-bucket in vec_id rank order.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_GREEDY_ORACLE = f"""
+    WITH RECURSIVE {_SEMDEDUP_CTE},
+    ids AS (
+      SELECT cid, sub, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY cid, sub ORDER BY vec_id) AS rn
+      FROM (
+        SELECT DISTINCT cid, sub, id_a AS vec_id FROM dup
+        UNION
+        SELECT DISTINCT cid, sub, id_b AS vec_id FROM dup
+      )
+    ),
+    cnt AS (SELECT cid, sub, MAX(rn) AS n FROM ids GROUP BY cid, sub),
+    walk(cid, sub, rn, kept) AS (
+      SELECT cid, sub, 0, CAST([] AS BIGINT[]) FROM cnt
+      UNION ALL
+      SELECT w.cid, w.sub, w.rn + 1,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM dup d
+               WHERE d.cid = w.cid AND d.sub = w.sub
+                 AND d.id_b = i.vec_id
+                 AND list_contains(w.kept, d.id_a)
+             ) THEN w.kept ELSE list_append(w.kept, i.vec_id) END
+      FROM walk w
+      JOIN ids i ON i.cid = w.cid AND i.sub = w.sub AND i.rn = w.rn + 1
+    ),
+    fin AS (
+      SELECT w.cid, c.n - len(w.kept) AS pruned
+      FROM walk w JOIN cnt c
+        ON c.cid = w.cid AND c.sub = w.sub AND w.rn = c.n
+    ),
+    pr AS (SELECT cid, SUM(pruned) AS n_pruned FROM fin GROUP BY cid)
+    SELECT mem.cid AS cluster,
+           CAST(mem.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(pr.n_pruned, 0) AS BIGINT) AS n_pruned_greedy,
+           CAST(mem.n_members - COALESCE(pr.n_pruned, 0) AS BIGINT) AS n_kept
+    FROM mem
+    LEFT JOIN pr ON mem.cid = pr.cid
+    ORDER BY cluster
+"""
+
+
+@plan("semantic_dedup_greedy", _SEMDEDUP_GREEDY_ORACLE)
+def semantic_dedup_greedy(spark, sf_dir):
+    """Exact SemDeDup keep-first-representative greedy census per
+    cluster: members, vectors the sequential greedy prunes, survivors.
+
+    100 TB: identical scale shape to semantic_dedup_census up through
+    the duplicate-edge list (K-row broadcasts only, (pos, cid, sub)
+    pair key, linear candidate count under the re-split cap); the
+    greedy walk itself is sequential WITHIN a bucket but buckets are
+    capped at SEMDEDUP_MAX_CLUSTER members, so the applyInPandas stage
+    processes an edge list of at most cap^2/2 rows per group — tiny,
+    Arrow-batched, parallel across all buckets. Only vectors that
+    participate in at least one duplicate edge reach Python; everyone
+    else is kept by definition and never leaves the JVM.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign, mem = _assign_sub(e)
+    dup = _dup_edges(e, assign)
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        edges_to: dict[int, set[int]] = {}
+        for ia, ib in zip(pdf["id_a"], pdf["id_b"]):
+            edges_to.setdefault(int(ib), set()).add(int(ia))
+        kept: set[int] = set()
+        pruned = 0
+        ids = sorted(set(int(i) for i in pdf["id_a"]) | set(edges_to))
+        for vid in ids:
+            if any(u in kept for u in edges_to.get(vid, ())):
+                pruned += 1
+            else:
+                kept.add(vid)
+        return pd.DataFrame(
+            {
+                "cid": [int(pdf["cid"].iloc[0])],
+                "n_pruned": [pruned],
+            }
+        )
+
+    pr = (
+        dup.groupBy("cid", "sub")
+        .applyInPandas(greedy, "cid long, n_pruned long")
+        .groupBy("cid")
+        .agg(F.sum("n_pruned").alias("n_pruned"))
+    )
+    return (
+        mem.join(pr, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_members",
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned_greedy"),
             (F.col("n_members") - F.coalesce("n_pruned", F.lit(0))).alias(
                 "n_kept"
             ),

@@ -77,3 +77,29 @@ def test_k64_production_tier(spark):
         assert abs(got[(1, 3)] - 0.75) < 0.25
         # est granularity is 1/64 steps
         assert all(round(v * MINHASH_K_PROD, 6) == round(v * MINHASH_K_PROD) for v in got.values())
+
+
+def test_semantic_greedy_bounded_by_census(spark, sf_dir):
+    """The census's any-lower-id-duplicate rule must UPPER-BOUND the
+    true sequential greedy per cluster (ADVICE r6: chain A~B, B~C with
+    A!~C — greedy keeps C, census prunes it), with identical member
+    counts and the kept/pruned identity holding on both plans."""
+    from comperhensive_bigdata_analysis__spark.plans.ml import (
+        semantic_dedup_census,
+        semantic_dedup_greedy,
+    )
+
+    census = {
+        r["cluster"]: r for r in semantic_dedup_census(spark, sf_dir).collect()
+    }
+    greedy = {
+        r["cluster"]: r for r in semantic_dedup_greedy(spark, sf_dir).collect()
+    }
+    assert set(census) == set(greedy)
+    for c in census:
+        assert census[c]["n_members"] == greedy[c]["n_members"]
+        assert greedy[c]["n_pruned_greedy"] <= census[c]["n_pruned"]
+        assert (
+            greedy[c]["n_kept"] + greedy[c]["n_pruned_greedy"]
+            == greedy[c]["n_members"]
+        )
