@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -217,25 +218,35 @@ def main() -> None:
     # Warm the JVM/codegen path once, untimed.
     plans.QUERIES["pricing_summary"](spark, sf_dir).collect()
 
+    # Variance protocol (VERDICT r6 ask #3): the 1x rows are sub-second
+    # and best-of-2 produced phantom 12% round-over-round drift, so the
+    # 1x tier reports the MEDIAN of RUNS_1X warm executions (first run
+    # of each plan additionally pays codegen and is preceded by an
+    # untimed warm-up); the @Nx tier — the real compute signal — uses
+    # median-of-RUNS_SCALE. Both counts are stamped into the artifact
+    # so BENCH_NOTES commentary can only quote what was measured.
+    runs_1x = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    runs_scale = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
+
+    def _median_time(fn, data_dir: str, runs: int) -> float:
+        fn(spark, data_dir).collect()  # untimed codegen/compile warm-up
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, data_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        return statistics.median(samples)
+
     timings: dict[str, float] = {}
     for name, fn in HEADLINE.items():
-        best = float("inf")
-        for _ in range(2):  # best-of-2: measure warm execution, not jitter
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = round(_median_time(fn, sf_dir, runs_1x), 3)
 
     big = _scale_dir(spark, sf_dir)  # untimed corpus build (cached)
     for name in SCALE_TIER:
         fn = HEADLINE[name]
-        fn(spark, big).collect()  # codegen warm-up at this data shape
-        best = float("inf")
-        for _ in range(2):  # best-of-2, same policy as the 1x tier
-            t0 = time.perf_counter()
-            fn(spark, big).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[f"{name}@{SCALE_COPIES}x"] = round(best, 3)
+        timings[f"{name}@{SCALE_COPIES}x"] = round(
+            _median_time(fn, big, runs_scale), 3
+        )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -262,6 +273,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "scale_tier_copies": SCALE_COPIES,
+                "stat": "median",
+                "runs_1x": runs_1x,
+                "runs_scale": runs_scale,
             }
         )
     )
