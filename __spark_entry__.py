@@ -26,7 +26,7 @@ from comperhensive_bigdata_analysis__spark import plans as _plans
 #: family window. Since round 7 the window is GENERATED, not
 #: hand-rotated (VERDICT r6 ask #2): six relational flagships stay as
 #: stable anchors, every oracled plan with no row in any committed
-#: CORRECTNESS_r0*.json artifact is packed in next (first-exposure
+#: CORRECTNESS_r*.json artifact is packed in next (first-exposure
 #: ratchet), and any remaining slots go to the plans whose most recent
 #: driver evidence is OLDEST, so external verification keeps cycling
 #: through the whole 180+-plan catalog instead of freezing on a
@@ -50,10 +50,10 @@ _ANCHORS = [
 
 def _artifact_rounds(root: _pathlib.Path) -> dict[str, int]:
     """Map plan name -> index of the most recent committed driver
-    artifact (CORRECTNESS_r0*.json) containing a row for it. Plans
+    artifact (CORRECTNESS_r*.json) containing a row for it. Plans
     absent from every artifact are first-exposure candidates."""
     last_seen: dict[str, int] = {}
-    for i, f in enumerate(sorted(_glob.glob(str(root / "CORRECTNESS_r0*.json")))):
+    for i, f in enumerate(sorted(_glob.glob(str(root / "CORRECTNESS_r*.json")))):
         try:
             rows = _json.loads(_pathlib.Path(f).read_text())
         except (OSError, ValueError):  # unreadable artifact: skip, stay green

@@ -156,7 +156,7 @@ def test_driver_window_rotation_survives_new_artifact(tmp_path):
     import __spark_entry__ as ent
 
     root = pathlib.Path(__file__).resolve().parents[1]
-    for f in sorted(root.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
         shutil.copy(f, tmp_path / f.name)
     fake = {n: {"hash_match": True} for n in ent._DRIVER_WINDOW}
     (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(fake))
