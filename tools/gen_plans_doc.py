@@ -177,6 +177,19 @@ PICKS = {
         "then broadcasts back over the (doc, term) combine — corpus "
         "volume moves through exactly one keyed shuffle."
     ),
+    "semantic_dedup_census": (
+        "SemDeDup scale shape: K-row centroid broadcast for assignment, "
+        "K-row size table broadcast for the md5 sub-bucket re-split, "
+        "then the pair join keyed on (pos, cid, sub) — candidates never "
+        "leave a <=48-member bucket, so total pairs are n*cap/2, linear "
+        "in corpus size (probed 1.66x at 8x data)."
+    ),
+    "semantic_dedup_greedy": (
+        "same edge pipeline as the census, then a grouped applyInPandas "
+        "walk per capped bucket — sequential inside <=48 members, "
+        "parallel across every bucket; only edge-participants cross the "
+        "Arrow boundary, everyone else never leaves the JVM."
+    ),
 }
 
 
