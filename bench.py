@@ -186,6 +186,11 @@ SCALE_TIER = (
     "q2_revenue_by_nation",
     "q1_pricing_summary",
     "q17_unigram_surprisal",  # token-pipeline compute signal
+    # r7 addition: the JPEG np tier at 8x docs (still sample_mod=10 —
+    # ~4800 decoded images) — the media-pipeline compute signal now
+    # that the LUT entropy decode + matmul FDCT made it encode/IDCT
+    # bound rather than bitstream bound.
+    "q23_jpeg_stats_np",
 )
 
 
