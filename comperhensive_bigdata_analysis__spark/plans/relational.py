@@ -1490,3 +1490,185 @@ def scd2_customer_history(spark, sf_dir):
         )
         .orderBy("c_custkey", "eff_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic TPC-H analogs (r7): the three canonical multi-join shapes a
+# warehouse migration is judged by, adapted to this corpus's columns
+# (o_orderpriority stands in for o_shippriority; nations are NATION_*).
+# Q3 = filtered 3-way join + top-k revenue; Q7 = double-aliased
+# dimension (bidirectional nation pair) + year rollup; Q10 = returned-
+# item customer ranking. Scale notes inline per plan.
+# ---------------------------------------------------------------------------
+
+_Q3_CUT = "1998-06-01 00:00:00"
+
+_Q3_ORACLE = f"""
+    SELECT l_orderkey AS orderkey,
+           {DISC_PRICE_SQL.format(p="l_extendedprice", d="l_discount")}
+               AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority AS priority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+      AND l_shipdate  > TIMESTAMP '{_Q3_CUT}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+"""
+
+
+@plan("shipping_priority_topk", _Q3_ORACLE)
+def shipping_priority_topk(spark, sf_dir):
+    """TPC-H Q3 shape: unshipped-revenue top-k for one market segment.
+
+    100 TB: the lineitem ship-date filter and the per-order decimal
+    partial both run BELOW the joins (the fact collapses to one row
+    per order before touching orders/customer), the segment filter
+    prunes customer at the scan, and the final top-10 is
+    TakeOrderedAndProject — per-partition heaps, never a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUT).cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUT).cast("timestamp_ntz")
+    )
+    prod = F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
+    )
+    per_order = l.groupBy("l_orderkey").agg(F.sum(prod).alias("__rev_dec"))
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("__rev_dec").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+_Q7_ORACLE = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {DISC_PRICE_SQL.format(p="l_extendedprice", d="l_discount")}
+               AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+@plan("nation_volume_shipping", _Q7_ORACLE)
+def nation_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between a nation pair by year.
+
+    100 TB: BOTH nation aliases broadcast pre-filtered to the 2-row
+    pair, so the supplier and customer sides are semi-reduced by a
+    broadcast hash join before the big fact joins; the date filter
+    pushes to the lineitem scan; one exchange per join key, final
+    rollup on (nation, nation, year) — 4 output rows.
+    """
+    pair = ("NATION_18", "NATION_19")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp_ntz"))
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("__n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__n2k"), F.col("n_name").alias("cust_nation")
+    )
+    prod = F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
+    )
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__n1k"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__n2k"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(prod).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q10_ORACLE = f"""
+    SELECT c_custkey, c_name,
+           {DISC_PRICE_SQL.format(p="l_extendedprice", d="l_discount")}
+               AS revenue,
+           c_acctbal, n_name AS nation
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@plan("returned_item_ranking", _Q10_ORACLE)
+def returned_item_ranking(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by returned-item revenue in one
+    quarter.
+
+    100 TB: the returnflag filter + per-order decimal partial collapse
+    lineitem below the joins; the quarter filter prunes orders at the
+    scan; nation broadcasts; the per-customer rollup is one exchange
+    on c_custkey and the top-20 is TakeOrderedAndProject.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    prod = F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
+    )
+    per_order = l.groupBy("l_orderkey").agg(F.sum(prod).alias("__rev_dec"))
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.sum("__rev_dec").cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
