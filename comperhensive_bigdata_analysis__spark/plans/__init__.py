@@ -51,3 +51,4 @@ from . import behavior  # noqa: E402,F401
 from . import audit  # noqa: E402,F401
 from . import sqldoor  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
+from . import formats  # noqa: E402,F401

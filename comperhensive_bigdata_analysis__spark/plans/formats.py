@@ -1,0 +1,78 @@
+"""Columnar/row format round-trip plans: ORC and JSON-lines as REAL
+source/sink paths beside the CSV/Parquet/JDBC surface (SURVEY §2.1 —
+the reference moves data between formats via Hive/s3-dist-cp,
+aws_utils.py; here the engine itself is the mover). The I/O goes
+through sources/formats.py — the same read_table/write_table surface
+tests/test_ingest.py pins — so these rows put THAT code path, not a
+parallel one, under the external DuckDB oracle.
+
+Each plan WRITES the documents table to /tmp in the target format
+(mode=overwrite, path keyed on the sf dir so scales never collide),
+reads it back through the format's own reader, and aggregates — so a
+green row proves the full write -> read -> query path, type fidelity
+included. The DuckDB oracle computes the same aggregate straight from
+the source parquet: if the round trip dropped rows, mangled unicode,
+or lost column types, the hash mismatches. (DuckDB cannot read ORC —
+which is exactly why the oracle reads the ORIGIN, not the copy: the
+check is round-trip fidelity, not a second copy of one reader.)
+
+Scale posture: format conversion is an embarrassingly parallel
+per-partition rewrite (no shuffle; file count = input partitions), and
+the read side is a columnar scan with the same pushdown/pruning
+machinery parquet gets (ORC supports predicate pushdown natively;
+JSONL scans project only the requested fields after schema
+inference). At 100 TB you'd point write_format at the warehouse path
+instead of /tmp — the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..sources.formats import read_table, write_table
+from ..sources.tables import load_table
+from . import plan
+
+_FMT_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars,
+           CAST(SUM(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_mass
+    FROM documents
+"""
+
+
+def _roundtrip(spark, sf_dir, fmt: str):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = f"/tmp/cba_fmt_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_table(d, out, fmt)
+    back = read_table(spark, out, fmt)
+    if fmt == "json":
+        # JSONL carries no schema; inference reads doc_id as long and
+        # keeps strings — pin the projection order and types explicitly
+        back = back.select(
+            F.col("doc_id").cast("long"), F.col("lang"), F.col("text")
+        )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text").cast("long")).alias("chars"),
+        F.sum(F.col("doc_id").cast("long")).alias("id_mass"),
+    )
+
+
+@plan("orc_roundtrip_stats", _FMT_ORACLE)
+def orc_roundtrip_stats(spark, sf_dir):
+    """documents -> ORC files -> ORC scan -> aggregate, hash-checked
+    against the same aggregate over the origin parquet."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@plan("jsonl_roundtrip_stats", _FMT_ORACLE)
+def jsonl_roundtrip_stats(spark, sf_dir):
+    """documents -> JSON-lines -> schema-inferred scan -> aggregate,
+    hash-checked against the origin parquet (unicode escaping and
+    numeric re-inference are the classic silent-corruption spots)."""
+    return _roundtrip(spark, sf_dir, "json")
