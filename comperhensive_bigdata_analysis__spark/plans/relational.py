@@ -1672,3 +1672,58 @@ def returned_item_ranking(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+_Q14_ORACLE = """
+    SELECT
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+               ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+          AS total_revenue,
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+               ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+          AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@plan("promo_revenue_share", _Q14_ORACLE)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo-type revenue share for one ship month.
+
+    100 TB: the one-month filter prunes lineitem at the scan (with
+    partitioned storage this is partition pruning, not even row
+    filtering); the part join carries only (p_partkey, p_type) —
+    column-pruned — and AQE picks broadcast vs shuffle by the filtered
+    sizes; a single aggregation emits one row. The share is a division
+    of two decimal-exact doubles, IEEE-identical in both engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    prod = F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", prod).otherwise(
+        F.lit(0).cast(PRICE_DEC)
+    )
+    agg = l.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(prod).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
