@@ -76,3 +76,13 @@ def jsonl_roundtrip_stats(spark, sf_dir):
     hash-checked against the origin parquet (unicode escaping and
     numeric re-inference are the classic silent-corruption spots)."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@plan("csv_roundtrip_stats", _FMT_ORACLE)
+def csv_roundtrip_stats(spark, sf_dir):
+    """documents -> headered CSV -> inferred scan -> aggregate. CSV is
+    the reference's native landing format (SURVEY §2.1 S1) and the
+    most corruption-prone of the four (quoting, embedded newlines,
+    numeric re-inference) — the hash check against the origin parquet
+    covers exactly those failure modes end-to-end."""
+    return _roundtrip(spark, sf_dir, "csv")
