@@ -1727,3 +1727,47 @@ def promo_revenue_share(spark, sf_dir):
         "total_revenue",
         (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
     )
+
+
+_Q19_PRED = """
+    ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      AND l_quantity BETWEEN 20 AND 30))
+"""
+
+_Q19_ORACLE = f"""
+    SELECT {DISC_PRICE_SQL.format(p="l_extendedprice", d="l_discount")}
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_PRED}
+"""
+
+
+@plan("brand_quantity_revenue", _Q19_ORACLE)
+def brand_quantity_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of cross-table conjunction
+    branches (brand x size range x quantity range).
+
+    100 TB: the predicate references BOTH tables, so it cannot move
+    below the join whole — but Catalyst derives the single-table
+    residual of each branch and pushes the OR of those residuals to
+    each side (part scans only the three brands/sizes, lineitem only
+    the quantity envelope) before the join re-checks the exact
+    disjunction. Expressed as one SQL-text filter over the joined
+    relation precisely so the OPTIMIZER does that split, not the
+    query author — the shape a migration inherits from warehouse SQL.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.expr(_Q19_PRED))
+        .agg(
+            disc_price_sum("l_extendedprice", "l_discount", "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

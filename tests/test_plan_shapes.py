@@ -239,3 +239,16 @@ def test_zorder_skipping_stats_broadcasts_scale_row(spark, sf_dir):
     assert "CartesianProduct" not in ex
     assert "BatchEvalPython" not in ex and "ArrowEvalPython" not in ex
     assert "Window" not in ex  # NTILE would single-partition fact rows
+
+
+def test_q19_disjunction_splits_to_both_scans(spark, sf_dir):
+    """brand_quantity_revenue's OR references both tables, so the
+    whole predicate cannot move below the join — but Catalyst must
+    derive each branch's single-table residual and push the OR of
+    those residuals into BOTH parquet scans (brand/size to part,
+    quantity envelope to lineitem). A regression to a post-join-only
+    filter would scan both tables in full at 100 TB."""
+    s = _explain(plans.QUERIES["brand_quantity_revenue"](spark, sf_dir))
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln and "Or(" in ln for ln in pushed), pushed
+    assert any("p_brand" in ln and "Or(" in ln for ln in pushed), pushed
