@@ -190,6 +190,19 @@ PICKS = {
         "parallel across every bucket; only edge-participants cross the "
         "Arrow boundary, everyone else never leaves the JVM."
     ),
+    "shipping_priority_topk": (
+        "TPC-H Q3: lineitem collapses to per-order decimal partials "
+        "under its ship-date filter BEFORE the joins; segment filter "
+        "prunes customer at the scan; TakeOrderedAndProject caps the "
+        "answer at 10 rows with per-partition heaps."
+    ),
+    "brand_quantity_revenue": (
+        "TPC-H Q19: the cross-table OR stays above the join, but "
+        "Catalyst pushes each side's OR-of-residuals into its parquet "
+        "scan (brand/size to part, quantity envelopes to lineitem) — "
+        "pinned by test_plan_shapes; at 100 TB that split is the "
+        "difference between scanning brands and scanning everything."
+    ),
 }
 
 
