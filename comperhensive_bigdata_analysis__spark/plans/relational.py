@@ -1771,3 +1771,66 @@ def brand_quantity_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+_Q18_ORACLE = """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 200
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+"""
+
+
+@plan("large_volume_customers", _Q18_ORACLE)
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers behind the largest-quantity orders —
+    the HAVING-subquery semi-join pattern.
+
+    100 TB: the qualifying-order set comes from ONE map-side-combined
+    aggregation of lineitem (decimal-exact quantity sums); it
+    left-semi joins back to lineitem on the same l_orderkey
+    partitioning (no second shuffle of the re-aggregated side), so the
+    big fact is scanned twice but shuffled as per-order partials only;
+    customer/orders join the surviving handful of orders and the
+    top-20 is TakeOrderedAndProject on (totalprice, orderkey).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    per_order = (
+        l.join(big, l.l_orderkey == F.col("__bigkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).cast("double").alias("sum_qty"))
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
