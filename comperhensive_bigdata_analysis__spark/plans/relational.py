@@ -1834,3 +1834,240 @@ def large_volume_customers(spark, sf_dir):
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogs, second batch (r7): the four remaining canonical query
+# shapes a warehouse migration exercises — conditional aggregation
+# (Q12), HAVING against a scalar subquery (Q11), double-correlated
+# EXISTS / NOT EXISTS over the same fact (Q21), and scalar-subquery
+# threshold + anti-join (Q22). Columns adapted to this corpus:
+# l_returnflag stands in for l_shipmode, return behavior for the
+# commit/receipt lateness Q21/Q12 key on, and the order-recency window
+# for Q22's "no orders in 7 years".
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY returnflag
+"""
+
+
+@plan("priority_lines_by_returnflag", _Q12_ORACLE)
+def priority_lines_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape: high- vs low-priority line counts per category
+    (l_returnflag standing in for l_shipmode) — the CASE-sum
+    conditional-aggregation pattern.
+
+    100 TB: the one-year filter prunes lineitem at the scan; orders
+    joins column-pruned to (o_orderkey, o_orderpriority); both
+    conditional sums ride ONE aggregation over the join output with
+    map-side partials, emitting 3 rows. No second pass per condition —
+    the CASE moves the branching into the aggregate expression.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+#: Q11's "important share" fraction, applied to part revenue.
+_Q11_FRACTION = "0.001"
+
+_Q11_ORACLE = f"""
+    SELECT l_partkey AS partkey,
+           {DISC_PRICE_SQL.format(p="l_extendedprice", d="l_discount")}
+               AS part_revenue
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING {DISC_PRICE_SQL.format(p="l_extendedprice", d="l_discount")}
+         > (SELECT {DISC_PRICE_SQL.format(p="l_extendedprice", d="l_discount")}
+            FROM lineitem) * {_Q11_FRACTION}
+    ORDER BY part_revenue DESC, partkey
+"""
+
+
+@plan("part_revenue_concentration", _Q11_ORACLE)
+def part_revenue_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose aggregate exceeds a FRACTION of
+    the global aggregate — HAVING against a scalar subquery.
+
+    100 TB: the per-part rollup is one map-side-combined exchange on
+    l_partkey; the global total is a 1-ROW aggregate broadcast into
+    the filter (Spark: cross-join with the scalar frame — BroadcastNL
+    of one row, not a shuffle), so the big relation is scanned twice
+    but shuffled once. Exact decimal sums on both sides; the single
+    double multiply by the fraction is IEEE-identical cross-engine.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        disc_price_sum("l_extendedprice", "l_discount", "part_revenue")
+    )
+    total = l.agg(
+        (
+            disc_price_sum("l_extendedprice", "l_discount", "__t")
+            * F.lit(float(_Q11_FRACTION))
+        ).alias("__threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_revenue") > F.col("__threshold"))
+        .select("partkey", "part_revenue")
+        .orderBy(F.col("part_revenue").desc(), "partkey")
+    )
+
+
+_Q21_ORACLE = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@plan("sole_blame_suppliers", _Q21_ORACLE)
+def sole_blame_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the sole supplier at fault in a multi-supplier
+    order (returned its lines while no co-supplier did) — the
+    EXISTS + NOT EXISTS double correlation over the same fact.
+
+    The oracle keeps the textbook correlated-subquery spelling; the
+    Spark side FOLDS both correlations into one per-order aggregate —
+    countDistinct(supplier) >= 2 replays the EXISTS, and
+    countDistinct(supplier WHERE returned) = 1 replays the NOT EXISTS
+    (l1's own supplier returned, so "exactly one returning supplier"
+    IS "no other returning supplier"). Different algorithm, same rows,
+    hash-checked.
+
+    100 TB: lineitem is scanned twice but exchanged only as (orderkey)
+    partials — the per-order profile is map-side combined, the
+    join-back to the returned lines reuses the same l_orderkey
+    partitioning, orders joins column-pruned on the same key, and the
+    supplier dimension joins AFTER the fact collapses to per-supplier
+    counts. Top-20 is TakeOrderedAndProject.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    profile = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__nsupp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__nret"),
+    )
+    blamed = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(profile, "l_orderkey")
+        .filter((F.col("__nsupp") >= 2) & (F.col("__nret") == 1))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        blamed.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+_Q22_CUT = "2001-01-01 00:00:00"
+
+#: Exact-decimal spelling of "acctbal above the positive-balance
+#: average": cb * n_pos > sum_pos avoids the engine-ordered double AVG
+#: (decimal multiply and sum are exact in both engines, so the boundary
+#: comparison cannot flip on FP summation order — DETERMINISM.md rule).
+_Q22_ORACLE = f"""
+    WITH pos AS (
+      SELECT COUNT(*) AS n_pos,
+             SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name AS nation,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN pos
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_Q22_CUT}')
+    GROUP BY n_name
+    ORDER BY nation
+"""
+
+
+@plan("dormant_rich_customers", _Q22_ORACLE)
+def dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, rolled up by nation — scalar-subquery threshold plus
+    NOT-EXISTS anti-join (nation standing in for the phone country
+    code).
+
+    100 TB: the positive-balance (count, sum) scalar is a 1-row
+    broadcast; the dormancy check is a LEFT ANTI hash join against
+    orders PRE-FILTERED to the recency window at the scan (the anti
+    side shrinks by the date selectivity before any shuffle); nation
+    broadcasts; one final 1-exchange rollup over the surviving
+    customers. The threshold compares exact decimals (cb * n > sum),
+    never an engine-ordered double average.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUT).cast("timestamp_ntz")
+    ).select("o_custkey")
+    cb = F.col("c_acctbal").cast("decimal(12,2)")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("__n_pos"),
+        F.sum(cb).alias("__sum_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(cb * F.col("__n_pos") > F.col("__sum_pos"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cb).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )

@@ -252,3 +252,51 @@ def test_q19_disjunction_splits_to_both_scans(spark, sf_dir):
     pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
     assert any("l_quantity" in ln and "Or(" in ln for ln in pushed), pushed
     assert any("p_brand" in ln and "Or(" in ln for ln in pushed), pushed
+
+
+def test_triangles_never_sort_adjacency(spark, sf_dir):
+    """copurchase_triangles (edge-iterator rewrite, r7): the adjacency
+    joins are hinted SHUFFLE_HASH because sort-merging rows that carry
+    neighbor ARRAYS would sort wedge-scale payload bytes — the exact
+    cost the rewrite removed (the old wedge join probed 7-11x at 8x
+    data; edge-iterator probes 3.2x). The plan must keep hash joins
+    for the array-carrying stages and never re-introduce a cartesian."""
+    ex = _explain(plans.QUERIES["copurchase_triangles"](spark, sf_dir))
+    assert "ShuffledHashJoin" in ex
+    assert "CartesianProduct" not in ex
+
+
+def test_sole_blame_folds_correlations_to_one_aggregate(spark, sf_dir):
+    """sole_blame_suppliers (Q21 shape): both correlated subqueries are
+    folded into ONE per-order profile aggregate — the plan must show
+    map-side-combined aggregation and a top-k TakeOrderedAndProject,
+    and must NOT contain the two extra self-join legs the textbook
+    EXISTS/NOT-EXISTS spelling would add (2 scans of lineitem, not 3)."""
+    ex = _explain(plans.QUERIES["sole_blame_suppliers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in ex
+    assert ex.count("HashAggregate") >= 4
+    assert ex.count("lineitem") <= 2  # file-scan mentions: base + profile
+
+
+def test_part_revenue_threshold_is_one_row_broadcast(spark, sf_dir):
+    """part_revenue_concentration (Q11 shape): the global-total
+    threshold joins as a broadcast of ONE row (nested loop over the
+    scalar), never a shuffled cartesian, and both rollups keep
+    map-side partials."""
+    ex = _explain(plans.QUERIES["part_revenue_concentration"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in ex
+    assert "CartesianProduct" not in ex
+    assert ex.count("HashAggregate") >= 4
+
+
+def test_dormant_customers_anti_join_prefilters(spark, sf_dir):
+    """dormant_rich_customers (Q22 shape): the dormancy anti-join's
+    order side is pre-filtered to the recency window AT THE SCAN
+    (PushedFilters on o_orderdate), the anti join stays a hash join,
+    and the scalar balance threshold broadcasts one row."""
+    ex = _explain(plans.QUERIES["dormant_rich_customers"](spark, sf_dir))
+    pushed = [ln for ln in ex.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed), pushed
+    assert "LeftAnti" in ex
+    assert "BroadcastNestedLoopJoin" in ex  # the 1-row (n_pos, sum_pos) scalar
+    assert "CartesianProduct" not in ex
