@@ -2071,3 +2071,578 @@ def dormant_rich_customers(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogs, third batch (r7): Q4 (correlated EXISTS with an
+# inequality on BOTH tables' columns), Q6 (the pure scan-aggregate),
+# Q13 (count-of-counts over a filtered LEFT join), Q15 (argmax by
+# scalar-equality join-back), Q16 (NOT IN exclusion + grouped
+# COUNT DISTINCT). Lateness stands in for commit/receipt (l_shipdate
+# more than 60 days after o_orderdate); low supplier balance stands in
+# for Q16's complaint filter.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@plan("late_order_priority_census", _Q4_ORACLE)
+def late_order_priority_census(spark, sf_dir):
+    """TPC-H Q4 shape: one-quarter order count by priority, restricted
+    to orders with at least one badly late line — a correlated EXISTS
+    whose predicate compares columns of BOTH tables.
+
+    100 TB: the quarter filter prunes orders at the scan; the EXISTS
+    compiles to a LEFT SEMI hash join on l_orderkey with the lateness
+    comparison as the join residual — lineitem is never aggregated or
+    deduplicated first, and each order emits at most once regardless
+    of how many late lines it has. One exchange per side, 5-row
+    result.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        o.join(l, (F.col("o_orderkey") == F.col("l_orderkey")) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q6_ORACLE = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@plan("discount_revenue_probe", _Q6_ORACLE)
+def discount_revenue_probe(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan-aggregate — what-if revenue from
+    forgone discounts in a band, no join anywhere.
+
+    100 TB: ALL three predicates push to the parquet reader
+    (PushedFilters on l_shipdate, l_discount, l_quantity), the scan
+    reads only the four referenced columns, and the single aggregate
+    is map-side combined into a 1-row result — the plan is one scan,
+    zero exchanges of data rows. The canonical baseline for scan
+    throughput.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    prod = F.col("l_extendedprice").cast(PRICE_DEC) * F.col("l_discount").cast(
+        RATE_DEC
+    )
+    return l.agg(
+        F.sum(prod).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q13_ORACLE = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@plan("customer_order_distribution", _Q13_ORACLE)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the count-of-counts histogram — how many
+    customers placed k qualifying orders each, INCLUDING the zero
+    bucket (hence the LEFT join; an inner join silently drops
+    order-less customers and corrupts the distribution).
+
+    100 TB: the priority filter applies to the orders side BEFORE the
+    left join (right-side-only ON predicates are pushed, equivalently
+    expressed here as a pre-filter); the first rollup rides the join's
+    c_custkey partitioning with no extra exchange; the second rollup
+    exchanges one row per distinct count value. COUNT(o_orderkey)
+    counts non-NULL matches only, which both engines agree on.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q15_ORACLE = f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {DISC_PRICE_SQL.format(p="l_extendedprice", d="l_discount")}
+                 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+@plan("top_revenue_supplier", _Q15_ORACLE)
+def top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the row(s) equal to a derived scalar maximum —
+    argmax by equality join-back (ties all surface, unlike LIMIT 1).
+
+    100 TB: the quarter revenue rollup is one map-side-combined
+    exchange on l_suppkey; its 1-row MAX broadcasts into the equality
+    filter (BroadcastNestedLoop of one row); only the surviving
+    supplier keys join the dimension. The revenue relation is derived
+    twice (Spark has no CTE materialization) but both derivations scan
+    the same pruned quarter — at 100 TB this is two pruned scans, not
+    two full-table passes. Equality on double is safe here because
+    both sides derive from the SAME exact-decimal sum.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        disc_price_sum("l_extendedprice", "l_discount", "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q16_ORACLE = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 3000)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+"""
+
+
+@plan("supplier_diversity_census", _Q16_ORACLE)
+def supplier_diversity_census(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier breadth per part attribute
+    triple, excluding a subqueried supplier blocklist (low account
+    balance standing in for the complaint filter) — the NOT IN
+    anti-join + grouped COUNT DISTINCT pattern.
+
+    100 TB: the blocklist is a filtered dimension scan that anti-joins
+    lineitem as a broadcast hash join (keys only, never the supplier
+    row); brand/size push to the part scan; the distinct count
+    partial-aggregates on (attrs, suppkey) before the final rollup, so
+    the exchange carries deduplicated pairs, not raw lineitem. NOT IN
+    is safe to fold to LEFT ANTI because s_suppkey is non-nullable —
+    with a nullable subquery column the two differ on NULL semantics.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 3000)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogs, final batch (r7): Q17 (correlated per-group average
+# threshold), Q8 (market-share ratio of conditional sums), Q2 (argmin
+# join-back across a dimension chain), Q9 (computed-margin rollup),
+# Q20 (semi-join on a correlated share threshold). partsupp-based
+# originals are re-keyed to lineitem-derived facts (offer price,
+# shipped volume); averages are multiplied out to exact-decimal
+# comparisons per DETERMINISM.md.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part ON p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey AS pk, COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+          FROM lineitem GROUP BY l_partkey) a ON a.pk = l.l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND 5 * CAST(l.l_quantity AS DECIMAL(12,2)) * a.n < a.sq
+"""
+
+
+@plan("small_order_revenue_loss", _Q17_ORACLE)
+def small_order_revenue_loss(spark, sf_dir):
+    """TPC-H Q17 shape: lines below 20% of their part's average
+    quantity — a correlated per-group scalar threshold, decorrelated
+    into a join against the per-part aggregate.
+
+    The threshold is multiplied out (5 * qty * n < sum) so both
+    engines compare exact decimals instead of an engine-ordered double
+    AVG — the boundary can't flip on summation order.
+
+    100 TB: the per-part (count, sum) profile is one map-side-combined
+    exchange on l_partkey; the probe join reuses that same
+    partitioning; the brand filter pushes to the part scan and
+    semi-reduces the probe side via broadcast. Two scans of lineitem,
+    both column-pruned to 3 columns.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    ).select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    prof = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(qty).alias("__sq")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(prof, l.l_partkey == prof.pk)
+        .filter(F.lit(5) * qty * F.col("__n") < F.col("__sq"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(PRICE_DEC)).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q8_ORACLE = f"""
+    WITH flat AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+               AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                         ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year ORDER BY o_year
+"""
+
+
+@plan("nation_market_share", _Q8_ORACLE)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a regional market by
+    year — a ratio of conditional sums over a 7-join star.
+
+    100 TB: region/nation broadcast pre-filtered; the part type filter
+    semi-reduces lineitem via the part join; both the share numerator
+    and denominator ride ONE aggregation (the CASE moves the
+    market-of-interest branch into the aggregate), so the star is
+    traversed once. Exact decimal sums; one double division per year.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp_ntz"))
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("__ck"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
+    )
+    flat = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__ck"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("__vol"),
+            "supp_nation",
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_7", F.col("__vol")
+    ).otherwise(F.lit(0).cast(PRICE_DEC))
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            (
+                F.sum(target).cast("double") / F.sum("__vol").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q2_ORACLE = """
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,4))) AS best_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey AS pk, MIN(best_price) AS min_price
+      FROM offer GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+           CAST(offer.best_price AS DOUBLE) AS best_price
+    FROM offer
+    JOIN best ON offer.l_partkey = best.pk AND offer.best_price = best.min_price
+    JOIN part ON p_partkey = offer.l_partkey
+    JOIN supplier ON s_suppkey = offer.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size <= 5 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+    LIMIT 20
+"""
+
+
+@plan("cheapest_part_supplier", _Q2_ORACLE)
+def cheapest_part_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: the supplier(s) offering each part's minimum
+    price, decorated through the dimension chain — the argmin
+    join-back pattern (re-keyed from partsupp to lineitem-observed
+    offer prices; ties all surface, as in the original).
+
+    100 TB: both rollups are map-side-combined exchanges on
+    l_partkey-led keys, and the argmin equality join-back rides the
+    SAME l_partkey partitioning as the per-part MIN — no extra
+    exchange; the part filter semi-reduces the join-back side;
+    supplier/nation decorate the few surviving rows; top-20 is
+    TakeOrderedAndProject. Exact-decimal MIN, so the equality
+    join-back cannot miss on FP representation.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    offer = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast(PRICE_DEC)).alias("__best")
+    )
+    best = offer.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("__best").alias("__min_price")
+    )
+    return (
+        offer.join(
+            best,
+            (offer.l_partkey == best.pk) & (offer.__best == best.__min_price),
+        )
+        .join(p, offer.l_partkey == p.p_partkey)
+        .join(s, offer.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            F.col("__best").cast("double").alias("best_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+_Q9_ORACLE = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(
+             CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+             - CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(p_retailprice AS DECIMAL(12,4))
+               * CAST(0.6 AS DECIMAL(2,1))
+           ) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@plan("product_profit_by_nation", _Q9_ORACLE)
+def product_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape: computed margin (revenue minus modeled cost at
+    60% of retail) rolled up by supplier nation and year, for parts
+    matching a name pattern (p_retailprice standing in for
+    ps_supplycost).
+
+    100 TB: the LIKE filter pushes to the part scan (StringContains)
+    and semi-reduces lineitem via broadcast; the margin is computed
+    rowwise in exact decimals BEFORE aggregation so partials combine
+    map-side; nation broadcasts; orders joins column-pruned to the
+    date. One exchange per join key, small (nation x year) result.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    margin = F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
+    ) - F.col("l_quantity").cast("decimal(12,2)") * F.col(
+        "p_retailprice"
+    ).cast(PRICE_DEC) * F.lit("0.6").cast("decimal(2,1)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(margin).cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q20_ORACLE = """
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%bolt%'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey AS pk, SUM(q) AS tq, COUNT(*) AS ns
+      FROM per GROUP BY l_partkey
+    )
+    SELECT s_name, n_name AS nation
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM per JOIN tot ON per.l_partkey = tot.pk
+      WHERE per.q * ns > 2 * tq
+    )
+    ORDER BY s_name
+"""
+
+
+@plan("dominant_part_suppliers", _Q20_ORACLE)
+def dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers qualified through a nested subquery
+    with a correlated aggregate threshold — here, shipping more than
+    TWICE a part's fair share of volume (q * n_suppliers > 2 * total,
+    scale-invariant where the original's 50%-of-availqty is not, and
+    exact-decimal so the boundary is engine-stable).
+
+    100 TB: the name filter semi-reduces lineitem via the broadcast
+    part join; the per-part total and supplier count come from an
+    UNBOUNDED WINDOW over the per-(part, supplier) rollup rather than
+    a re-aggregation self-join — Spark has no CTE materialization, so
+    the join spelling would re-derive the rollup and scan the fact
+    TWICE; the window keeps it to one scan and one l_partkey
+    exchange. The qualifying-supplier set left-semi joins the
+    supplier dimension.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per.withColumn("__tq", F.sum("__q").over(w))
+        .withColumn("__ns", F.count(F.lit(1)).over(w))
+        .filter(F.col("__q") * F.col("__ns") > F.lit(2) * F.col("__tq"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )

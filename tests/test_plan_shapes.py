@@ -300,3 +300,48 @@ def test_dormant_customers_anti_join_prefilters(spark, sf_dir):
     assert "LeftAnti" in ex
     assert "BroadcastNestedLoopJoin" in ex  # the 1-row (n_pos, sum_pos) scalar
     assert "CartesianProduct" not in ex
+
+
+def test_q6_is_single_scan_with_all_filters_pushed(spark, sf_dir):
+    """discount_revenue_probe (Q6 shape): the canonical scan-aggregate
+    — all three predicates reach the parquet reader and the plan
+    contains NO join; a regression that lifts a filter above the scan
+    reads the full fact at 100 TB."""
+    ex = _explain(plans.QUERIES["discount_revenue_probe"](spark, sf_dir))
+    pushed = [ln for ln in ex.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "l_shipdate" in ln and "l_discount" in ln and "l_quantity" in ln
+        for ln in pushed
+    ), pushed
+    assert "Join" not in ex
+
+
+def test_q13_keeps_left_outer_for_zero_bucket(spark, sf_dir):
+    """customer_order_distribution (Q13 shape): the join must stay
+    LEFT OUTER — an inner join drops order-less customers and silently
+    corrupts the zero bucket of the count-of-counts histogram."""
+    ex = _explain(plans.QUERIES["customer_order_distribution"](spark, sf_dir))
+    assert "LeftOuter" in ex
+    assert ex.count("HashAggregate") >= 4  # both rollups partial+final
+
+
+def test_q20_scans_lineitem_once(spark, sf_dir):
+    """dominant_part_suppliers (Q20 shape): the per-part total is a
+    RE-aggregation of the per-(part, supplier) rollup, so the big fact
+    appears in exactly one scan; the qualifying set reaches supplier
+    as a left-semi join."""
+    ex = _explain(plans.QUERIES["dominant_part_suppliers"](spark, sf_dir))
+    assert ex.count("lineitem") <= 1
+    assert "LeftSemi" in ex
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    """late_order_priority_census (Q4 shape): the correlated EXISTS
+    with a cross-table inequality must stay ONE left-semi hash join
+    with the lateness comparison as the residual — never a
+    deduplicating aggregate or an inner join that double-counts
+    multi-late-line orders."""
+    ex = _explain(plans.QUERIES["late_order_priority_census"](spark, sf_dir))
+    assert "LeftSemi" in ex
+    pushed = [ln for ln in ex.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
