@@ -203,6 +203,33 @@ PICKS = {
         "pinned by test_plan_shapes; at 100 TB that split is the "
         "difference between scanning brands and scanning everything."
     ),
+    "copurchase_triangles": (
+        "degree-oriented edge-iterator (r7 rewrite): forward-adjacency "
+        "arrays attach to each edge under SHUFFLE_HASH joins and the "
+        "count is a sum of array_intersect sizes — wedge-scale data is "
+        "never exchanged or sorted (the old wedge join moved ~49M rows "
+        "per sf0.1 copy and probed 7-11x at 8x data; this shape probes "
+        "3.2x)."
+    ),
+    "sole_blame_suppliers": (
+        "TPC-H Q21: both correlated subqueries (EXISTS another "
+        "supplier / NOT EXISTS another returning supplier) fold into "
+        "ONE per-order profile aggregate joined back on the same "
+        "l_orderkey partitioning — two scans of the fact, not three, "
+        "and no correlated re-execution."
+    ),
+    "dominant_part_suppliers": (
+        "TPC-H Q20: the per-part total is a window over the "
+        "per-(part, supplier) rollup, not a re-aggregation self-join — "
+        "Spark has no CTE materialization, so the join spelling would "
+        "scan the fact twice; the window keeps one scan + one "
+        "l_partkey exchange (pinned by test_plan_shapes)."
+    ),
+    "nation_market_share": (
+        "TPC-H Q8: 7-join star traversed ONCE — share numerator and "
+        "denominator are one conditional aggregate; region/nation "
+        "pre-filtered broadcasts semi-reduce both fact paths."
+    ),
 }
 
 
