@@ -1443,3 +1443,145 @@ def tokenizer_vocab_coverage(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by how target-like its hashed n-gram profile is. Features are
+# unigrams + adjacent bigrams feature-hashed into 64 buckets (the same
+# md5 bucket contract as hash_embed_topk); the target distribution p is
+# fit on the lang='en' slice, the raw distribution q on the whole
+# corpus, both Laplace-smoothed; a document's log importance weight is
+# sum_f tf_f * (ln p_f - ln q_f). Downstream selection resamples
+# proportionally to exp(logw) — this plan materializes the census the
+# resampler consumes.
+# Float discipline: the per-bucket log ratio is one ln over an
+# identically-shaped rational expression of exact integer counts
+# (damped-transcendental rule, DETERMINISM.md §4); per-doc
+# contributions are DECIMAL(28,12)-truncated before the
+# order-insensitive sum and the total floor-rounds to 1e-6.
+# 100 TB: the model is 64 rows + a 1-row total (both broadcast); the
+# feature relation aggregates map-side into (doc, bucket) and shuffles
+# once on doc_id. Linear, no all-pairs anywhere.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+
+_DSIR_ORACLE = rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(t || CASE WHEN len(t) >= 2
+                    THEN list_transform(range(2, len(t) + 1),
+                                        i -> t[i - 1] || ' ' || t[i])
+                    ELSE CAST([] AS VARCHAR[]) END) AS f
+      FROM tok
+    ),
+    hashed AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(f), 1, 8) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM feats
+    ),
+    doc_tf AS (
+      SELECT doc_id, bucket, COUNT(*) AS tf
+      FROM hashed GROUP BY doc_id, bucket
+    ),
+    model AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_cnt,
+             COUNT(*) AS q_cnt
+      FROM hashed GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(p_cnt) AS p_tot, SUM(q_cnt) AS q_tot FROM model),
+    ratio AS (
+      SELECT bucket,
+             ln(((p_cnt + 1.0) / (p_tot + {_DSIR_BUCKETS}))
+                / ((q_cnt + 1.0) / (q_tot + {_DSIR_BUCKETS}))) AS logr
+      FROM model CROSS JOIN tot
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.tf) AS BIGINT) AS n_feats,
+           FLOOR(CAST(SUM(CAST(d.tf * r.logr AS DECIMAL(28,12))) AS DOUBLE)
+                 * 1e6) / 1e6 AS dsir_logw
+    FROM doc_tf d JOIN ratio r USING (bucket)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+@plan("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark, sf_dir):
+    """Hashed n-gram importance-resampling weights (see module comment).
+
+    Reference parity: the reference pipeline has no data-selection
+    stage at all; this is part of the driver-mandated training-data
+    curation family (SURVEY §7.6) alongside source_temperature_weights
+    and weighted_sample_docs.
+
+    100 TB: the 64-bucket model and the scalar totals broadcast; the
+    only full-size exchanges are the two map-side-combined aggregates
+    over the feature relation ((doc,bucket) and (bucket)), then a
+    broadcast join back onto doc partials — no global sort, no
+    all-pairs, linear in corpus size.
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(2, size(t)), "
+        "i -> concat(element_at(t, i - 1), ' ', element_at(t, i))) "
+        "ELSE array() END"
+    )
+    feats = docs.select(
+        "doc_id", "lang", F.explode(F.concat(F.col("t"), bigrams)).alias("f")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % _DSIR_BUCKETS
+    )
+    hashed = feats.select("doc_id", "lang", bucket.alias("bucket"))
+    doc_tf = hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    model = hashed.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        ).alias("p_cnt"),
+        F.count(F.lit(1)).alias("q_cnt"),
+    )
+    tot = model.agg(
+        F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
+    )
+    b = F.lit(_DSIR_BUCKETS)
+    ratio = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("p_cnt") + F.lit(1.0)) / (F.col("p_tot") + b))
+                / ((F.col("q_cnt") + F.lit(1.0)) / (F.col("q_tot") + b))
+            ).alias("logr"),
+        )
+    )
+    contrib = (F.col("tf") * F.col("logr")).cast("decimal(28,12)")
+    return (
+        doc_tf.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            (F.floor(F.sum(contrib).cast("double") * 1e6) / 1e6).alias(
+                "dsir_logw"
+            ),
+        )
+        .orderBy("doc_id")
+    )
