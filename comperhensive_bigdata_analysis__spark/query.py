@@ -209,6 +209,12 @@ _PRESTO_SQL_UDFS = (
     "RETURN lower(conv(CAST(x AS STRING), 10, r))",
     # legacy Presto alias of strpos
     "index(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
+    # Presto format_datetime speaks Joda patterns; Spark's date_format
+    # speaks java.time patterns — identical for the fields analysts
+    # use (yyyy MM dd HH mm ss EEE a). Joda-only fields would need the
+    # pattern respelled, which the analyst owns either way.
+    "format_datetime(t TIMESTAMP, f STRING) RETURNS STRING "
+    "RETURN date_format(t, f)",
 )
 
 
@@ -319,6 +325,108 @@ def _rewrite_call(q: str, name: str, nargs: int, template) -> str:
 #: catalyst/codegen.
 #: histogram(x): value-frequency map — distinct keys from one
 #: collect_list, counts by a filtered size over another.
+#: MySQL-style %-tokens (Presto date_parse/date_format speak these) ->
+#: Spark DateTimeFormatter fields. Only tokens with an exact Spark
+#: equivalent appear; anything else raises with the spell-it-directly
+#: workaround rather than silently mis-parsing.
+_MYSQL_DATETIME_TOKENS = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h",
+    "i": "mm", "s": "ss", "S": "ss", "f": "SSSSSS",
+    "j": "DDD", "p": "a", "W": "EEEE", "a": "EEE",
+    "M": "MMMM", "b": "MMM", "T": "HH:mm:ss", "r": "hh:mm:ss a",
+}
+
+
+def _mysql_format_to_spark(fmt: str) -> str:
+    """Compile a MySQL %-format string to a Spark datetime pattern.
+    Literal runs containing letters are single-quote escaped (Spark
+    patterns treat bare letters as fields; MySQL treats them as
+    literals), so '%Y-%m-%dT%H:%i:%s' maps to yyyy-MM-dd'T'HH:mm:ss."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        lit.clear()
+        if re.search(r"[A-Za-z]", run):
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run.replace("'", "''"))
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError("date_parse(): trailing '%' in format")
+            t = fmt[i + 1]
+            if t == "%":
+                lit.append("%")
+            else:
+                tok = _MYSQL_DATETIME_TOKENS.get(t)
+                if tok is None:
+                    raise ValueError(
+                        f"date_parse(): no Spark equivalent for MySQL "
+                        f"format token %{t} — spell the Spark "
+                        f"to_timestamp(expr, pattern) call directly"
+                    )
+                flush()
+                out.append(tok)
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _date_parse_template(s: str, f: str) -> str:
+    fs = f.strip()
+    m = re.fullmatch(r"'((?:[^']|'')*)'", fs, re.DOTALL)
+    if m is None:
+        raise ValueError(
+            "date_parse(): the format argument must be a string "
+            "literal — spell the Spark to_timestamp(expr, pattern) "
+            "call directly for computed formats"
+        )
+    spark_fmt = _mysql_format_to_spark(m.group(1).replace("''", "'"))
+    return f"to_timestamp({s}, '" + spark_fmt.replace("'", "''") + "')"
+
+
+def _try_template(e: str) -> str:
+    """Presto TRY(expr) -> the matching Spark try_* twin. Spark has no
+    general NULL-on-error wrapper, but every TRY spelling analysts
+    actually write has a dedicated twin: TRY(CAST(x AS t)) ->
+    try_cast, TRY(a / b) -> try_divide (NULL on division by zero —
+    Presto's headline TRY use), TRY(element_at(...)) / TRY(to_number
+    (...)) / TRY(to_timestamp(...)) -> their try_ builtins. Anything
+    else raises with the workaround rather than silently changing
+    error semantics."""
+    es = e.strip()
+    m = re.match(r"^cast\s*\(", es, re.IGNORECASE)
+    if m:
+        return "try_cast" + es[m.end() - 1 :]
+    if re.match(r"^(element_at|to_number|to_timestamp)\s*\(", es, re.IGNORECASE):
+        return "try_" + es
+    masked = _mask_literals(es)
+    depth = 0
+    for idx, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "/" and depth == 0:
+            return f"try_divide({es[:idx]}, {es[idx + 1:]})"
+    raise ValueError(
+        "TRY(): only TRY(CAST(..)), TRY(a / b), TRY(element_at(..)), "
+        "TRY(to_number(..)) and TRY(to_timestamp(..)) translate — "
+        "spell the Spark try_* builtin directly for other expressions"
+    )
+
+
 _CALL_REWRITES = (
     (
         "map_agg",
@@ -340,6 +448,11 @@ _CALL_REWRITES = (
             f", __he -> __he <=> __hk)) AS BIGINT))))"
         ),
     ),
+    # Presto date_parse(s, '%Y-%m-%d ...') — MySQL format tokens
+    # compiled to a Spark to_timestamp pattern at translate time.
+    ("date_parse", 2, _date_parse_template),
+    # Presto TRY(expr) -> the matching try_* builtin (see template).
+    ("try", 1, _try_template),
 )
 
 

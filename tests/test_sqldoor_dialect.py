@@ -494,3 +494,55 @@ def test_translate_fuzz_never_crashes_and_idempotent():
         assert twice == once
 
     check()
+
+
+def test_try_rewrite_and_execution(spark):
+    """Presto TRY() -> Spark try_* twins: translated shape pinned,
+    executed NULL-on-error semantics checked, everything else raises
+    with the spell-it-directly workaround (like ambiguous UNNEST)."""
+    import pytest
+
+    out = translate("SELECT TRY(CAST(x AS INT)) AS v FROM t")
+    assert "try_cast(x AS INT)" in out and "TRY(" not in out
+    out2 = translate("SELECT try(a / b) AS v FROM t")
+    assert "try_divide(a , b)" in out2.replace("/ ", "") or "try_divide(a" in out2
+    # names that merely START with try are not call sites
+    q_id = "SELECT try_cast(x AS INT) FROM t"
+    assert translate(q_id) == q_id
+    # inside a string literal: untouched
+    q_lit = "SELECT 'TRY(CAST(x AS INT))' FROM t"
+    assert translate(q_lit) == q_lit
+    with pytest.raises(ValueError):
+        translate("SELECT TRY(some_udf(x)) FROM t")
+
+    eng = Engine(spark)
+    assert eng.sql("SELECT TRY(CAST('abc' AS INT)) AS v").first()["v"] is None
+    assert eng.sql("SELECT TRY(CAST('7' AS INT)) AS v").first()["v"] == 7
+    assert eng.sql("SELECT TRY(1 / 0) AS v").first()["v"] is None
+    assert eng.sql("SELECT TRY(element_at(array(1), 5)) AS v").first()["v"] is None
+
+
+def test_date_parse_rewrite_and_execution(spark):
+    """Presto date_parse(s, '%...') — MySQL tokens compile to a Spark
+    to_timestamp pattern at translate time; bare letters in the format
+    become quoted literals; unknown tokens and computed formats raise."""
+    import pytest
+
+    out = translate("SELECT date_parse(s, '%Y-%m-%d %H:%i:%s') FROM t")
+    assert "to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')" in out
+    out2 = translate("SELECT date_parse(s, '%Y-%m-%dT%H:%i:%s') FROM t")
+    assert "to_timestamp(s, 'yyyy-MM-dd''T''HH:mm:ss')" in out2
+    with pytest.raises(ValueError):
+        translate("SELECT date_parse(s, '%Q') FROM t")
+    with pytest.raises(ValueError):
+        translate("SELECT date_parse(s, fmt_col) FROM t")
+
+    eng = Engine(spark)
+    got = eng.sql(
+        "SELECT date_parse('2024-03-05T07:08:09', '%Y-%m-%dT%H:%i:%s') AS v"
+    ).first()["v"]
+    assert got.isoformat() == "2024-03-05T07:08:09"
+    got2 = eng.sql(
+        "SELECT format_datetime(TIMESTAMP '2024-03-05 07:08:09', 'yyyy/MM/dd HH:mm') AS v"
+    ).first()["v"]
+    assert got2 == "2024/03/05 07:08"
