@@ -138,3 +138,29 @@ def test_weighted_sample_rates_track_tier_thresholds(spark, sf_dir):
         else:
             assert abs(rate - nominal[tier]) < 0.15
         assert r["kept_chars"] <= r["n_docs"] * 10**7  # sanity: bounded
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """The DSIR importance weight is ln p_target(doc) - ln p_raw(doc)
+    up to hashing: documents FROM the target slice (lang='en') must
+    average a higher per-feature weight than the rest of the corpus —
+    the separation the resampler exists to exploit. Per-feature (not
+    per-doc) so length differences between slices can't mask the sign."""
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    w = plans.QUERIES["dsir_importance_weights"](spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per_feat = (
+        w.join(langs, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_target"))
+        .agg(
+            (F.sum("dsir_logw") / F.sum("n_feats")).alias("w_per_feat")
+        )
+    )
+    got = {r["is_target"]: r["w_per_feat"] for r in per_feat.collect()}
+    assert got[True] > got[False]
+    # weights are finite and the census covers every non-empty doc
+    n_docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    ).count()
+    assert w.count() == n_docs
