@@ -85,7 +85,13 @@ EXTRA_PROBES: dict = {
 #: at-worst-linear as the corpus grows) — and semantic_dedup_greedy,
 #: whose per-bucket applyInPandas walk must stay flat because bucket
 #: SIZE is capped while bucket COUNT grows with the corpus.
+#: Round-7 follow-on: dsir_importance_weights — the DSIR selection
+#: census. Structurally linear (64-row broadcast model, two map-side
+#: combines over the unigram+bigram feature relation), but it is the
+#: catalog's heaviest token-fanout plan (~2 features per token), so
+#: the probe pins the constant empirically.
 for _name in (
+    "dsir_importance_weights",
     "pq_adc_knn",
     "bloom_filter_probe",
     "grouped_exact_median",
@@ -269,6 +275,12 @@ def main() -> None:
             "  bounded by the bucket cap, so growth comes only from the\n"
             "  NUMBER of buckets (linear) and the Arrow transfer of the\n"
             "  edge list (also linear at capped occupancy).\n"
+            "- dsir_importance_weights is the heaviest token-fanout plan\n"
+            "  (~2 hashed features per token: unigrams + bigrams), but\n"
+            "  its model is 64 buckets + a 1-row total (broadcast) and\n"
+            "  both feature aggregates combine map-side, so work is one\n"
+            "  linear pass over the feature relation — the ratio pins\n"
+            "  the fanout constant, not a growth term.\n"
             "- lsh_band_pairs AUTO-scales its band width from the corpus\n"
             "  count (plans/ann.auto_bits_per_band: ~ceil(log2(n)) - 5\n"
             "  bits, floor 4, cap 16), pinning per-band bucket occupancy\n"
