@@ -226,9 +226,11 @@ def lsh_pairs_at(spark, sf_dir, bands: int = BANDS, bits_per_band: int = BITS_PE
     nx = nrm.select(F.col("vec_id").alias("id_a"), F.col("sq").alias("sq_a"))
     ny = nrm.select(F.col("vec_id").alias("id_b"), F.col("sq").alias("sq_b"))
     cos = F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b"))
+    # Per-vector norm tables are O(n): plain key joins, never broadcast
+    # (same ADVICE-r6 contract as ml.py / vector.py).
     return (
-        d.join(F.broadcast(nx), "id_a")
-        .join(F.broadcast(ny), "id_b")
+        d.join(nx, "id_a")
+        .join(ny, "id_b")
         .filter(cos >= LSH_THRESHOLD)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .orderBy("id_a", "id_b")

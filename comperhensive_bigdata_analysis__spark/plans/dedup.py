@@ -474,9 +474,13 @@ def bloom_filter_probe(spark, sf_dir):
         .groupBy("digest")
         .agg(F.sum("hit").alias("n_hits"))
     )
+    # membership/seen_digests are O(corpus) relations (see docstring:
+    # the exact leg is demo-scale-only) — no broadcast HINTS, so the
+    # plan degrades to shuffle joins instead of OOM if run big; AQE
+    # still broadcasts them under threshold at demo scale.
     flagged = (
-        cand.join(F.broadcast(membership), "digest")
-        .join(F.broadcast(seen_digests), "digest", "left")
+        cand.join(membership, "digest")
+        .join(seen_digests, "digest", "left")
         .select(
             "doc_id",
             (F.col("n_hits") == _BLOOM_SEEDS).cast("int").alias("member"),

@@ -391,8 +391,10 @@ def association_rules(spark, sf_dir):
     """Top-20 a->b rules by lift with support and confidence.
 
     100 TB: pair counts shuffle on the order key (fan-out bounded by
-    basket size squared); item counts and the scalar basket total
-    broadcast into the rule assembly; the head is a parallel top-k.
+    basket size squared); the scalar basket total is a literal; item
+    counts join by key (one row per distinct item — O(catalog), so no
+    broadcast hint; AQE broadcasts where it fits); the head is a
+    parallel top-k.
     """
     items = _basket_items(spark, sf_dir)
     n_total = items.select("l_orderkey").distinct().count()
@@ -406,11 +408,14 @@ def association_rules(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
         .filter(F.col("n_pair") >= 2)
     )
-    ia = F.broadcast(
-        item_n.select(F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a"))
+    # item_n is one row per DISTINCT item — O(catalog), which grows
+    # with SF — so no broadcast hint (the ADVICE-r6 O(n)-broadcast
+    # contract); AQE broadcasts it at small SF where it fits.
+    ia = item_n.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a")
     )
-    ib = F.broadcast(
-        item_n.select(F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_b"))
+    ib = item_n.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_b")
     )
     nt = F.lit(float(n_total))
     return (

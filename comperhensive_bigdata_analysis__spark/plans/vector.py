@@ -126,9 +126,13 @@ def embedding_near_dup(spark, sf_dir):
     nx = nrm.select(F.col("vec_id").alias("id_a"), F.col("sq").alias("sq_a"))
     ny = nrm.select(F.col("vec_id").alias("id_b"), F.col("sq").alias("sq_b"))
     cos = F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b"))
+    # The norm lookups are one row per VECTOR — O(n), so they must NOT
+    # be broadcast (ADVICE r6 on the same shape in ml.py: an O(n)
+    # broadcast OOMs at real scale). Plain key joins; AQE may still
+    # choose broadcast at small SF where the table fits.
     return (
-        d.join(F.broadcast(nx), "id_a")
-        .join(F.broadcast(ny), "id_b")
+        d.join(nx, "id_a")
+        .join(ny, "id_b")
         .filter(cos >= 0.35)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .orderBy("id_a", "id_b")
