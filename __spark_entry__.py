@@ -64,6 +64,12 @@ def _artifact_rounds(root: _pathlib.Path) -> dict[str, int]:
 
 
 def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
+    # Round-7 note: the round added 26 new oracled plans (TPC-H canon,
+    # format matrix, DSIR), growing the never-driver-sampled pool to 57
+    # — more than the 44 non-anchor slots. The alphabetical fresh-first
+    # rule is deterministic, and the ~13 that spill re-enter
+    # automatically next round because this window is recomputed from
+    # the committed artifacts on disk, not a hand-rotated list.
     root = _pathlib.Path(__file__).resolve().parent
     last_seen = _artifact_rounds(root)
     oracled = set(_plans.ORACLES)
