@@ -476,6 +476,7 @@ def test_translate_fuzz_never_crashes_and_idempotent():
             " AS t(x)", " LIMIT 5", "date_diff('day',", "approx_distinct(",
             "'it''s'", '"order by"', " NULLS FIRST", " map_agg(",
             " histogram(", " WITH ORDINALITY ",
+            " TRY(", " date_parse(", "'%Y-%m-%d'", "CAST(x AS INT)",
         ]
     )
 
