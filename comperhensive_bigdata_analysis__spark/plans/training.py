@@ -1461,9 +1461,10 @@ def tokenizer_vocab_coverage(spark, sf_dir):
 # (damped-transcendental rule, DETERMINISM.md §4); per-doc
 # contributions are DECIMAL(28,12)-truncated before the
 # order-insensitive sum and the total floor-rounds to 1e-6.
-# 100 TB: the model is 64 rows + a 1-row total (both broadcast); the
-# feature relation aggregates map-side into (doc, bucket) and shuffles
-# once on doc_id. Linear, no all-pairs anywhere.
+# 100 TB: ONE tokenize/hash pass — the (doc, lang, bucket) partial
+# feeds both the scoring leg and the 64-bucket model via
+# ReuseExchange; totals are a window over the 64-row model; only the
+# 64-row ratio table broadcasts. Linear, no all-pairs anywhere.
 # ---------------------------------------------------------------------------
 
 _DSIR_BUCKETS = 64
@@ -1523,11 +1524,12 @@ def dsir_importance_weights(spark, sf_dir):
     curation family (SURVEY §7.6) alongside source_temperature_weights
     and weighted_sample_docs.
 
-    100 TB: the 64-bucket model and the scalar totals broadcast; the
-    only full-size exchanges are the two map-side-combined aggregates
-    over the feature relation ((doc,bucket) and (bucket)), then a
-    broadcast join back onto doc partials — no global sort, no
-    all-pairs, linear in corpus size.
+    100 TB: ONE scan+tokenize+hash pass — the (doc, lang, bucket)
+    map-side-combined partial is the only full-size exchange, reused
+    (ReuseExchange) by both the scoring leg and the 64-bucket model;
+    totals are an unpartitioned window over the 64-row model; the
+    64-row ratio table broadcasts back onto the doc partials — no
+    global sort, no all-pairs, linear in corpus size.
     """
     from ..functions.text import tokens
 
@@ -1549,29 +1551,44 @@ def dsir_importance_weights(spark, sf_dir):
         .cast("long")
         % _DSIR_BUCKETS
     )
-    hashed = feats.select("doc_id", "lang", bucket.alias("bucket"))
-    doc_tf = hashed.groupBy("doc_id", "bucket").agg(
+    # The explicit isnotnull(bucket) matches the constraint the scoring
+    # join infers on its leg — without it the two tf3 copies differ by
+    # that one inferred Filter and ReuseExchange cannot dedup them.
+    hashed = feats.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket").isNotNull()
+    )
+    # ONE tokenize/hash pass: the (doc, lang, bucket) partial feeds BOTH
+    # the per-doc scoring leg and the 64-bucket model (lang is
+    # functionally dependent on doc_id, so carrying it adds no groups);
+    # Spark's ReuseExchange then executes the scan+explode+combine
+    # once. The model totals come from an unpartitioned window over the
+    # 64-row model — a third scan-free aggregate, not a third pass.
+    tf3 = hashed.groupBy("doc_id", "lang", "bucket").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    model = hashed.groupBy("bucket").agg(
+    doc_tf = tf3.select("doc_id", "bucket", "tf")
+    model = tf3.groupBy("bucket").agg(
         F.sum(
-            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("lang") == "en", F.col("tf")).otherwise(F.lit(0))
         ).alias("p_cnt"),
-        F.count(F.lit(1)).alias("q_cnt"),
+        F.sum("tf").alias("q_cnt"),
     )
-    tot = model.agg(
-        F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
-    )
+    from pyspark.sql.window import Window as _W
+
+    w_all = _W.partitionBy()
     b = F.lit(_DSIR_BUCKETS)
-    ratio = (
-        model.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.log(
-                ((F.col("p_cnt") + F.lit(1.0)) / (F.col("p_tot") + b))
-                / ((F.col("q_cnt") + F.lit(1.0)) / (F.col("q_tot") + b))
-            ).alias("logr"),
-        )
+    ratio = model.select(
+        "bucket",
+        F.log(
+            (
+                (F.col("p_cnt") + F.lit(1.0))
+                / (F.sum("p_cnt").over(w_all) + b)
+            )
+            / (
+                (F.col("q_cnt") + F.lit(1.0))
+                / (F.sum("q_cnt").over(w_all) + b)
+            )
+        ).alias("logr"),
     )
     contrib = (F.col("tf") * F.col("logr")).cast("decimal(28,12)")
     return (

@@ -230,6 +230,14 @@ PICKS = {
         "denominator are one conditional aggregate; region/nation "
         "pre-filtered broadcasts semi-reduce both fact paths."
     ),
+    "dsir_importance_weights": (
+        "DSIR data selection in ONE tokenize/hash pass: the (doc, lang, "
+        "bucket) partial feeds both the scoring leg and the 64-bucket "
+        "model — AQE ReuseExchange dedups the two copies at runtime "
+        "(static plan shows both; executed plan scans once); totals are "
+        "a window over the 64-row model; only the 64-row ratio table "
+        "broadcasts."
+    ),
 }
 
 
