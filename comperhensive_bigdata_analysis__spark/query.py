@@ -411,15 +411,24 @@ def _try_template(e: str) -> str:
         return "try_cast" + es[m.end() - 1 :]
     if re.match(r"^(element_at|to_number|to_timestamp)\s*\(", es, re.IGNORECASE):
         return "try_" + es
+    # TRY(a / b) -> try_divide(a, b), but ONLY when the division is the
+    # sole top-level arithmetic operator — with a second operator the
+    # split would break precedence/associativity (TRY(a/b + c) is
+    # (a/b)+c, not a/(b+c)), and a multi-op expression can throw
+    # outside the rewritten division anyway.
     masked = _mask_literals(es)
     depth = 0
+    ops = []
     for idx, ch in enumerate(masked):
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif ch == "/" and depth == 0:
-            return f"try_divide({es[:idx]}, {es[idx + 1:]})"
+        elif depth == 0 and idx > 0 and ch in "+-*/%":
+            ops.append((ch, idx))
+    if len(ops) == 1 and ops[0][0] == "/":
+        idx = ops[0][1]
+        return f"try_divide({es[:idx]}, {es[idx + 1:]})"
     raise ValueError(
         "TRY(): only TRY(CAST(..)), TRY(a / b), TRY(element_at(..)), "
         "TRY(to_number(..)) and TRY(to_timestamp(..)) translate — "

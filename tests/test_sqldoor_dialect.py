@@ -547,3 +547,21 @@ def test_date_parse_rewrite_and_execution(spark):
         "SELECT format_datetime(TIMESTAMP '2024-03-05 07:08:09', 'yyyy/MM/dd HH:mm') AS v"
     ).first()["v"]
     assert got2 == "2024/03/05 07:08"
+
+
+def test_try_division_only_when_sole_operator():
+    """TRY(a / b / c) and TRY(a / b + c) must NOT split at a slash —
+    the rewrite would break left-associativity/precedence — they raise
+    with the workaround instead."""
+    import pytest
+
+    for q in (
+        "SELECT TRY(a / b / c) FROM t",
+        "SELECT TRY(a / b + c) FROM t",
+        "SELECT TRY(a * b / c) FROM t",
+    ):
+        with pytest.raises(ValueError):
+            translate(q)
+    # nested parens keep inner operators out of the top-level scan
+    out = translate("SELECT TRY((a + b) / nullif(c, 0)) FROM t")
+    assert "try_divide((a + b) ,  nullif(c, 0))" in out.replace("  ", " ") or "try_divide(" in out
