@@ -277,10 +277,12 @@ def main() -> None:
             "  edge list (also linear at capped occupancy).\n"
             "- dsir_importance_weights is the heaviest token-fanout plan\n"
             "  (~2 hashed features per token: unigrams + bigrams), but\n"
-            "  its model is 64 buckets + a 1-row total (broadcast) and\n"
-            "  both feature aggregates combine map-side, so work is one\n"
-            "  linear pass over the feature relation — the ratio pins\n"
-            "  the fanout constant, not a growth term.\n"
+            "  the whole plan is ONE tokenize/hash pass: the (doc,\n"
+            "  lang, bucket) map-side-combined partial feeds both the\n"
+            "  scoring leg and the 64-bucket model via AQE\n"
+            "  ReuseExchange, totals are a window over the 64-row\n"
+            "  model, and only the 64-row ratio table broadcasts — the\n"
+            "  ratio pins the fanout constant, not a growth term.\n"
             "- lsh_band_pairs AUTO-scales its band width from the corpus\n"
             "  count (plans/ann.auto_bits_per_band: ~ceil(log2(n)) - 5\n"
             "  bits, floor 4, cap 16), pinning per-band bucket occupancy\n"
