@@ -565,3 +565,25 @@ def test_try_division_only_when_sole_operator():
     # nested parens keep inner operators out of the top-level scan
     out = translate("SELECT TRY((a + b) / nullif(c, 0)) FROM t")
     assert "try_divide((a + b) ,  nullif(c, 0))" in out.replace("  ", " ") or "try_divide(" in out
+
+
+def test_recursive_cte_passes_through(spark):
+    """Spark 4 executes WITH RECURSIVE natively — the front door must
+    pass it through untouched (translate only splices NULLS LAST into
+    the FINAL order by). Pinned because the dup-cluster oracles speak
+    WITH RECURSIVE in DuckDB, and a Presto/Trino analyst migrating a
+    recursive query should hit Spark's native support, not a rewrite."""
+    eng = Engine(spark)
+    rows = eng.sql(
+        """
+        WITH RECURSIVE walk(n) AS (
+          SELECT 1
+          UNION ALL
+          SELECT n + 1 FROM walk WHERE n < 6
+        )
+        SELECT n FROM walk ORDER BY n DESC LIMIT 3
+        """
+    ).collect()
+    assert [r["n"] for r in rows] == [6, 5, 4]
+    out = translate("WITH RECURSIVE r(n) AS (SELECT 1) SELECT n FROM r")
+    assert "WITH RECURSIVE" in out
