@@ -580,3 +580,130 @@ def minhash_calibration(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style repeated-span census (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): find
+# every MAXIMAL span of a document covered by 16-token windows that
+# occur more than once corpus-wide. Unlike segment_dedup_stats (fixed
+# non-overlapping tiles), the windows here slide at stride 1, so a
+# repeated passage is caught wherever it starts — the property the
+# suffix-array method has, re-expressed as a shingle-frequency join
+# plus per-doc interval merging (gaps-and-islands window).
+# All-integer output: positions, span counts, token mass — no float
+# discipline needed at all.
+# 100 TB: windows are keyed by md5(shingle) so the two shingle
+# exchanges (frequency count + join back) move 16-byte digests, never
+# the 100-char shingle strings; both group/join on the same digest key
+# so the exchange is reused; the island merge is one window pass inside
+# the per-doc partitioning. Linear — ~1 digest row per token.
+# ---------------------------------------------------------------------------
+
+_ESS_W = 16
+
+_EXACT_SUBSTR_ORACLE = rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(t) - {_ESS_W - 1}, 0) + 1)) AS pos,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_ESS_W - 1}, 0) + 1),
+               i -> md5(array_to_string(t[i:i + {_ESS_W - 1}], ' ')))) AS dg
+      FROM tok
+    ),
+    freq AS (SELECT dg FROM sh GROUP BY dg HAVING COUNT(*) > 1),
+    dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN freq USING (dg)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= MAX(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    + {_ESS_W - 1}
+                  THEN 0 ELSE 1 END AS brk
+      FROM dup
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + {_ESS_W - 1} AS e
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_token_mass
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@plan("exact_substr_spans", _EXACT_SUBSTR_ORACLE)
+def exact_substr_spans(spark, sf_dir):
+    """Per-doc maximal repeated-span census (see module comment).
+
+    Spans are merged when they OVERLAP (share >= 1 token position);
+    back-to-back non-overlapping repeats stay separate spans. Only
+    documents containing at least one corpus-duplicated window appear.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    npos = F.size("t") - F.lit(_ESS_W - 1)
+    # sequence(1, 0) would DESCEND in Spark — guard short docs to an
+    # empty window list instead.
+    windows = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(
+                    F.concat_ws(" ", F.slice("t", i, _ESS_W)).cast("binary")
+                ).alias("dg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,dg:string>>"))
+    sh = tk.select("doc_id", F.explode(windows).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.dg").alias("dg")
+    )
+    freq = (
+        sh.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") > 1)
+        .select("dg")
+    )
+    dup = sh.join(freq, "dg").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("pos").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("pos") <= prev_max + (_ESS_W - 1), F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    grp = dup.withColumn("brk", brk).withColumn(
+        "g", F.sum("brk").over(w_doc)
+    )
+    spans = grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(_ESS_W - 1)).alias("e"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias(
+                "dup_token_mass"
+            ),
+        )
+        .orderBy("doc_id")
+    )
