@@ -103,3 +103,40 @@ def test_semantic_greedy_bounded_by_census(spark, sf_dir):
             greedy[c]["n_kept"] + greedy[c]["n_pruned_greedy"]
             == greedy[c]["n_members"]
         )
+
+
+
+def test_exact_substr_spans_reassemble_duplicates(spark, tmp_path):
+    """Invariant: a whole-document duplicate must surface as ONE span
+    covering every token (every stride-1 window repeats corpus-wide, so
+    the island merge reassembles the full document); a doc sharing only
+    a 16-token passage gets exactly that passage; a unique doc is
+    absent."""
+    from pyspark.sql import functions as F
+
+    from comperhensive_bigdata_analysis__spark import plans
+
+    shared = " ".join(f"tok{i}" for i in range(16))
+    dup = " ".join(f"dup{i}" for i in range(20))
+    rows = [
+        (1, dup, "en", "s1", len(dup)),
+        (2, dup, "en", "s1", len(dup)),
+        (3, shared + " unique tail words here", "en", "s2", 0),
+        (4, "leading words " + shared, "en", "s2", 0),
+        (5, "entirely unique document with no repeats at all", "en", "s3", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_token_mass"])
+        for r in plans.QUERIES["exact_substr_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == (1, 20) and got[2] == (1, 20)  # full-doc coverage
+    assert got[3] == (1, 16) and got[4] == (1, 16)  # just the passage
+    assert 5 not in got
