@@ -131,6 +131,11 @@ HEADLINE = {
     "q23_jpeg_stats_np": lambda s, d: plans.QUERIES["jpeg_pixel_stats_np"](
         s, d, sample_mod=10
     ),
+    # r7 additive entries: the two new training-data curation ops —
+    # DSIR importance weighting (single tokenize pass, 64-bucket model)
+    # and the ExactSubstr sliding-window repeated-span census.
+    "q24_dsir_weights": plans.QUERIES["dsir_importance_weights"],
+    "q25_exact_substr": plans.QUERIES["exact_substr_spans"],
 }
 
 
@@ -164,6 +169,8 @@ _ADDITIONS = (
     "q21_wav_stats_np",
     "q22_jpeg_stats_py",
     "q23_jpeg_stats_np",
+    "q24_dsir_weights",
+    "q25_exact_substr",
 )
 
 #: Large-scale tier (VERDICT r2 ask #8): the 3 slowest headliners re-run
