@@ -1602,3 +1602,73 @@ def dsir_importance_weights(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality buckets (Wenzek et al. 2020): split each
+# language's documents into head / middle / tail terciles of unigram-LM
+# surprisal — the bucketing CCNet uses to keep the "head" slice for
+# training. Composes the unigram_lm_surprisal census with a per-lang
+# NTILE(3) (deterministic: ordered by the already floor-rounded
+# surprisal with doc_id tiebreak, so both engines see the identical
+# total order — same contract ntile_price_quartiles pinned).
+# Float discipline: per-doc surprisals are already floor-rounded
+# doubles identical cross-engine; the per-bucket mean DECIMAL-truncates
+# them before the order-insensitive sum and floors to 1e-6.
+# 100 TB: the demo tier sorts each language partition for the exact
+# NTILE (oracle-checkable); at real scale the language partitions are
+# skewed and CCNet's production recipe applies — compute the two
+# tercile THRESHOLDS per language from a sample, then bucket by
+# comparison map-side (no global sort). The aggregation shape
+# (surprisal legs + one (lang, bucket) combine) is unchanged either
+# way.
+# ---------------------------------------------------------------------------
+
+_CCNET_ORACLE = rf"""
+    WITH s AS ({_SURPRISAL_ORACLE}),
+    b AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.avg_surprisal,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_surprisal, s.doc_id) AS bucket
+      FROM s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(CAST(avg_surprisal AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*) * 1e6) / 1e6 AS mean_surprisal
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@plan("ccnet_quality_buckets", _CCNET_ORACLE)
+def ccnet_quality_buckets(spark, sf_dir):
+    """Per-(lang, tercile) doc/token census of LM surprisal (see module
+    comment). Bucket 1 is the CCNet "head" (lowest surprisal)."""
+    from pyspark.sql.window import Window
+
+    s = unigram_lm_surprisal(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+    b = s.join(d, "doc_id").withColumn(
+        "bucket", F.ntile(3).over(w).cast("long")
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(
+                        F.col("avg_surprisal").cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("lang", "bucket")
+    )
