@@ -707,3 +707,81 @@ def exact_substr_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup reweighting (the "keep but down-weight" alternative to
+# removal, per SoftDeDup-style data reweighting): every document keeps
+# a sampling weight 1/n_copies of its exact-content group, so repeated
+# boilerplate contributes one document's worth of gradient mass in
+# expectation while unique text is untouched. The census reports, per
+# source, the raw vs effective (weight-summed) document and token
+# counts — the numbers a mixture planner consumes.
+# Float discipline: each weight is the single IEEE division 1/n over
+# exact integers (identical cross-engine); weighted token mass is
+# tf * (1/n) per doc, DECIMAL(28,12)-truncated before the sum,
+# floor-rounded to 1e-6.
+# 100 TB: one md5-digest exchange for the copy counts (uniform keys,
+# map-side combine), the count joins back on the same digest key
+# (exchange reuse), and the rollup is per-source. Linear.
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+      FROM documents
+    ),
+    copies AS (SELECT digest, COUNT(*) AS n FROM base GROUP BY digest)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(CAST(1.0 / c.n AS DECIMAL(28,12))) AS DOUBLE)
+                 * 1e6) / 1e6 AS eff_docs,
+           CAST(SUM(b.nt) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(CAST(b.nt * (1.0 / c.n) AS DECIMAL(28,12)))
+                      AS DOUBLE) * 1e6) / 1e6 AS eff_tokens
+    FROM base b JOIN copies c USING (digest)
+    GROUP BY b.source ORDER BY b.source
+"""
+
+
+@plan("soft_dedup_weights", _SOFT_DEDUP_ORACLE)
+def soft_dedup_weights(spark, sf_dir):
+    """Per-source raw vs duplication-discounted doc/token mass (see
+    module comment). eff_* sums each doc's 1/n_copies weight."""
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        token_count("text").cast("long").alias("nt"),
+    )
+    copies = base.groupBy("digest").agg(F.count(F.lit(1)).alias("n"))
+    w = F.lit(1.0) / F.col("n")
+    j = base.join(copies, "digest")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum(w.cast("decimal(28,12)")).cast("double") * 1e6
+                )
+                / 1e6
+            ).alias("eff_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum((F.col("nt") * w).cast("decimal(28,12)")).cast(
+                        "double"
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("eff_tokens"),
+        )
+        .orderBy("source")
+    )
