@@ -785,3 +785,98 @@ def soft_dedup_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken 2003 —
+# the MOSS local-fingerprinting algorithm): hash every character
+# 5-gram, slide a window of 4 consecutive hashes, and keep each
+# window's MINIMUM hash. The guarantee: any shared substring of
+# length >= k + w - 1 = 8 chars yields at least one shared fingerprint,
+# while only ~2/(w+1) of positions are kept — position-robust overlap
+# detection at a fraction of the shingle mass. The census joins
+# documents on shared fingerprints and ranks the top-overlapping pairs.
+# Ties inside a window don't need a position rule here because the
+# SELECTED VALUE is the fingerprint — equal hashes select the same
+# fingerprint either way, and the per-doc set is DISTINCT.
+# All-integer output. md5-derived hashes, so the oracle replays the
+# identical fingerprint sets.
+# 100 TB: fingerprints are ~2/(w+1) of the 5-gram mass; the pair join
+# is keyed on the 60-bit fingerprint (uniform), never all-pairs; the
+# head is a top-k (TakeOrderedAndProject), never a global sort.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5  # char-gram width
+_WIN_W = 4  # winnowing window (hashes per window)
+
+_WINNOW_ORACLE = rf"""
+    WITH g AS (
+      SELECT doc_id, lower(text) AS lt
+      FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(lt) - {_WIN_K - 1}, 0) + 1),
+               i -> CAST('0x' || substr(md5(lt[i:i + {_WIN_K - 1}]), 1, 15)
+                    AS BIGINT)) AS h
+      FROM g
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(h) - {_WIN_W - 1}, 0) + 1),
+               j -> list_min(h[j:j + {_WIN_W - 1}])))) AS f
+      FROM hs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY n_shared DESC, id_a, id_b LIMIT 20
+"""
+
+
+@plan("winnowing_fingerprint_pairs", _WINNOW_ORACLE)
+def winnowing_fingerprint_pairs(spark, sf_dir):
+    """Top-20 document pairs by shared winnowing fingerprints (see
+    module comment). Pairs need >= 3 shared fingerprints to rank."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.filter(F.length("text") >= _WIN_K + _WIN_W - 1).select(
+        "doc_id", F.lower(F.col("text")).alias("lt")
+    )
+    hs = g.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(length(lt) - {_WIN_K - 1}, 1)), "
+            f"i -> CAST(conv(substring(md5(CAST(substring(lt, i, {_WIN_K}) "
+            f"AS BINARY)), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("h"),
+    )
+    fp = hs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(h) - {_WIN_W - 1}, 1)), "
+                    f"j -> array_min(slice(h, j, {_WIN_W})))"
+                )
+            )
+        ).alias("f"),
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy(F.desc("n_shared"), "id_a", "id_b")
+        .limit(20)
+    )
