@@ -1672,3 +1672,92 @@ def ccnet_quality_buckets(spark, sf_dir):
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal — the conditional upgrade of unigram_lm_surprisal:
+# score each document by its mean -ln p(w_i | w_{i-1}) under the
+# maximum-likelihood bigram model of the corpus itself. Because the
+# model is fit on the same corpus, every document bigram has count >= 1
+# and no smoothing/backoff is needed — the signal separates stereotyped
+# word ORDER (templates score low) from merely common words, which the
+# unigram tier cannot.
+# Float discipline: p = cb/cu is one int/int IEEE division; per-bigram
+# tf * -ln(p) is DECIMAL(28,12)-truncated before the order-insensitive
+# sum; the mean is floor-rounded to 1e-6 (damped-transcendental rule).
+# 100 TB: ONE tokenize pass builds the (doc, w1, w2) partial; the
+# bigram model and its w1 marginal are re-aggregations of that partial
+# (map-side combined); scoring joins by (w1, w2) then w1 — plain
+# shuffle joins, the bigram vocabulary is NOT broadcast (it grows with
+# corpus diversity). Linear, no all-pairs.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(t) + 1), i -> t[i - 1])) AS w1,
+             unnest(list_transform(range(2, len(t) + 1), i -> t[i])) AS w2
+      FROM tok WHERE len(t) >= 2
+    ),
+    tf2 AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, w2, SUM(tf) AS cb FROM tf2 GROUP BY 1, 2),
+    cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY 1)
+    SELECT tf2.doc_id,
+           CAST(SUM(tf2.tf) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(CAST(tf2.tf * -ln(cb.cb / cu.cu)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(tf2.tf) * 1e6) / 1e6 AS avg_bigram_surprisal
+    FROM tf2 JOIN cb USING (w1, w2) JOIN cu USING (w1)
+    GROUP BY tf2.doc_id ORDER BY tf2.doc_id
+"""
+
+
+@plan("bigram_lm_surprisal", _BIGRAM_LM_ORACLE)
+def bigram_lm_surprisal(spark, sf_dir):
+    """Per-doc mean conditional surprisal under the corpus bigram LM
+    (see module comment)."""
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+    bg = (
+        tk.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n - 1).alias("w1"),
+                    F.slice("t", 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tf2 = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cb = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    contrib = (
+        F.col("tf") * -F.log(F.col("cb") / F.col("cu"))
+    ).cast("decimal(28,12)")
+    return (
+        tf2.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum(contrib).cast("double") / F.sum("tf") * 1e6
+                )
+                / 1e6
+            ).alias("avg_bigram_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
