@@ -90,8 +90,15 @@ EXTRA_PROBES: dict = {
 #: combines over the unigram+bigram feature relation), but it is the
 #: catalog's heaviest token-fanout plan (~2 features per token), so
 #: the probe pins the constant empirically.
+#: exact_substr_spans (stride-1 shingle digests, ~1 row per token) and
+#: bigram_lm_surprisal (conditional-LM scoring whose bigram model joins
+#: by key rather than broadcasting) are the session's other two heavy
+#: token-fanout plans — probed so every r7 curation fanout has an
+#: empirical row next to its structural claim.
 for _name in (
     "dsir_importance_weights",
+    "exact_substr_spans",
+    "bigram_lm_surprisal",
     "pq_adc_knn",
     "bloom_filter_probe",
     "grouped_exact_median",
@@ -283,6 +290,18 @@ def main() -> None:
             "  ReuseExchange, totals are a window over the 64-row\n"
             "  model, and only the 64-row ratio table broadcasts — the\n"
             "  ratio pins the fanout constant, not a growth term.\n"
+            "- exact_substr_spans emits ~1 digest row per token\n"
+            "  (stride-1 16-token windows, md5-keyed so shingle\n"
+            "  STRINGS never shuffle); frequency count and join-back\n"
+            "  share the digest exchange, and the island merge is one\n"
+            "  window pass inside the per-doc partitioning — linear,\n"
+            "  with the fanout constant pinned here.\n"
+            "- bigram_lm_surprisal builds its (doc, w1, w2) partial in\n"
+            "  one tokenize pass and re-aggregates it into the bigram\n"
+            "  model and the w1 marginal; scoring joins by key (the\n"
+            "  bigram vocabulary is NEVER broadcast — it grows with\n"
+            "  corpus diversity), so every stage is a map-side-combined\n"
+            "  exchange over linear-size relations.\n"
             "- lsh_band_pairs AUTO-scales its band width from the corpus\n"
             "  count (plans/ann.auto_bits_per_band: ~ceil(log2(n)) - 5\n"
             "  bits, floor 4, cap 16), pinning per-band bucket occupancy\n"
