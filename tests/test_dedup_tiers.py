@@ -140,3 +140,39 @@ def test_exact_substr_spans_reassemble_duplicates(spark, tmp_path):
     assert got[1] == (1, 20) and got[2] == (1, 20)  # full-doc coverage
     assert got[3] == (1, 16) and got[4] == (1, 16)  # just the passage
     assert 5 not in got
+
+
+
+def test_winnowing_guarantee_on_planted_pairs(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al. 2003): any substring
+    of length >= k + w - 1 shared between two documents yields at least
+    one shared fingerprint. Five doc pairs each share a distinct
+    ~40-char passage; passage and noise alphabets are disjoint per pair
+    (and survive the plan's lower()), so no 5-gram can collide across
+    pairs — the plan must rank exactly the five planted pairs."""
+    from comperhensive_bigdata_analysis__spark import plans
+
+    rows = []
+    noise_letters = "abcdefghij"
+    passage_letters = "KLMNO"
+    for p in range(5):
+        u = passage_letters[p]
+        shared = " ".join(f"{u * 4}{d}{u * 4}" for d in "123")
+        assert len(shared) >= 29
+        for side in range(2):
+            c = noise_letters[p * 2 + side]
+            noise = (c * 7 + " ") * 6
+            rows.append((p * 2 + side, noise + shared + " " + noise, "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in plans.QUERIES["winnowing_fingerprint_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)}
