@@ -238,6 +238,25 @@ PICKS = {
         "a window over the 64-row model; only the 64-row ratio table "
         "broadcasts."
     ),
+    "exact_substr_spans": (
+        "ExactSubstr (Lee et al. 2022) as shingle-frequency join + "
+        "gaps-and-islands: stride-1 windows keyed by md5 digest (16-byte "
+        "shuffle keys, never shingle strings), frequency and join-back "
+        "share the digest exchange, island merge rides the per-doc "
+        "window partitioning."
+    ),
+    "winnowing_fingerprint_pairs": (
+        "MOSS winnowing: char-gram hashes and window minima are all "
+        "array expressions inside the scan projection (zero exchanges "
+        "until the fingerprint relation exists); the pair join keys on "
+        "the 60-bit fingerprint; top-k head, never a global sort."
+    ),
+    "bigram_lm_surprisal": (
+        "conditional-LM scoring from one tokenize pass: the (doc, w1, "
+        "w2) partial re-aggregates into the bigram model and w1 "
+        "marginal; scoring joins by key — the bigram vocabulary is "
+        "never broadcast (it grows with corpus diversity)."
+    ),
 }
 
 
