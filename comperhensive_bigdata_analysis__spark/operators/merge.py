@@ -63,8 +63,11 @@ def scd2_apply(
     A row only counts as changed when the batch MATCHED it (explicit
     ``__upd`` indicator — a left-join miss must not read as a change)
     AND some attribute differs under null-safe equality (<=>, so
-    NULL-to-value transitions count). The updates side broadcasts;
-    history never shuffles.
+    NULL-to-value transitions count). The updates side broadcasts into
+    the main match join, so full history rows never shuffle; the
+    brand-new-key anti-join exchanges history KEY COLUMNS only (no
+    broadcast hint — history keys are O(table) and must not be forced
+    into memory; AQE broadcasts them at small scale where they fit).
     """
     upd = F.broadcast(
         updates.select(
@@ -88,7 +91,7 @@ def scd2_apply(
         (~changed).alias(current_flag),
     )
     # new versions: changed keys + brand-new keys
-    new_keys = updates.join(F.broadcast(cur.select(*key_cols)), key_cols, "left_anti")
+    new_keys = updates.join(cur.select(*key_cols), key_cols, "left_anti")
     changed_new = (
         joined.filter(changed)
         .select(

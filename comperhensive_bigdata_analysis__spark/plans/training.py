@@ -138,8 +138,11 @@ def tfidf_top_terms(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
+    # dfreq is one row per DISTINCT term — O(vocabulary), which grows
+    # with the corpus, so no broadcast hint (ADVICE-r6 rule); AQE
+    # broadcasts it at small SF where it fits.
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .select("doc_id", "term", "tf", "df", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= 3)
         .crossJoin(F.broadcast(n_docs))
@@ -1099,14 +1102,15 @@ def source_temperature_weights(spark, sf_dir):
 # corpus itself. Low surprisal = stereotyped/boilerplate text; high =
 # rare-token soup. Two passes over the token relation: (1) the corpus
 # model (term -> count, plus the scalar total), (2) per-doc scoring
-# through a broadcast join against the model.
+# through a key join against the model.
 # Float discipline: p = cnt/N is an int/int double division (identical
 # in both engines); each tf * -ln(p) product is truncated to
 # DECIMAL(28,12) before the order-insensitive sum; the final mean is a
 # double division by the exact token count, floor-rounded to 1e-6.
-# 100 TB: the model is |vocab| rows — broadcastable for real corpora
-# (merged-shard vocab ~millions of rows); the scoring join shuffles
-# (doc, term) once with map-side combine. Linear.
+# 100 TB: the model is |vocab| rows — it GROWS with the corpus, so no
+# broadcast hint (ADVICE-r6 rule; AQE broadcasts it where it fits);
+# the scoring join shuffles (doc, term) once with map-side combine.
+# Linear.
 # ---------------------------------------------------------------------------
 
 _SURPRISAL_ORACLE = r"""
@@ -1141,8 +1145,11 @@ def unigram_lm_surprisal(spark, sf_dir):
     contrib = (F.col("tf") * -F.log(F.col("cnt") / F.col("n"))).cast(
         "decimal(28,12)"
     )
+    # the unigram model is one row per DISTINCT term — O(vocabulary),
+    # so no broadcast hint (ADVICE-r6 rule); the scalar total still
+    # broadcasts.
     return (
-        tf.join(F.broadcast(model), "term")
+        tf.join(model, "term")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
         .agg(

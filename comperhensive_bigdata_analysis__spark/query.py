@@ -209,12 +209,6 @@ _PRESTO_SQL_UDFS = (
     "RETURN lower(conv(CAST(x AS STRING), 10, r))",
     # legacy Presto alias of strpos
     "index(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
-    # Presto format_datetime speaks Joda patterns; Spark's date_format
-    # speaks java.time patterns — identical for the fields analysts
-    # use (yyyy MM dd HH mm ss EEE a). Joda-only fields would need the
-    # pattern respelled, which the analyst owns either way.
-    "format_datetime(t TIMESTAMP, f STRING) RETURNS STRING "
-    "RETURN date_format(t, f)",
 )
 
 
@@ -329,8 +323,11 @@ def _rewrite_call(q: str, name: str, nargs: int, template) -> str:
 #: Spark DateTimeFormatter fields. Only tokens with an exact Spark
 #: equivalent appear; anything else raises with the spell-it-directly
 #: workaround rather than silently mis-parsing.
+#: %y is deliberately ABSENT: MySQL/Presto pivot two-digit years at 70
+#: (70-99 -> 19xx) while Spark's 'yy' resolves into [2000, 2099] — a
+#: silent century shift, so it raises like any unsupported token.
 _MYSQL_DATETIME_TOKENS = {
-    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "Y": "yyyy", "m": "MM", "c": "M", "d": "dd", "e": "d",
     "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h",
     "i": "mm", "s": "ss", "S": "ss", "f": "SSSSSS",
     "j": "DDD", "p": "a", "W": "EEEE", "a": "EEE",
@@ -351,10 +348,13 @@ def _mysql_format_to_spark(fmt: str) -> str:
             return
         run = "".join(lit)
         lit.clear()
-        if re.search(r"[A-Za-z]", run):
+        # letters are pattern fields in java.time, and '#'/'{'/'}' are
+        # reserved — quote any run containing either class so it stays
+        # a literal match like MySQL treats it
+        if re.search(r"[A-Za-z#{}']", run):
             out.append("'" + run.replace("'", "''") + "'")
         else:
-            out.append(run.replace("'", "''"))
+            out.append(run)
 
     i = 0
     while i < len(fmt):
@@ -383,6 +383,68 @@ def _mysql_format_to_spark(fmt: str) -> str:
     return "".join(out)
 
 
+#: Joda-time pattern letters (Presto format_datetime) with an EXACT
+#: java.time equivalent. The critical difference: Joda 'Y' is
+#: year-of-era (what analysts write) while java.time 'Y' is
+#: week-based-year — silently off by one around new year — so Y
+#: compiles to 'y'. Letters with no exact twin (week-year 'x',
+#: era 'C', 'S' fraction semantics, zone names) raise.
+_JODA_SAFE = set("yMdHhmsaEKkG")
+
+
+def _joda_format_to_spark(fmt: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "'":  # Joda quoting == java.time quoting; copy the run
+            j = i + 1
+            while j < len(fmt):
+                if fmt[j] == "'":
+                    if j + 1 < len(fmt) and fmt[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(fmt[i : j + 1])
+            i = j + 1
+        elif ch.isalpha():
+            j = i
+            while j < len(fmt) and fmt[j] == ch:
+                j += 1
+            if ch == "Y":
+                out.append("y" * (j - i))
+            elif ch in _JODA_SAFE:
+                out.append(fmt[i:j])
+            else:
+                raise ValueError(
+                    f"format_datetime(): Joda pattern letter '{ch}' has "
+                    f"no exact java.time equivalent — spell the Spark "
+                    f"date_format(expr, pattern) call directly"
+                )
+            i = j
+        else:
+            if ch in "#{}":
+                out.append("'" + ch + "'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _format_datetime_template(t: str, f: str) -> str:
+    fs = f.strip()
+    m = re.fullmatch(r"'((?:[^']|'')*)'", fs, re.DOTALL)
+    if m is None:
+        raise ValueError(
+            "format_datetime(): the format argument must be a string "
+            "literal — spell the Spark date_format(expr, pattern) call "
+            "directly for computed formats"
+        )
+    spark_fmt = _joda_format_to_spark(m.group(1).replace("''", "'"))
+    return f"date_format({t}, '" + spark_fmt.replace("'", "''") + "')"
+
+
 def _date_parse_template(s: str, f: str) -> str:
     fs = f.strip()
     m = re.fullmatch(r"'((?:[^']|'')*)'", fs, re.DOTALL)
@@ -406,33 +468,62 @@ def _try_template(e: str) -> str:
     else raises with the workaround rather than silently changing
     error semantics."""
     es = e.strip()
+    masked = _mask_literals(es)
+
+    def _spans_whole(call_match) -> bool:
+        # The matched call must BE the whole expression — a prefix
+        # match like TRY(CAST(a AS INT) / b) would otherwise rewrite
+        # to a partially-protected expression and silently change
+        # error semantics for the unprotected remainder.
+        depth, j = 1, call_match.end()
+        while j < len(es) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        return depth == 0 and es[j:].strip() == ""
+
     m = re.match(r"^cast\s*\(", es, re.IGNORECASE)
-    if m:
+    if m and _spans_whole(m):
         return "try_cast" + es[m.end() - 1 :]
-    if re.match(r"^(element_at|to_number|to_timestamp)\s*\(", es, re.IGNORECASE):
+    m = re.match(
+        r"^(element_at|to_number|to_timestamp)\s*\(", es, re.IGNORECASE
+    )
+    if m and _spans_whole(m):
         return "try_" + es
     # TRY(a / b) -> try_divide(a, b), but ONLY when the division is the
-    # sole top-level arithmetic operator — with a second operator the
-    # split would break precedence/associativity (TRY(a/b + c) is
-    # (a/b)+c, not a/(b+c)), and a multi-op expression can throw
-    # outside the rewritten division anyway.
-    masked = _mask_literals(es)
-    depth = 0
-    ops = []
-    for idx, ch in enumerate(masked):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and idx > 0 and ch in "+-*/%":
-            ops.append((ch, idx))
-    if len(ops) == 1 and ops[0][0] == "/":
-        idx = ops[0][1]
-        return f"try_divide({es[:idx]}, {es[idx + 1:]})"
+    # sole top-level operator of ANY kind — a second operator
+    # (arithmetic, concat, comparison, or a word operator) means the
+    # split would break precedence/associativity, and the expression
+    # can throw outside the rewritten division anyway.
+    if not (m and _spans_whole(m)):
+        depth = 0
+        ops = []
+        # word operators anywhere make the split unsafe; so do calls
+        # that themselves throw under ANSI (cast, element_at, ...) —
+        # try_divide would leave them unprotected inside an operand
+        other_op = re.search(
+            r"\b(and|or|not|in|is|like|between|case"
+            r"|cast|element_at|to_number|to_timestamp)\b",
+            masked,
+            re.IGNORECASE,
+        )
+        for idx, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and idx > 0 and ch in "+-*/%|<>=!":
+                ops.append((ch, idx))
+        if len(ops) == 1 and ops[0][0] == "/" and other_op is None:
+            idx = ops[0][1]
+            return f"try_divide({es[:idx]}, {es[idx + 1:]})"
     raise ValueError(
         "TRY(): only TRY(CAST(..)), TRY(a / b), TRY(element_at(..)), "
-        "TRY(to_number(..)) and TRY(to_timestamp(..)) translate — "
-        "spell the Spark try_* builtin directly for other expressions"
+        "TRY(to_number(..)) and TRY(to_timestamp(..)) — each spanning "
+        "the WHOLE argument — translate; spell the Spark try_* builtin "
+        "directly for other expressions"
     )
 
 
@@ -460,6 +551,9 @@ _CALL_REWRITES = (
     # Presto date_parse(s, '%Y-%m-%d ...') — MySQL format tokens
     # compiled to a Spark to_timestamp pattern at translate time.
     ("date_parse", 2, _date_parse_template),
+    # Presto format_datetime(t, 'yyyy-MM-dd') — Joda pattern compiled
+    # (and VALIDATED) to a java.time date_format pattern.
+    ("format_datetime", 2, _format_datetime_template),
     # Presto TRY(expr) -> the matching try_* builtin (see template).
     ("try", 1, _try_template),
 )

@@ -587,3 +587,57 @@ def test_recursive_cte_passes_through(spark):
     assert [r["n"] for r in rows] == [6, 5, 4]
     out = translate("WITH RECURSIVE r(n) AS (SELECT 1) SELECT n FROM r")
     assert "WITH RECURSIVE" in out
+
+
+def test_try_rejects_partially_protected_expressions():
+    """Review fix: a try_* twin must span the WHOLE argument —
+    TRY(CAST(a AS INT) / b) would otherwise leave the division
+    unprotected under ANSI mode and silently change error semantics."""
+    import pytest
+
+    for q in (
+        "SELECT TRY(CAST(a AS INT) / b) FROM t",
+        "SELECT TRY(element_at(m, k) + element_at(m, k2)) FROM t",
+        "SELECT TRY(a / b > 0) FROM t",          # comparison operator
+        "SELECT TRY(x / y || '%') FROM t",       # concat operator
+        "SELECT TRY(a / b AND c) FROM t",        # word operator
+    ):
+        with pytest.raises(ValueError):
+            translate(q)
+
+
+def test_format_datetime_compiles_joda(spark):
+    """Review fix: format_datetime VALIDATES its Joda pattern. Joda
+    'YYYY' is year-of-era and must compile to java.time 'yyyy' (Spark's
+    'YYYY' is week-based-year — off by one around new year); letters
+    with no exact twin raise; computed formats raise."""
+    import pytest
+
+    out = translate("SELECT format_datetime(t, 'YYYY-MM-dd') FROM x")
+    assert "date_format(t, 'yyyy-MM-dd')" in out
+    with pytest.raises(ValueError):
+        translate("SELECT format_datetime(t, 'xxxx-ww') FROM x")
+    with pytest.raises(ValueError):
+        translate("SELECT format_datetime(t, fmt_col) FROM x")
+
+    eng = Engine(spark)
+    # 2024-12-30 is in week-based-year 2025: the compile must give 2024
+    got = eng.sql(
+        "SELECT format_datetime(TIMESTAMP '2024-12-30 00:00:00', 'YYYY-MM-dd') AS v"
+    ).first()["v"]
+    assert got == "2024-12-30"
+
+
+def test_date_parse_century_and_reserved_literals(spark):
+    """Review fixes: %y raises (MySQL pivots 70-99 into 19xx, Spark's
+    'yy' resolves into 2000-2099 — a silent century shift); java.time
+    reserved '#' in a format is quoted into a literal and parses."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        translate("SELECT date_parse(s, '%y-%m-%d') FROM t")
+    out = translate("SELECT date_parse(s, '%Y#%m') FROM t")
+    assert "to_timestamp(s, 'yyyy''#''MM')" in out
+    eng = Engine(spark)
+    got = eng.sql("SELECT date_parse('2024#03', '%Y#%m') AS v").first()["v"]
+    assert got.isoformat().startswith("2024-03-01")
