@@ -1537,6 +1537,15 @@ def dsir_importance_weights(spark, sf_dir):
     totals are an unpartitioned window over the 64-row model; the
     64-row ratio table broadcasts back onto the doc partials — no
     global sort, no all-pairs, linear in corpus size.
+
+    Production twins: operators/curation.py splits this flow into
+    dsir_featurize / dsir_fit / dsir_score for the fit-once /
+    score-increments pipeline (persist the 64-row model, score each
+    new crawl batch). This plan keeps its FUSED shape — the modular
+    composition aggregates the feature relation separately per phase,
+    while here one (doc, lang, bucket) partial feeds both legs via
+    ReuseExchange. tests/test_training_plans.py pins the two paths
+    equal row-for-row.
     """
     from ..functions.text import tokens
 

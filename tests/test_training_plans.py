@@ -187,3 +187,39 @@ def test_ccnet_threshold_tier_tracks_exact_terciles(spark, sf_dir):
     for key, n_exact in exact.items():
         assert abs(approx[key] - n_exact) <= max(2, 0.2 * n_exact), (
             key, approx[key], n_exact)
+
+
+def test_dsir_operators_fit_once_score_increments(spark, sf_dir):
+    """Production DSIR contract: (1) fit+score over the full corpus
+    reproduces the oracle-checked plan exactly; (2) a model fit on one
+    half scores a held-out half — the fit-once / score-increments flow
+    — producing a finite weight for every non-empty held-out doc."""
+    from comperhensive_bigdata_analysis__spark.operators.curation import (
+        dsir_featurize,
+        dsir_fit,
+        dsir_score,
+    )
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = dsir_featurize(
+        d.withColumn("is_en", F.col("lang") == "en"),
+        "doc_id", "text", "is_en",
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+        for r in dsir_score(hashed, dsir_fit(hashed)).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+        for r in plans.QUERIES["dsir_importance_weights"](spark, sf_dir).collect()
+    }
+    assert got == want  # composition == the oracle-checked plan
+
+    fit_half = hashed.filter(F.col("doc_id") % 2 == 0)
+    held_out = hashed.filter(F.col("doc_id") % 2 == 1)
+    model = dsir_fit(fit_half)
+    scored = dsir_score(held_out, model).collect()
+    n_held = held_out.select("doc_id").distinct().count()
+    assert len(scored) == n_held
+    assert all(r["dsir_logw"] is not None for r in scored)
