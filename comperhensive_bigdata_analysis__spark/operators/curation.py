@@ -101,3 +101,95 @@ def dsir_score(hashed: DataFrame, model: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# -- ExactSubstr scrub (Lee et al. 2022, production phase) ------------------
+
+ESS_W = 16
+
+
+def exact_substr_span_table(docs: DataFrame, id_col: str,
+                            text_col: str, w: int = ESS_W) -> DataFrame:
+    """(doc_id, s, e) maximal corpus-duplicated spans — the census the
+    plan ``exact_substr_spans`` aggregates; here exposed per-span so the
+    scrubber (and any masking/annotation pass) can consume it.
+    Positions are 1-based token indices, inclusive."""
+    from ..functions.text import tokens
+
+    tk = docs.filter(F.length(F.trim(text_col)) > 0).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    npos = F.size("t") - F.lit(w - 1)
+    windows = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(
+                    F.concat_ws(" ", F.slice("t", i, w)).cast("binary")
+                ).alias("dg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,dg:string>>"))
+    sh = tk.select("doc_id", F.explode(windows).alias("x")).select(
+        "doc_id", F.col("x.pos").alias("pos"), F.col("x.dg").alias("dg")
+    )
+    freq = (
+        sh.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") > 1)
+        .select("dg")
+    )
+    dup = sh.join(freq, "dg").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("pos").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("pos") <= prev_max + (w - 1), F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    return (
+        dup.withColumn("brk", brk)
+        .withColumn("g", F.sum("brk").over(w_doc))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(w - 1)).alias("e"),
+        )
+        .select("doc_id", "s", "e")
+    )
+
+
+def exact_substr_scrub(docs: DataFrame, id_col: str, text_col: str,
+                       w: int = ESS_W) -> DataFrame:
+    """Remove every corpus-duplicated span from every document — the
+    actual ExactSubstr DEDUP step the census measures. Returns the
+    input rows plus ``text_scrubbed`` (original-case tokens outside the
+    merged spans, single-space joined; empty string when the whole doc
+    is duplicated).
+
+    100 TB: spans collapse to a per-doc array (collect_list — bounded
+    by spans per doc, not corpus size) and the token filtering is one
+    higher-order expression over the scan; the only exchanges are the
+    span pipeline's digest aggregate + the doc_id join."""
+    spans = exact_substr_span_table(docs, id_col, text_col, w)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__spans")
+    )
+    orig = F.split(F.trim(F.col(text_col)), r"\s+")
+    joined = docs.join(
+        per_doc, docs[id_col] == per_doc["doc_id"], "left"
+    ).drop(per_doc["doc_id"])
+    kept = F.expr(
+        f"filter(transform(sequence(1, size(split(trim({text_col}), "
+        f"'\\\\s+'))), i -> i), i -> __spans IS NULL OR NOT exists("
+        f"__spans, p -> i >= p.s AND i <= p.e))"
+    )
+    scrubbed = F.when(F.length(F.trim(text_col)) == 0, F.lit("")).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(kept, lambda i: F.element_at(orig, i)),
+        )
+    )
+    return joined.withColumn("text_scrubbed", scrubbed).drop("__spans")

@@ -176,3 +176,32 @@ def test_winnowing_guarantee_on_planted_pairs(spark, tmp_path):
         ).collect()
     }
     assert got == {(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)}
+
+
+def test_exact_substr_scrub_removes_planted_spans(spark, tmp_path):
+    """Production scrub contract: whole-document duplicates scrub to
+    empty text; docs sharing only a passage lose exactly that passage
+    (original case preserved); unique docs come back verbatim."""
+    from pyspark.sql import functions as F
+
+    from comperhensive_bigdata_analysis__spark.operators.curation import (
+        exact_substr_scrub,
+    )
+
+    shared = " ".join(f"Tok{i}" for i in range(16))
+    dup = " ".join(f"Dup{i}" for i in range(20))
+    rows = [
+        (1, dup), (2, dup),
+        (3, shared + " Unique tail words"),
+        (4, "Leading other words " + shared),
+        (5, "Entirely unique document with no repeats"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_scrubbed"]
+        for r in exact_substr_scrub(docs, "doc_id", "text").collect()
+    }
+    assert got[1] == "" and got[2] == ""
+    assert got[3] == "Unique tail words"
+    assert got[4] == "Leading other words"
+    assert got[5] == "Entirely unique document with no repeats"
