@@ -515,3 +515,43 @@ def streaming_bloom_dedup(
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def streaming_dsir_score(
+    docs: DataFrame,
+    model: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+):
+    """Score a DOCUMENT stream against a fixed DSIR importance model
+    (fit offline with operators/curation.dsir_fit — e.g. last month's
+    model scoring this week's crawl as it lands).
+
+    A document's log weight depends only on its OWN hashed features
+    plus the 64-row model, so per-micro-batch scoring IS the batch
+    semantics — no cross-batch state, no watermark, nothing to expire;
+    replayed batches rewrite their own output directory (idempotent,
+    same per-directory-overwrite + _SUCCESS contract as
+    streaming_bloom_dedup). The model broadcasts into every batch.
+    """
+    import os as _os
+
+    from ..operators.curation import dsir_featurize, dsir_score
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_out = _os.path.join(out_dir, f"batch_id={batch_id}")
+        if _os.path.exists(_os.path.join(batch_out, "_SUCCESS")):
+            return  # replay of an already-landed batch
+        hashed = dsir_featurize(batch_df, id_col, text_col, target_col)
+        dsir_score(hashed, model).write.mode("overwrite").parquet(batch_out)
+
+    return (
+        docs.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -384,3 +384,51 @@ def test_streaming_bloom_old_generation_recovery(spark, stream_dir, tmp_path):
     # the rewrite re-promoted a live committed filter and cleaned up .old
     assert os.path.exists(os.path.join(filt, "_SUCCESS"))
     assert not os.path.exists(filt + ".old")
+
+
+def test_streaming_dsir_score_matches_batch(spark, tmp_path):
+    """Stream-batch parity for DSIR scoring: a fixed model fit offline
+    scores a document stream micro-batch by micro-batch; the landed
+    per-doc weights must equal scoring the same corpus in one batch
+    (per-doc weights are state-free, so the equality is exact)."""
+    from pyspark.sql import functions as F
+
+    from comperhensive_bigdata_analysis__spark.operators.curation import (
+        dsir_featurize,
+        dsir_fit,
+        dsir_score,
+    )
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)  # several files -> several batches
+    hashed = dsir_featurize(docs, "doc_id", "text", "is_target")
+    model = dsir_fit(hashed)
+    want = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+        for r in dsir_score(hashed, model).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "scored")
+    q = (
+        ops.streaming_dsir_score(
+            stream, model, out, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
