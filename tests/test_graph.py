@@ -67,3 +67,35 @@ def test_cc_plan_labels_every_document(spark, sf_dir):
     assert docs == 500  # every doc labeled, singletons included
     # component is always <= its member's id (min-label invariant)
     assert cc.filter(F.col("component") > F.col("doc_id")).count() == 0
+
+
+def test_pagerank_converges_to_the_power_iteration_fixed_point(spark):
+    """pagerank() must converge to the same fixed point as a dense
+    numpy power iteration on the same 5-node graph (dangling node
+    included — its mass redistributes uniformly), and the scores must
+    stay a probability distribution."""
+    import numpy as np
+    from comperhensive_bigdata_analysis__spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 4 dangling? no: give 4 an in-edge
+    edges.append((2, 4))  # 4 has no out-edges -> dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", tol=1e-10).collect()}
+
+    n, d = 5, 0.85
+    M = np.zeros((n, n))
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[s] for s in range(n) if s not in out)
+        nxt += d * dangling / n
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += d * r[s] / len(ts)
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
