@@ -229,9 +229,30 @@ def register_presto_compat(spark: SparkSession) -> None:
 #: 2-arg Spark builtins. Matches that START inside a single-quoted
 #: string literal are left untouched (translate checks _literal_flags),
 #: so text like '... approx_distinct(' in a literal survives verbatim.
+def _tablesample_repl(m: re.Match) -> str:
+    if m.group(1).upper() == "SYSTEM":
+        raise ValueError(
+            "TABLESAMPLE SYSTEM is block sampling (per-split admit/"
+            "reject) with different variance than Spark's row-level "
+            "TABLESAMPLE — spell TABLESAMPLE BERNOULLI(p) for the "
+            "row-sampling semantics, or sample explicitly"
+        )
+    return f"TABLESAMPLE ({m.group(2)} PERCENT)"
+
+
 _TOKEN_REWRITES = (
     (re.compile(r"\bapprox_distinct\s*\(", re.IGNORECASE), "approx_count_distinct("),
     (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
+    # Presto TABLESAMPLE BERNOULLI(p) -> Spark TABLESAMPLE (p PERCENT)
+    # (both are row-level Bernoulli sampling at rate p). SYSTEM raises:
+    # its block-level semantics have no Spark twin.
+    (
+        re.compile(
+            r"\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)",
+            re.IGNORECASE,
+        ),
+        _tablesample_repl,
+    ),
     # Presto 3-arg date_diff('unit', from, to) -> timestampdiff(UNIT, from, to);
     # the quoted-literal first arg disambiguates from Spark's own
     # 2-arg date_diff(end, start), which passes through untouched.

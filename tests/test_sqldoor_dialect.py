@@ -641,3 +641,27 @@ def test_date_parse_century_and_reserved_literals(spark):
     eng = Engine(spark)
     got = eng.sql("SELECT date_parse('2024#03', '%Y#%m') AS v").first()["v"]
     assert got.isoformat().startswith("2024-03-01")
+
+
+def test_tablesample_bernoulli_translates_system_raises(spark, sf_dir):
+    """Presto TABLESAMPLE BERNOULLI(p) -> Spark TABLESAMPLE (p PERCENT)
+    (both row-level Bernoulli); SYSTEM (block sampling) raises; the
+    spelling inside a string literal survives."""
+    import pytest
+
+    out = translate("SELECT * FROM t TABLESAMPLE BERNOULLI (10)")
+    assert "TABLESAMPLE (10 PERCENT)" in out and "BERNOULLI" not in out
+    with pytest.raises(ValueError):
+        translate("SELECT * FROM t TABLESAMPLE SYSTEM (10)")
+    q_lit = "SELECT 'TABLESAMPLE BERNOULLI (10)' FROM t"
+    assert translate(q_lit) == q_lit
+
+    eng = Engine(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__ts_orders"
+    )
+    total = spark.table("__ts_orders").count()
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM __ts_orders TABLESAMPLE BERNOULLI (20)"
+    ).first()["n"]
+    assert 0 < n < total  # sampled somewhere strictly between
