@@ -665,3 +665,20 @@ def test_tablesample_bernoulli_translates_system_raises(spark, sf_dir):
         "SELECT COUNT(*) AS n FROM __ts_orders TABLESAMPLE BERNOULLI (20)"
     ).first()["n"]
     assert 0 < n < total  # sampled somewhere strictly between
+
+
+def test_lateral_subquery_passes_through(spark):
+    """Spark 4 executes LATERAL correlated subqueries natively — the
+    front door passes the Presto CROSS JOIN LATERAL form through.
+    (Spark requires the subquery alias AFTER the closing paren, same as
+    Presto's `AS l (b)` spelling works column-aliased: `... ) l`.)"""
+    eng = Engine(spark)
+    rows = eng.sql(
+        """
+        SELECT t.a, l.b
+        FROM VALUES (1), (2) AS t(a)
+        CROSS JOIN LATERAL (SELECT t.a * 10 AS b) l
+        ORDER BY t.a
+        """
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, 10), (2, 20)]
