@@ -28,7 +28,12 @@ from pyspark.sql.window import Window
 #: for features hashed at the same width.
 DSIR_BUCKETS = 64
 
-_BIGRAMS = (
+#: Canonical bigram expression over a token-array column named ``t`` —
+#: the fused plan (plans/training.dsir_importance_weights) imports this
+#: so featurization can never drift between the oracle and the
+#: production operators. (sequence(2, size(t)) would DESCEND for
+#: single-token docs, hence the CASE guard.)
+BIGRAMS_EXPR = (
     "CASE WHEN size(t) >= 2 THEN "
     "transform(sequence(2, size(t)), "
     "i -> concat(element_at(t, i - 1), ' ', element_at(t, i))) "
@@ -36,41 +41,66 @@ _BIGRAMS = (
 )
 
 
+def dsir_bucket_col(feature_col: str = "f"):
+    """The canonical md5 feature-hash bucket expression (shared with the
+    fused plan for the same no-drift reason as BIGRAMS_EXPR)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(feature_col).cast("binary")), 1, 8), 16, 10
+        )
+        .cast("long")
+        % DSIR_BUCKETS
+    )
+
+
 def dsir_featurize(docs: DataFrame, id_col: str, text_col: str,
-                   target_col: str) -> DataFrame:
+                   target_col: str | None = None) -> DataFrame:
     """(id, target_flag, bucket) — one row per unigram+bigram feature,
-    md5-hashed into DSIR_BUCKETS buckets. ``target_col`` must be a
-    boolean column marking target-domain rows (used by fit; carried
-    through so one featurize pass serves both phases)."""
+    md5-hashed into DSIR_BUCKETS buckets. ``target_col`` names a boolean
+    column marking target-domain rows — needed when the output feeds
+    ``dsir_fit``; scoring-only batches (a new crawl has no notion of
+    target membership) may omit it, and is_target comes back false."""
     from ..functions.text import tokens
 
+    flag = (
+        F.col(target_col) if target_col is not None else F.lit(False)
+    )
     t = docs.filter(F.length(F.trim(text_col)) > 0).select(
         F.col(id_col).alias("doc_id"),
-        F.col(target_col).alias("is_target"),
+        flag.alias("is_target"),
         tokens(F.col(text_col)).alias("t"),
     )
     feats = t.select(
         "doc_id", "is_target",
-        F.explode(F.concat(F.col("t"), F.expr(_BIGRAMS))).alias("f"),
+        F.explode(F.concat(F.col("t"), F.expr(BIGRAMS_EXPR))).alias("f"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        % DSIR_BUCKETS
+    return feats.select(
+        "doc_id", "is_target", dsir_bucket_col("f").alias("bucket")
     )
-    return feats.select("doc_id", "is_target", bucket.alias("bucket"))
 
 
 def dsir_fit(hashed: DataFrame) -> DataFrame:
     """Learn the Laplace-smoothed per-bucket log importance ratio from a
     featurized relation: ln(p_target(bucket) / p_raw(bucket)). Returns
-    the DSIR_BUCKETS-row (bucket, logr) model — persist it to reuse
-    across batches."""
-    model = hashed.groupBy("bucket").agg(
+    the model DENSE — one row for EVERY one of the DSIR_BUCKETS buckets,
+    including buckets unseen at fit time, whose logr is the smoothed
+    default ln((1/(p_tot+B)) / (1/(q_tot+B))). A sparse model would make
+    dsir_score silently drop later-batch features that hash into unseen
+    buckets — exactly the case Laplace smoothing exists for. Persist the
+    model to reuse across batches."""
+    counts = hashed.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.lit(1)).otherwise(F.lit(0))).alias(
             "p_cnt"
         ),
         F.count(F.lit(1)).alias("q_cnt"),
+    )
+    spine = hashed.sparkSession.range(DSIR_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    model = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+        F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
     )
     w_all = Window.partitionBy()
     b = F.lit(DSIR_BUCKETS)
@@ -181,10 +211,12 @@ def exact_substr_scrub(docs: DataFrame, id_col: str, text_col: str,
     joined = docs.join(
         per_doc, docs[id_col] == per_doc["doc_id"], "left"
     ).drop(per_doc["doc_id"])
-    kept = F.expr(
-        f"filter(transform(sequence(1, size(split(trim({text_col}), "
-        f"'\\\\s+'))), i -> i), i -> __spans IS NULL OR NOT exists("
-        f"__spans, p -> i >= p.s AND i <= p.e))"
+    in_a_span = lambda i: F.exists(  # noqa: E731 - local lambda-combinator
+        F.col("__spans"), lambda p: (i >= p["s"]) & (i <= p["e"])
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size(orig)),
+        lambda i: F.col("__spans").isNull() | ~in_a_span(i),
     )
     scrubbed = F.when(F.length(F.trim(text_col)) == 0, F.lit("")).otherwise(
         F.concat_ws(

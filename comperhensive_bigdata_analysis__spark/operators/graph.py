@@ -165,8 +165,17 @@ def pagerank(
         .localCheckpoint()
     )
     n = universe.count()
-    outdeg = e.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    if n == 0:
+        return universe.select(
+            "node", F.lit(0.0).alias("rank")
+        )  # empty graph: empty ranks, not a ZeroDivisionError
+    # loop-invariant; materialized once so the per-round actions (the
+    # dangling-mass scalar and the new_ranks checkpoint) don't re-run
+    # the degree shuffle through lineage every round
+    outdeg = (
+        e.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
     )
     ranks = universe.select("node", (F.lit(1.0) / n).alias("rank"))
 

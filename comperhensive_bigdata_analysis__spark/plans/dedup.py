@@ -600,7 +600,7 @@ def minhash_calibration(spark, sf_dir):
 # the per-doc partitioning. Linear — ~1 digest row per token.
 # ---------------------------------------------------------------------------
 
-_ESS_W = 16
+from ..operators.curation import ESS_W as _ESS_W  # shared with the scrubber
 
 _EXACT_SUBSTR_ORACLE = rf"""
     WITH tok AS (
@@ -649,54 +649,16 @@ def exact_substr_spans(spark, sf_dir):
     Spans are merged when they OVERLAP (share >= 1 token position);
     back-to-back non-overlapping repeats stay separate spans. Only
     documents containing at least one corpus-duplicated window appear.
-    """
-    from pyspark.sql.window import Window
 
-    from ..functions.text import tokens
+    The span pipeline itself lives in operators/curation.py
+    (exact_substr_span_table) — ONE definition serves this oracle-
+    checked census and the production scrubber (exact_substr_scrub),
+    so the window arithmetic cannot drift between them.
+    """
+    from ..operators.curation import exact_substr_span_table
 
     d = load_table(spark, sf_dir, "documents")
-    tk = d.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id", tokens(F.col("text")).alias("t")
-    )
-    npos = F.size("t") - F.lit(_ESS_W - 1)
-    # sequence(1, 0) would DESCEND in Spark — guard short docs to an
-    # empty window list instead.
-    windows = F.when(
-        npos >= 1,
-        F.transform(
-            F.sequence(F.lit(1), npos),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(
-                    F.concat_ws(" ", F.slice("t", i, _ESS_W)).cast("binary")
-                ).alias("dg"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,dg:string>>"))
-    sh = tk.select("doc_id", F.explode(windows).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.dg").alias("dg")
-    )
-    freq = (
-        sh.groupBy("dg")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .filter(F.col("f") > 1)
-        .select("dg")
-    )
-    dup = sh.join(freq, "dg").select("doc_id", "pos")
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    prev_max = F.max("pos").over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    brk = F.when(F.col("pos") <= prev_max + (_ESS_W - 1), F.lit(0)).otherwise(
-        F.lit(1)
-    )
-    grp = dup.withColumn("brk", brk).withColumn(
-        "g", F.sum("brk").over(w_doc)
-    )
-    spans = grp.groupBy("doc_id", "g").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + F.lit(_ESS_W - 1)).alias("e"),
-    )
+    spans = exact_substr_span_table(d, "doc_id", "text", w=_ESS_W)
     return (
         spans.groupBy("doc_id")
         .agg(

@@ -1474,7 +1474,9 @@ def tokenizer_vocab_coverage(spark, sf_dir):
 # 64-row ratio table broadcasts. Linear, no all-pairs anywhere.
 # ---------------------------------------------------------------------------
 
-_DSIR_BUCKETS = 64
+# Shared with operators/curation.py — one definition of the feature
+# hash so the oracle plan and the production fit/score can never drift.
+from ..operators.curation import DSIR_BUCKETS as _DSIR_BUCKETS  # noqa: E402
 
 _DSIR_ORACLE = rf"""
     WITH tok AS (
@@ -1548,31 +1550,23 @@ def dsir_importance_weights(spark, sf_dir):
     equal row-for-row.
     """
     from ..functions.text import tokens
+    from ..operators.curation import BIGRAMS_EXPR, dsir_bucket_col
 
     d = load_table(spark, sf_dir, "documents")
     docs = d.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", "lang", tokens(F.col("text")).alias("t")
     )
-    bigrams = F.expr(
-        "CASE WHEN size(t) >= 2 THEN "
-        "transform(sequence(2, size(t)), "
-        "i -> concat(element_at(t, i - 1), ' ', element_at(t, i))) "
-        "ELSE array() END"
-    )
     feats = docs.select(
-        "doc_id", "lang", F.explode(F.concat(F.col("t"), bigrams)).alias("f")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        % _DSIR_BUCKETS
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("t"), F.expr(BIGRAMS_EXPR))).alias("f"),
     )
     # The explicit isnotnull(bucket) matches the constraint the scoring
     # join infers on its leg — without it the two tf3 copies differ by
     # that one inferred Filter and ReuseExchange cannot dedup them.
-    hashed = feats.select("doc_id", "lang", bucket.alias("bucket")).filter(
-        F.col("bucket").isNotNull()
-    )
+    hashed = feats.select(
+        "doc_id", "lang", dsir_bucket_col("f").alias("bucket")
+    ).filter(F.col("bucket").isNotNull())
     # ONE tokenize/hash pass: the (doc, lang, bucket) partial feeds BOTH
     # the per-doc scoring leg and the 64-bucket model (lang is
     # functionally dependent on doc_id, so carrying it adds no groups);
@@ -1792,8 +1786,6 @@ def ccnet_bucket_by_thresholds(spark, sf_dir, accuracy: int = 10000):
     mean column; bucket boundaries may differ from exact terciles by
     the sketch error, which the test bounds.
     """
-    from pyspark.sql.window import Window as _W  # noqa: F401  (parity w/ plan)
-
     s = unigram_lm_surprisal(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     j = s.join(d, "doc_id")

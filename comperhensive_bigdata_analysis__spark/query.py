@@ -237,7 +237,14 @@ def _tablesample_repl(m: re.Match) -> str:
             "TABLESAMPLE — spell TABLESAMPLE BERNOULLI(p) for the "
             "row-sampling semantics, or sample explicitly"
         )
-    return f"TABLESAMPLE ({m.group(2)} PERCENT)"
+    rate = m.group(2).strip()
+    if re.fullmatch(r"[0-9]+(\.[0-9]+)?", rate) is None:
+        raise ValueError(
+            f"TABLESAMPLE BERNOULLI({rate}): only a plain numeric rate "
+            f"translates to Spark's TABLESAMPLE (p PERCENT) — spell "
+            f"the rate as a literal like BERNOULLI(10)"
+        )
+    return f"TABLESAMPLE ({rate} PERCENT)"
 
 
 _TOKEN_REWRITES = (
@@ -248,7 +255,7 @@ _TOKEN_REWRITES = (
     # its block-level semantics have no Spark twin.
     (
         re.compile(
-            r"\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)",
+            r"\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(([^)]*)\)",
             re.IGNORECASE,
         ),
         _tablesample_repl,

@@ -524,11 +524,16 @@ def streaming_dsir_score(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    target_col: str = "is_target",
+    target_col: str | None = None,
 ):
     """Score a DOCUMENT stream against a fixed DSIR importance model
     (fit offline with operators/curation.dsir_fit — e.g. last month's
     model scoring this week's crawl as it lands).
+
+    The stream needs NO target column — target membership is a
+    fit-time concept; featurize defaults the flag false and scoring
+    ignores it (pass ``target_col`` only if the stream happens to
+    carry one and you want it preserved in featurization).
 
     A document's log weight depends only on its OWN hashed features
     plus the 64-row model, so per-micro-batch scoring IS the batch

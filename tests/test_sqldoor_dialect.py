@@ -682,3 +682,19 @@ def test_lateral_subquery_passes_through(spark):
         """
     ).collect()
     assert [(r["a"], r["b"]) for r in rows] == [(1, 10), (2, 20)]
+
+
+def test_tablesample_non_numeric_rates_raise_with_guidance():
+    """Review fix: SYSTEM and non-literal BERNOULLI rates must hit the
+    curated ValueError for EVERY spelling, not fall through to Spark's
+    opaque parse failure."""
+    import pytest
+
+    for q in (
+        "SELECT * FROM t TABLESAMPLE SYSTEM (1e1)",
+        "SELECT * FROM t TABLESAMPLE BERNOULLI (1e1)",
+        "SELECT * FROM t TABLESAMPLE BERNOULLI (rate_col)",
+        "SELECT * FROM t TABLESAMPLE SYSTEM (10)",
+    ):
+        with pytest.raises(ValueError):
+            translate(q)

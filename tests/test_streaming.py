@@ -386,11 +386,13 @@ def test_streaming_bloom_old_generation_recovery(spark, stream_dir, tmp_path):
     assert not os.path.exists(filt + ".old")
 
 
-def test_streaming_dsir_score_matches_batch(spark, tmp_path):
+
+def test_streaming_dsir_score_matches_batch(spark, sf_dir, tmp_path):
     """Stream-batch parity for DSIR scoring: a fixed model fit offline
     scores a document stream micro-batch by micro-batch; the landed
     per-doc weights must equal scoring the same corpus in one batch
-    (per-doc weights are state-free, so the equality is exact)."""
+    (per-doc weights are state-free, so the equality is exact). The
+    STREAM carries no target column — scoring must not require one."""
     from pyspark.sql import functions as F
 
     from comperhensive_bigdata_analysis__spark.operators.curation import (
@@ -400,23 +402,24 @@ def test_streaming_dsir_score_matches_batch(spark, tmp_path):
     )
     from comperhensive_bigdata_analysis__spark.sources.tables import load_table
 
-    sf_dir = "/root/testdata/sf0.001"
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "is_target", F.col("lang") == "en"
+    docs = load_table(spark, sf_dir, "documents")
+    fit_hashed = dsir_featurize(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        "doc_id", "text", "is_en",
     )
-    src = str(tmp_path / "docs_src")
-    docs.repartition(4).write.parquet(src)  # several files -> several batches
-    hashed = dsir_featurize(docs, "doc_id", "text", "is_target")
-    model = dsir_fit(hashed)
+    model = dsir_fit(fit_hashed)
     want = {
         r["doc_id"]: (r["n_feats"], r["dsir_logw"])
-        for r in dsir_score(hashed, model).collect()
+        for r in dsir_score(fit_hashed, model).collect()
     }
 
+    src_dir = str(tmp_path / "docs_src")
+    # the crawl stream: id + text only, no target flag
+    docs.select("doc_id", "text").repartition(4).write.parquet(src_dir)
     stream = (
-        spark.readStream.schema(docs.schema)
+        spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        .parquet(src_dir)
     )
     out = str(tmp_path / "scored")
     q = (

@@ -223,3 +223,31 @@ def test_dsir_operators_fit_once_score_increments(spark, sf_dir):
     n_held = held_out.select("doc_id").distinct().count()
     assert len(scored) == n_held
     assert all(r["dsir_logw"] is not None for r in scored)
+
+
+def test_dsir_dense_model_scores_unseen_buckets(spark):
+    """Review fix: the model must be DENSE (all 64 buckets, smoothed
+    default for unseen ones) so scoring a later batch never silently
+    drops features — every feature of a scored doc counts in n_feats
+    even when the fit batch never touched its bucket, and featurize
+    works without a target column at score time."""
+    from comperhensive_bigdata_analysis__spark.operators.curation import (
+        dsir_featurize,
+        dsir_fit,
+        dsir_score,
+    )
+
+    fit_docs = spark.createDataFrame(
+        [(1, "alpha beta", True)], "doc_id long, text string, is_t boolean"
+    )
+    model = dsir_fit(dsir_featurize(fit_docs, "doc_id", "text", "is_t"))
+    assert model.count() == 64  # dense, not just observed buckets
+    score_docs = spark.createDataFrame(
+        [(2, "gamma delta epsilon")], "doc_id long, text string"
+    )
+    scored = dsir_score(
+        dsir_featurize(score_docs, "doc_id", "text"), model
+    ).collect()
+    assert len(scored) == 1
+    assert scored[0]["n_feats"] == 5  # 3 unigrams + 2 bigrams, none dropped
+    assert scored[0]["dsir_logw"] is not None
