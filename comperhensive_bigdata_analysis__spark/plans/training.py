@@ -1809,3 +1809,95 @@ def ccnet_bucket_by_thresholds(spark, sf_dir, accuracy: int = 10000):
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value stats — the classic
+# credit-scoring feature-engineering op (Siddiqi 2006): for each
+# category of a feature, WOE = ln(P(cat|bad)/P(cat|good)) with +0.5
+# Laplace cells, and the category's IV term
+# (P(cat|bad) - P(cat|good)) * WOE. Label: the order contains at least
+# one returned line (l_returnflag = 'R'); feature: o_orderpriority.
+# Float discipline: the per-category ln is damped (DECIMAL(28,12)
+# truncation + 1e-6 floor; one value per row — nothing sums across
+# rows), and the distributions are double divisions of exact integers.
+# 100 TB: the label is a per-order max riding the l_orderkey combine
+# (partial-agg below nothing — the join is key-to-key), the category
+# rollup is 5 groups, totals broadcast. Linear, two exchanges.
+# ---------------------------------------------------------------------------
+
+_WOE_ORACLE = r"""
+    WITH lab AS (
+      SELECT o.o_orderpriority AS category,
+             MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS bad
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    ),
+    agg AS (
+      SELECT category,
+             CAST(SUM(bad) AS BIGINT) AS n_bad,
+             CAST(SUM(1 - bad) AS BIGINT) AS n_good
+      FROM lab GROUP BY category
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_bad) AS BIGINT) AS tb,
+             CAST(SUM(n_good) AS BIGINT) AS tg
+      FROM agg
+    )
+    SELECT category, n_bad, n_good,
+           FLOOR(CAST(CAST(ln(((n_bad + 0.5) / tb) / ((n_good + 0.5) / tg))
+                           AS DECIMAL(28,12)) AS DOUBLE) * 1e6) / 1e6 AS woe,
+           FLOOR(CAST(CAST(((n_bad + 0.5) / tb - (n_good + 0.5) / tg)
+                           * ln(((n_bad + 0.5) / tb) / ((n_good + 0.5) / tg))
+                           AS DECIMAL(28,12)) AS DOUBLE) * 1e6) / 1e6
+             AS iv_term
+    FROM agg CROSS JOIN tot ORDER BY category
+"""
+
+
+@plan("woe_priority_returns", _WOE_ORACLE)
+def woe_priority_returns(spark, sf_dir):
+    """Per-priority weight-of-evidence and IV terms for the
+    order-contains-a-return label (see module comment)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    lab = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("bad")
+        )
+    )
+    agg = lab.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum("bad").cast("bigint").alias("n_bad"),
+        F.sum(F.lit(1) - F.col("bad")).cast("bigint").alias("n_good"),
+    )
+    tot = agg.agg(
+        F.sum("n_bad").cast("bigint").alias("tb"),
+        F.sum("n_good").cast("bigint").alias("tg"),
+    )
+    pb = (F.col("n_bad") + F.lit(0.5)) / F.col("tb")
+    pg = (F.col("n_good") + F.lit(0.5)) / F.col("tg")
+    woe = F.log(pb / pg)
+    damp = lambda c: F.floor(  # noqa: E731
+        c.cast("decimal(28,12)").cast("double") * 1e6
+    ) / 1e6
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_bad",
+            "n_good",
+            damp(woe).alias("woe"),
+            damp((pb - pg) * woe).alias("iv_term"),
+        )
+        .orderBy("category")
+    )
