@@ -58,19 +58,24 @@ def _artifact_rounds(root: _pathlib.Path) -> dict[str, int]:
             rows = _json.loads(_pathlib.Path(f).read_text())
         except (OSError, ValueError):  # unreadable artifact: skip, stay green
             continue
+        if not isinstance(rows, dict):  # e.g. a top-level list — skip it
+            continue
         for name in rows:
             last_seen[name] = i
     return last_seen
 
 
-def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
+def _compute_window(
+    size: int = _WINDOW_SIZE, root: _pathlib.Path | None = None
+) -> list[str]:
     # Round-7 note: the round added 26 new oracled plans (TPC-H canon,
     # format matrix, DSIR), growing the never-driver-sampled pool to 57
     # — more than the 44 non-anchor slots. The alphabetical fresh-first
     # rule is deterministic, and the ~13 that spill re-enter
     # automatically next round because this window is recomputed from
     # the committed artifacts on disk, not a hand-rotated list.
-    root = _pathlib.Path(__file__).resolve().parent
+    if root is None:
+        root = _pathlib.Path(__file__).resolve().parent
     last_seen = _artifact_rounds(root)
     oracled = set(_plans.ORACLES)
     window = [n for n in _ANCHORS if n in oracled]

@@ -218,7 +218,11 @@ def exact_substr_scrub(docs: DataFrame, id_col: str, text_col: str,
         F.sequence(F.lit(1), F.size(orig)),
         lambda i: F.col("__spans").isNull() | ~in_a_span(i),
     )
-    scrubbed = F.when(F.length(F.trim(text_col)) == 0, F.lit("")).otherwise(
+    # NULL text stays NULL (missing != fully-duplicated, whose scrub IS
+    # ''); without the guard concat_ws would collapse NULL to '' too.
+    scrubbed = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).when(F.length(F.trim(text_col)) == 0, F.lit("")).otherwise(
         F.concat_ws(
             " ",
             F.transform(kept, lambda i: F.element_at(orig, i)),

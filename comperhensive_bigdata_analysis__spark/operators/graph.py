@@ -34,6 +34,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically drop a ``localCheckpoint``'s storage blocks.
+
+    ``Dataset.unpersist()`` is a no-op for checkpointed data (the cache
+    manager has no entry for a LogicalRDD plan), and waiting for the
+    ContextCleaner ties reclamation to driver GC timing — on a large
+    graph that lets O(iterations) rank vectors pile up in executor
+    storage. The checkpointed RDD is reachable as the LogicalRDD leaf's
+    ``rdd`` field; unpersisting THAT frees the blocks. Best-effort by
+    design: on a non-checkpointed frame (or if the internal shape ever
+    moves) this is a silent no-op and correctness is unaffected.
+    """
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the job
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
@@ -67,6 +85,7 @@ def connected_components(
         universe = sym.select(F.col("s").alias("node")).distinct()
     labels = universe.select("node", F.col("node").alias("component"))
 
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         # Neighbor minimum per destination node: one shuffle on node id.
         cand = (
@@ -87,6 +106,11 @@ def connected_components(
             .localCheckpoint()  # cut lineage; materialize this round
         )
         changed = merged.filter(F.col("component") != F.col("__old")).count()
+        # this round's checkpoint is materialized and counted — the
+        # previous round's blocks have no remaining reader (ADVICE r7)
+        if prev_ckpt is not None:
+            _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = merged
         labels = merged.drop("__old")
         if changed == 0:
             break
@@ -217,6 +241,11 @@ def pagerank(
             .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
             .first()["d"]
         )
+        # the delta action was the last reader of the PREVIOUS round's
+        # checkpoint — free its storage now (ADVICE r7: otherwise up to
+        # max_iter O(nodes) checkpointed RDDs pile up in executor
+        # storage; the ContextCleaner only reclaims them on driver GC)
+        _free_local_checkpoint(ranks)
         ranks = new_ranks
         if delta < tol:
             break

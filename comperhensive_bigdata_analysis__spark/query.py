@@ -556,24 +556,30 @@ def _try_template(e: str) -> str:
 
 
 _CALL_REWRITES = (
+    # The collect_list is evaluated ONCE and bound via the
+    # transform(array(<agg>), __l -> ...)[0] let-binding idiom (ADVICE
+    # r7): two inlined copies of the same aggregate are only safe for
+    # deterministic arguments — a rand()-derived key could diverge
+    # between independently evaluated copies.
     (
         "map_agg",
         2,
         lambda k, v: (
+            f"transform(array(reverse(collect_list(named_struct("
+            f"'k', {k}, 'v', {v})))), __ml -> "
             f"map_from_entries(transform(array_distinct(transform("
-            f"reverse(collect_list(named_struct('k', {k}, 'v', {v})))"
-            f", __me -> __me.k)), __mk -> named_struct('k', __mk, 'v', "
-            f"filter(reverse(collect_list(named_struct('k', {k}, 'v', {v})))"
-            f", __mf -> __mf.k <=> __mk)[0].v)))"
+            f"__ml, __me -> __me.k)), __mk -> named_struct('k', __mk, "
+            f"'v', filter(__ml, __mf -> __mf.k <=> __mk)[0].v))))[0]"
         ),
     ),
     (
         "histogram",
         1,
         lambda x: (
-            f"map_from_entries(transform(array_distinct(collect_list({x}))"
-            f", __hk -> struct(__hk, CAST(size(filter(collect_list({x})"
-            f", __he -> __he <=> __hk)) AS BIGINT))))"
+            f"transform(array(collect_list({x})), __hl -> "
+            f"map_from_entries(transform(array_distinct(__hl)"
+            f", __hk -> struct(__hk, CAST(size(filter(__hl"
+            f", __he -> __he <=> __hk)) AS BIGINT)))))[0]"
         ),
     ),
     # Presto date_parse(s, '%Y-%m-%d ...') — MySQL format tokens

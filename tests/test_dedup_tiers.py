@@ -195,6 +195,7 @@ def test_exact_substr_scrub_removes_planted_spans(spark, tmp_path):
         (3, shared + " Unique tail words"),
         (4, "Leading other words " + shared),
         (5, "Entirely unique document with no repeats"),
+        (6, None),  # missing text stays NULL, not '' (ADVICE r7)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -205,3 +206,4 @@ def test_exact_substr_scrub_removes_planted_spans(spark, tmp_path):
     assert got[3] == "Unique tail words"
     assert got[4] == "Leading other words"
     assert got[5] == "Entirely unique document with no repeats"
+    assert got[6] is None

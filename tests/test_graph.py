@@ -99,3 +99,31 @@ def test_pagerank_converges_to_the_power_iteration_fixed_point(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
+
+
+def test_iterative_loops_free_superseded_checkpoints(spark):
+    """ADVICE r7: the per-round localCheckpoints must not accumulate —
+    after a multi-round pagerank / connected_components run, executor
+    storage holds only the loop-invariant frames plus the FINAL round's
+    checkpoint, not one rank/label vector per iteration."""
+    from comperhensive_bigdata_analysis__spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+
+    def persisted():
+        return len(sc._jsc.getPersistentRDDs())
+
+    before = persisted()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    ranks = pagerank(chain, "src", "dst", max_iter=10, tol=0.0)
+    assert ranks.count() == 13
+    # loop-invariants (edges, universe, outdeg) + final ranks = 4
+    assert persisted() - before <= 4, (before, persisted())
+
+    before = persisted()
+    labels = connected_components(chain, "src", "dst", max_iter=10)
+    assert labels.count() == 13
+    # symmetrized edges + final labels = 2
+    assert persisted() - before <= 2, (before, persisted())

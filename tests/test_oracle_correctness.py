@@ -159,23 +159,24 @@ def test_driver_window_rotation_survives_new_artifact(tmp_path):
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         shutil.copy(f, tmp_path / f.name)
     fake = {n: {"hash_match": True} for n in ent._DRIVER_WINDOW}
-    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(fake))
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
+    # a malformed (top-level list) artifact must be skipped, not crash
+    # the entrypoint import (ADVICE r7)
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps([{"q": 1}]))
 
     last_seen = ent._artifact_rounds(tmp_path)
     assert set(ent._DRIVER_WINDOW) <= set(last_seen)
-    # re-run the generator logic against the augmented artifact dir
-    oracled = set(plans.ORACLES)
-    window = [n for n in ent._ANCHORS if n in oracled]
-    fresh = sorted(n for n in oracled if n not in last_seen and n not in window)
-    window += fresh[: 50 - len(window)]
-    if len(window) < 50:
-        stale_first = sorted(
-            (n for n in oracled if n not in window),
-            key=lambda n: (last_seen.get(n, -1), n),
-        )
-        window += stale_first[: 50 - len(window)]
+    # re-run the ACTUAL generator against the augmented artifact dir
+    # (ADVICE r7: no re-inlined copy that can drift from the generator)
+    window = ent._compute_window(root=tmp_path)
     assert len(window) == 50
-    assert set(window) <= oracled
+    assert set(window) <= set(plans.ORACLES)
+    # rotation happened: the synthetic artifact covered the whole old
+    # window, so the fresh-first slots must now hold DIFFERENT plans
+    # whenever any oracled plan is still first-exposure.
+    still_fresh = sorted(n for n in plans.ORACLES if n not in last_seen)
+    if still_fresh:
+        assert any(n in window for n in still_fresh)
 
 
 def test_driver_window_plans_green_in_artifact():

@@ -383,13 +383,18 @@ def test_map_agg_and_histogram_rewrite():
     assert "map_from_entries(transform(array_distinct(transform(" in out
     assert "reverse(collect_list(named_struct('k', k, 'v', v)))" in out
     assert "__mf -> __mf.k <=> __mk)[0].v" in out
+    # the entry list is collected ONCE and let-bound (ADVICE r7), so
+    # non-deterministic key/value expressions cannot diverge
+    assert out.count("collect_list(") == 1
     # nested calls with commas don't split the top-level args
     out2 = translate("SELECT map_agg(concat(a, ','), f(b, c)) FROM t")
     assert "named_struct('k', concat(a, ','), 'v', f(b, c))" in out2
-    # histogram reuses its argument twice (distinct keys + counts)
+    # histogram collects ONCE, then binds the list for distinct keys +
+    # counts (ADVICE r7: no second inlined aggregate copy)
     out3 = translate("SELECT histogram(x) FROM t")
-    assert "array_distinct(collect_list(x))" in out3
-    assert "filter(collect_list(x)" in out3
+    assert out3.count("collect_list(x)") == 1
+    assert "transform(array(collect_list(x)), __hl ->" in out3
+    assert "filter(__hl" in out3
     # inside a string literal: untouched
     q_lit = "SELECT 'map_agg(k, v)' FROM t"
     assert translate(q_lit) == q_lit
