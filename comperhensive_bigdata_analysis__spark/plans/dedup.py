@@ -602,7 +602,11 @@ def minhash_calibration(spark, sf_dir):
 
 from ..operators.curation import ESS_W as _ESS_W  # shared with the scrubber
 
-_EXACT_SUBSTR_ORACLE = rf"""
+#: Shared CTE chain (tokenize -> stride-1 shingles -> corpus-dup
+#: windows -> merged maximal spans) — ONE SQL definition feeding both
+#: the span census oracle and the scrub census oracle, mirroring how
+#: operators/curation.exact_substr_span_table feeds both Spark plans.
+_EXACT_SUBSTR_SPAN_CTES = rf"""
     WITH tok AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       FROM documents WHERE length(trim(text)) > 0
@@ -635,11 +639,17 @@ _EXACT_SUBSTR_ORACLE = rf"""
       SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + {_ESS_W - 1} AS e
       FROM grp GROUP BY doc_id, g
     )
+"""
+
+_EXACT_SUBSTR_ORACLE = (
+    _EXACT_SUBSTR_SPAN_CTES
+    + """
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
            CAST(SUM(e - s + 1) AS BIGINT) AS dup_token_mass
     FROM spans GROUP BY doc_id ORDER BY doc_id
 """
+)
 
 
 @plan("exact_substr_spans", _EXACT_SUBSTR_ORACLE)
@@ -668,6 +678,80 @@ def exact_substr_spans(spark, sf_dir):
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr SCRUB census (VERDICT r7 ask #7): drive the PRODUCTION
+# scrubber (operators/curation.exact_substr_scrub — the higher-order
+# token filter over the shared span table) and report, per source, the
+# document count, how many documents lost a span, and the raw /
+# removed / residual whitespace-token mass. The DuckDB oracle derives
+# the same numbers from the SPAN ARITHMETIC alone (merged-span coverage
+# = removed tokens), so any drift between the scrubber's in-span filter
+# and the span-table semantics breaks the hash — the cross-engine guard
+# the pytest fixture tests can't give the shared pipeline.
+# All-integer output; no float discipline needed.
+# 100 TB: the scrubber's exchanges (digest frequency + same-key join
+# back + per-doc span collect) plus one per-source rollup — linear,
+# and the token filtering itself is a JVM higher-order expression over
+# the scan, never a Python stage.
+# ---------------------------------------------------------------------------
+
+_SCRUB_CENSUS_ORACLE = (
+    _EXACT_SUBSTR_SPAN_CTES
+    + r"""
+    , per_doc AS (
+      SELECT doc_id, SUM(e - s + 1) AS removed FROM spans GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.removed IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scrubbed_docs,
+           CAST(SUM(t.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(p.removed, 0)) AS BIGINT) AS removed_tokens,
+           CAST(SUM(t.n - COALESCE(p.removed, 0)) AS BIGINT)
+             AS residual_tokens
+    FROM nt t LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY t.source ORDER BY t.source
+"""
+)
+
+
+@plan("exact_substr_scrub_census", _SCRUB_CENSUS_ORACLE)
+def exact_substr_scrub_census(spark, sf_dir):
+    """Per-source scrub impact, measured FROM THE SCRUBBER OUTPUT
+    (token counts of text vs text_scrubbed) while the oracle recomputes
+    it from span coverage — see the section comment."""
+    from ..functions.text import token_count
+    from ..operators.curation import exact_substr_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    scr = exact_substr_scrub(d, "doc_id", "text", w=_ESS_W).select(
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("nt"),
+        token_count(F.col("text_scrubbed")).cast("bigint").alias("res"),
+    )
+    return (
+        scr.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("res") < F.col("nt"), 1).otherwise(0)
+            ).cast("bigint").alias("n_scrubbed_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("nt") - F.col("res")).cast("bigint").alias(
+                "removed_tokens"
+            ),
+            F.sum("res").cast("bigint").alias("residual_tokens"),
+        )
+        .orderBy("source")
     )
 
 

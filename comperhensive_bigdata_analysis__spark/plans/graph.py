@@ -347,6 +347,179 @@ def pagerank_step_parts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PageRank FULL LOOP (VERDICT r7 ask #6): the converging operator
+# (operators/graph.pagerank) was pinned by a single-step oracle plus
+# pytest invariants; this plan runs a FIXED 5-round damped (85/100)
+# power iteration — dangling-mass redistribution included — in exact
+# 2^30 fixed-point, so the cross-round arithmetic gets the same
+# cross-engine hash guarantee as connected_components. The DuckDB
+# oracle unrolls the 5 rounds as a chained-CTE sequence generated from
+# ONE step template (recursive CTEs restrict aggregation over the
+# working table; a fixed iteration count needs no recursion anyway).
+#
+# The graph is the co-purchase pair list ORIENTED low->high partkey, so
+# real sinks exist (a part that is always the larger member of its
+# pairs has no out-edge) and the dangling term is genuinely exercised.
+# Per round: contribution = (rank_fp * 85) div (100 * outdeg) summed
+# over in-edges; every node also gets (dangling_mass * 85) div (100*n)
+# plus the constant teleport (2^30 * 15) div 100 — all positive BIGINT
+# floor divisions, identical in both engines; max mass n*2^30*85 stays
+# far under 2^63.
+#
+# 100 TB: per round = one key join of the O(nodes) rank vector with the
+# edge list + one map-side-combined aggregate onto dst + a scalar
+# dangling fold carried as a 1-row frame (crossJoin — never collected
+# to the driver); rounds are localCheckpointed and the superseded
+# checkpoint is freed, exactly like the production operator.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_LOOP_ROUNDS = 5
+
+
+def _pagerank_loop_oracle(rounds: int = _PAGERANK_LOOP_ROUNDS) -> str:
+    fp = _PAGERANK_FP
+    head = f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey FROM lineitem l
+    ),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    universe AS (
+      SELECT src AS node FROM edges
+      UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM universe),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ),
+    r0 AS (
+      SELECT node, CAST({fp} AS BIGINT) AS rank_fp FROM universe
+    )"""
+    step = """,
+    contrib{k} AS (
+      SELECT e.dst AS node, SUM((p.rank_fp * 85) // (100 * o.d)) AS got
+      FROM edges e
+      JOIN r{p} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    dang{k} AS (
+      SELECT CAST(COALESCE(SUM(p.rank_fp), 0) AS BIGINT) AS mass
+      FROM r{p} p LEFT JOIN outdeg o ON o.src = p.node
+      WHERE o.src IS NULL
+    ),
+    r{k} AS (
+      SELECT u.node,
+             CAST((CAST({fp} AS BIGINT) * 15) // 100
+                  + (dk.mass * 85) // (100 * nn.n)
+                  + COALESCE(c.got, 0) AS BIGINT) AS rank_fp
+      FROM universe u
+      LEFT JOIN contrib{k} c ON c.node = u.node
+      CROSS JOIN dang{k} dk CROSS JOIN nn
+    )"""
+    body = "".join(
+        step.format(k=k, p=k - 1, fp=fp) for k in range(1, rounds + 1)
+    )
+    return (
+        head
+        + body
+        + f"""
+    SELECT node AS part_id, rank_fp FROM r{rounds}
+    ORDER BY rank_fp DESC, part_id LIMIT 25
+"""
+    )
+
+
+@plan("pagerank_loop_parts", _pagerank_loop_oracle())
+def pagerank_loop_parts(spark, sf_dir):
+    """Top-25 parts after 5 damped fixed-point PageRank rounds on the
+    low->high-oriented co-purchase graph (see the section comment).
+    Iterated twin of pagerank_step_parts; same loop discipline as
+    operators/graph.pagerank (per-round localCheckpoint, superseded
+    checkpoints freed)."""
+    from ..operators.graph import _free_local_checkpoint
+
+    fp = _PAGERANK_FP
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    universe = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = universe.count()
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint()
+    )
+    base = (fp * 15) // 100
+    ranks = universe.select("node", F.lit(fp).cast("bigint").alias("rank_fp"))
+    prev_ckpt = None
+    for _ in range(_PAGERANK_LOOP_ROUNDS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_fp * 85) div (100 * d)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("got"))
+        )
+        # dangling mass rides as a 1-row frame — a driver-side .first()
+        # here would serialize the loop on round-trips at scale
+        dang = (
+            ranks.join(
+                outdeg.select(F.col("src").alias("node"), "d"), "node", "left"
+            )
+            .filter(F.col("d").isNull())
+            .agg(
+                F.coalesce(F.sum("rank_fp"), F.lit(0))
+                .cast("bigint")
+                .alias("mass")
+            )
+        )
+        ranks = (
+            universe.crossJoin(dang)
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(f"(mass * 85) div (100 * cast({n} as bigint))")
+                    + F.coalesce(F.col("got"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+        if prev_ckpt is not None:
+            _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = ranks
+    return (
+        ranks.select(F.col("node").alias("part_id"), "rank_fp")
+        .orderBy(F.col("rank_fp").desc(), "part_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Association rules — the support/confidence/lift triple over the same
 # basket pairs copurchase_pairs mines. Everything derives from exact
 # integer counts (pair baskets, item baskets, total baskets); the three

@@ -223,25 +223,50 @@ _SEMDEDUP_ORACLE = f"""
 """
 
 
-def _assign_sub(e):
-    """(vec_id, cid, sub, n_members): cluster assignment plus the
-    SEMDEDUP_MAX_CLUSTER md5 sub-bucket re-split. Only K-row tables
-    broadcast (centroids inside ``_assignment``; the per-cluster
-    size/sub-bucket-count table here)."""
-    assign = _assignment(e).select("vec_id", "cid")
-    mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+def _sub_expr(salt: str = ""):
+    """Sub-bucket id for the SEMDEDUP_MAX_CLUSTER re-split: first 8 hex
+    digits of md5(salt || vec_id) mod the cluster's sub-bucket count
+    (expects an ``n_members`` column in scope). ``salt=''`` is
+    byte-identical to the original unsalted digest; a non-empty salt
+    ROTATES the split so pairs separated by one salt usually land
+    together under another (the recall claw-back pass)."""
     n_sub = F.ceil(F.col("n_members") / F.lit(float(SEMDEDUP_MAX_CLUSTER)))
-    sub = (
-        F.conv(
-            F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
+    digest = F.md5(
+        F.concat(F.lit(salt), F.col("vec_id").cast("string")).cast("binary")
+    )
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
         % n_sub.cast("long")
     )
+
+
+def _assign_sub(e, salt: str = ""):
+    """(vec_id, cid, sub, n_members): cluster assignment plus the
+    SEMDEDUP_MAX_CLUSTER md5 sub-bucket re-split (digest salted with
+    ``salt``). Only K-row tables broadcast (centroids inside
+    ``_assignment``; the per-cluster size/sub-bucket-count table
+    here)."""
+    assign = _assignment(e).select("vec_id", "cid")
+    mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return assign.join(F.broadcast(mem), "cid").select(
-        "vec_id", "cid", sub.alias("sub")
+        "vec_id", "cid", _sub_expr(salt).alias("sub")
     ), mem
+
+
+def semdedup_dup_edges(e, salts=("",)):
+    """Production duplicate-edge list, unioned over one or more
+    sub-bucket salts (VERDICT r7 ask #4): each salt re-splits oversize
+    clusters differently, so a second (rotated) pass recovers most
+    pairs the first split separated while keeping the per-pass pair
+    count linear (n * cap / 2 per salt). Returns distinct
+    (cid, id_a, id_b). Measured recall per salt count:
+    plans.ml.semdedup_salt_recall."""
+    out = None
+    for salt in salts:
+        assign, _ = _assign_sub(e, salt=salt)
+        edges = _dup_edges(e, assign).select("cid", "id_a", "id_b")
+        out = edges if out is None else out.unionAll(edges)
+    return out.distinct()
 
 
 def _dup_edges(e, assign):
@@ -430,4 +455,161 @@ def semantic_dedup_greedy(spark, sf_dir):
             ),
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sub-bucket salt RECALL eval (VERDICT r7 ask #4) — the honesty tier
+# for the SEMDEDUP_MAX_CLUSTER re-split, mirroring ann_recall_matrix:
+# ground truth is the FULL within-cluster duplicate-pair set (no
+# sub-bucket restriction, decimal-exact cosines), and the plan reports
+# what fraction of it the capped pipeline finds with 1 salt vs the
+# union of 2 rotated salts. A found pair is by construction a truth
+# pair (same cid, cosine >= threshold), so recall is the only number
+# that moves. Truth is quadratic WITHIN clusters — this is an EVAL to
+# run on a sample / small SF, exactly like the brute-force leg of
+# ann_recall_matrix; the production path stays linear per salt
+# (semdedup_dup_edges).
+# Float discipline: recall = one IEEE division over exact BIGINTs,
+# FLOOR*1e6-rounded; vacuous recall (no truth pairs) pins 1.0.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_RECALL_ORACLE = f"""
+    WITH {_ASSIGN_CTE},
+    a2 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid),
+    s AS (
+      SELECT a2.vec_id,
+             CAST('0x' || substr(md5(CAST(a2.vec_id AS VARCHAR)), 1, 8)
+                  AS BIGINT)
+               % CAST(CEIL(mem.n_members / {SEMDEDUP_MAX_CLUSTER}.0)
+                      AS BIGINT) AS sub0,
+             CAST('0x' || substr(md5('r1' || CAST(a2.vec_id AS VARCHAR)),
+                                 1, 8) AS BIGINT)
+               % CAST(CEIL(mem.n_members / {SEMDEDUP_MAX_CLUSTER}.0)
+                      AS BIGINT) AS sub1
+      FROM a2 JOIN mem ON a2.cid = mem.cid
+    ),
+    tp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(a.x * a.x AS DECIMAL(28,12))) AS DOUBLE) AS sq_a,
+             CAST(SUM(CAST(b.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sq_b
+      FROM v a
+      JOIN v b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      JOIN a2 aa ON aa.vec_id = a.vec_id
+      JOIN a2 ab ON ab.vec_id = b.vec_id AND ab.cid = aa.cid
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM tp
+      WHERE dot / (sqrt(sq_a) * sqrt(sq_b)) >= {SEMDEDUP_THRESH}
+    ),
+    flags AS (
+      SELECT CASE WHEN sa.sub0 = sb.sub0 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN sa.sub0 = sb.sub0 OR sa.sub1 = sb.sub1
+                  THEN 1 ELSE 0 END AS f2
+      FROM truth t
+      JOIN s sa ON sa.vec_id = t.id_a
+      JOIN s sb ON sb.vec_id = t.id_b
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS n2
+      FROM flags
+    )
+    SELECT 'salts_1' AS tier, n_true, n1 AS n_found,
+           CASE WHEN n_true = 0 THEN 1.0
+                ELSE FLOOR(CAST(n1 AS DOUBLE) / CAST(n_true AS DOUBLE)
+                           * 1e6) / 1e6 END AS recall
+    FROM tot
+    UNION ALL
+    SELECT 'salts_2', n_true, n2,
+           CASE WHEN n_true = 0 THEN 1.0
+                ELSE FLOOR(CAST(n2 AS DOUBLE) / CAST(n_true AS DOUBLE)
+                           * 1e6) / 1e6 END
+    FROM tot
+    ORDER BY tier
+"""
+
+
+@plan("semdedup_salt_recall", _SEMDEDUP_RECALL_ORACLE)
+def semdedup_salt_recall(spark, sf_dir):
+    """Measured sub-bucket recall at 1 vs 2 rotated digest salts
+    against the exact within-cluster duplicate-pair truth (see the
+    section comment). The pair membership test per salt is a sub-id
+    equality on the truth pairs — the salted splits themselves stay
+    O(n); only the truth leg is quadratic-within-cluster."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = _assignment(e).select("vec_id", "cid")
+    mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    subs = assign.join(F.broadcast(mem), "cid").select(
+        "vec_id",
+        _sub_expr("").alias("sub0"),
+        _sub_expr("r1").alias("sub1"),
+    )
+    v = _exploded(e).join(assign, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    tp = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+        .agg(
+            F.sum((F.col("a.x") * F.col("b.x")).cast(PDEC))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("a.x") * F.col("a.x")).cast(PDEC))
+            .cast("double")
+            .alias("sq_a"),
+            F.sum((F.col("b.x") * F.col("b.x")).cast(PDEC))
+            .cast("double")
+            .alias("sq_b"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b"))
+    truth = tp.filter(cos >= SEMDEDUP_THRESH).select("id_a", "id_b")
+    sa = subs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("sub0").alias("sa0"),
+        F.col("sub1").alias("sa1"),
+    )
+    sb = subs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("sub0").alias("sb0"),
+        F.col("sub1").alias("sb1"),
+    )
+    same1 = F.col("sa0") == F.col("sb0")
+    same2 = same1 | (F.col("sa1") == F.col("sb1"))
+    tot = (
+        truth.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(F.when(same1, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(same2, 1).otherwise(0)).cast("bigint").alias("n2"),
+        )
+    )
+    recall = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+        F.floor(
+            F.col("n_found").cast("double")
+            / F.col("n_true").cast("double")
+            * 1e6
+        )
+        / 1e6
+    )
+    return (
+        tot.selectExpr(
+            "stack(2, 'salts_1', n1, 'salts_2', n2) AS (tier, n_found)",
+            "n_true",
+        )
+        .select("tier", "n_true", "n_found", recall.alias("recall"))
+        .orderBy("tier")
     )

@@ -207,3 +207,24 @@ def test_exact_substr_scrub_removes_planted_spans(spark, tmp_path):
     assert got[4] == "Leading other words"
     assert got[5] == "Entirely unique document with no repeats"
     assert got[6] is None
+
+
+def test_semdedup_salt_union_matches_recall_flags(spark, sf_dir):
+    """The production 2-salt edge union (semdedup_dup_edges) must find
+    exactly the truth pairs the recall plan flags as covered — and the
+    rotated salt must never LOSE pairs (recall monotone in salts)."""
+    from comperhensive_bigdata_analysis__spark.plans.ml import (
+        semdedup_dup_edges,
+        semdedup_salt_recall,
+    )
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    rows = {
+        r["tier"]: r for r in semdedup_salt_recall(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "embeddings")
+    n1 = semdedup_dup_edges(e, ("",)).count()
+    n2 = semdedup_dup_edges(e, ("", "r1")).count()
+    assert n1 == rows["salts_1"]["n_found"]
+    assert n2 == rows["salts_2"]["n_found"]
+    assert rows["salts_2"]["recall"] >= rows["salts_1"]["recall"]
