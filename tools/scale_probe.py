@@ -95,7 +95,19 @@ EXTRA_PROBES: dict = {
 #: by key rather than broadcasting) are the session's other two heavy
 #: token-fanout plans — probed so every r7 curation fanout has an
 #: empirical row next to its structural claim.
+#: Round-8 additions (VERDICT r7 ask #3): winnowing_fingerprint_pairs
+#: (k-gram hashing + window mins — the same token-fanout shape DSIR and
+#: exact_substr needed probes for; fanout ~1 fingerprint row per
+#: ~(w+1)/2 chars) and soft_dedup_weights (one md5-digest exchange +
+#: same-key join-back). Plus the r8-new plans: exact_substr_scrub_census
+#: (span pipeline + higher-order token filter over the full doc scan)
+#: and pagerank_loop_parts (5 checkpointed rank-vector rounds — the
+#: probe pins that per-round cost grows with edges, not rounds).
 for _name in (
+    "winnowing_fingerprint_pairs",
+    "soft_dedup_weights",
+    "exact_substr_scrub_census",
+    "pagerank_loop_parts",
     "dsir_importance_weights",
     "exact_substr_spans",
     "bigram_lm_surprisal",
