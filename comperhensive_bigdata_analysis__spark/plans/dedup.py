@@ -847,13 +847,24 @@ def soft_dedup_weights(spark, sf_dir):
 # fingerprint either way, and the per-doc set is DISTINCT.
 # All-integer output. md5-derived hashes, so the oracle replays the
 # identical fingerprint sets.
-# 100 TB: fingerprints are ~2/(w+1) of the 5-gram mass; the pair join
-# is keyed on the 60-bit fingerprint (uniform), never all-pairs; the
-# head is a top-k (TakeOrderedAndProject), never a global sort.
+# 100 TB: fingerprints are ~2/(w+1) of the 5-gram mass and the head is
+# a top-k (TakeOrderedAndProject), never a global sort. The pair join
+# is keyed on the 60-bit fingerprint — but fingerprint document
+# frequency is ZIPFIAN, not uniform: a boilerplate substring shared by
+# m documents contributes m^2/2 pairs, and the r8 scale probe measured
+# exactly that (27.6x at 8x corpus growth before the cap below).
+# MOSS-style fix, same family as the LSH auto-band rule: drop
+# fingerprints whose document frequency exceeds WINNOW_MAX_DF before
+# pairing — a substring in that many documents is boilerplate, not
+# evidence any PAIR copied the other (Schleimer et al. §5 discard
+# over-frequent fingerprints for the same reason). Pair mass is then
+# <= n_fingerprints * cap / 2 — linear; the df census itself is one
+# map-side-combined aggregate reusing the pair join's exchange key.
 # ---------------------------------------------------------------------------
 
 _WIN_K = 5  # char-gram width
 _WIN_W = 4  # winnowing window (hashes per window)
+WINNOW_MAX_DF = 16  # drop fingerprints in more docs than this
 
 _WINNOW_ORACLE = rf"""
     WITH g AS (
@@ -874,10 +885,15 @@ _WINNOW_ORACLE = rf"""
                range(1, greatest(len(h) - {_WIN_W - 1}, 0) + 1),
                j -> list_min(h[j:j + {_WIN_W - 1}])))) AS f
       FROM hs
+    ),
+    dft AS (SELECT f, COUNT(*) AS df FROM fp GROUP BY f),
+    rare AS (
+      SELECT fp.doc_id, fp.f FROM fp JOIN dft USING (f)
+      WHERE dft.df <= {WINNOW_MAX_DF}
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING COUNT(*) >= 3
     ORDER BY n_shared DESC, id_a, id_b LIMIT 20
 """
@@ -886,7 +902,9 @@ _WINNOW_ORACLE = rf"""
 @plan("winnowing_fingerprint_pairs", _WINNOW_ORACLE)
 def winnowing_fingerprint_pairs(spark, sf_dir):
     """Top-20 document pairs by shared winnowing fingerprints (see
-    module comment). Pairs need >= 3 shared fingerprints to rank."""
+    module comment). Pairs need >= 3 shared fingerprints to rank;
+    fingerprints in more than WINNOW_MAX_DF documents are boilerplate
+    and excluded before pairing (the linearity cap — section comment)."""
     d = load_table(spark, sf_dir, "documents")
     g = d.filter(F.length("text") >= _WIN_K + _WIN_W - 1).select(
         "doc_id", F.lower(F.col("text")).alias("lt")
@@ -910,8 +928,12 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
             )
         ).alias("f"),
     )
-    a = fp.alias("a")
-    b = fp.alias("b")
+    dft = fp.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
+    rare = fp.join(
+        dft.filter(F.col("df") <= WINNOW_MAX_DF).select("f"), "f"
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
     return (
         a.join(
             b,

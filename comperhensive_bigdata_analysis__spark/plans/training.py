@@ -1096,6 +1096,105 @@ def source_temperature_weights(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# UniMax language-budget allocation (Chung et al., "UniMax: Fairer and
+# More Effective Language Sampling for Large-Scale Multilingual
+# Pretraining", ICLR 2023): instead of temperature-weighting by corpus
+# share, give every language a UNIFORM slice of the token budget,
+# capped at E epochs of its own capacity — i.e. water-filling. Walk
+# languages in ascending (cap, lang) order; each takes
+# min(capacity * E, remaining div langs_left) with INTEGER floor
+# division (spec'd that way so both engines match bit-for-bit), the
+# remainder cascading to larger languages. Budget = 1.5x total corpus
+# tokens, E = 2 — chosen so the cap binds for the small languages and
+# the largest absorbs the remainder (both branches exercised at every
+# SF). epochs = alloc/capacity is the one IEEE division, floor-rounded
+# to 1e-6.
+#
+# 100 TB: the token census is the distributed pass (one map-side-
+# combined aggregate over documents); the walk itself runs on
+# |languages| rows — metadata-sized, bounded by the world's language
+# count, not the corpus — so it is a driver-side loop, the k-means-
+# seed escape pattern (VERDICT r7 ledger). The oracle replays the walk
+# as a DuckDB recursive CTE.
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 2  # max epochs over any single language's corpus
+
+_UNIMAX_ORACLE = rf"""
+    WITH RECURSIVE cap AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END) AS BIGINT) AS c
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT (SUM(c) * 3) // 2 AS budget, CAST(COUNT(*) AS BIGINT) AS nl
+      FROM cap
+    ),
+    ord AS (
+      SELECT lang, c, c * {UNIMAX_EPOCH_CAP} AS cap_tokens,
+             ROW_NUMBER() OVER (ORDER BY c * {UNIMAX_EPOCH_CAP}, lang) AS rn
+      FROM cap
+    ),
+    walk(rn, remaining, alloc) AS (
+      SELECT 0, (SELECT budget FROM tot), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT o.rn,
+             w.remaining - LEAST(o.cap_tokens,
+                                 w.remaining // ((SELECT nl FROM tot) - w.rn)),
+             LEAST(o.cap_tokens,
+                   w.remaining // ((SELECT nl FROM tot) - w.rn))
+      FROM walk w JOIN ord o ON o.rn = w.rn + 1
+    )
+    SELECT o.lang, o.c AS capacity_tokens,
+           CAST(o.cap_tokens AS BIGINT) AS cap_tokens,
+           CAST(w.alloc AS BIGINT) AS alloc_tokens,
+           CASE WHEN o.c = 0 THEN 0.0
+                ELSE FLOOR(CAST(w.alloc AS DOUBLE) / CAST(o.c AS DOUBLE)
+                           * 1e6) / 1e6 END AS epochs
+    FROM walk w JOIN ord o ON o.rn = w.rn
+    ORDER BY o.lang
+"""
+
+
+@plan("unimax_language_budget", _UNIMAX_ORACLE)
+def unimax_language_budget(spark, sf_dir):
+    """Per-language UniMax token allocation: capacity, epoch cap,
+    water-filled allocation, and realized epochs (see the section
+    comment for the exact walk spec and why the walk is driver-side)."""
+    import math
+
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    cap = (
+        d.groupBy("lang")
+        .agg(F.sum(token_count(F.col("text"))).cast("bigint").alias("c"))
+        .collect()  # |languages| rows — metadata-sized by construction
+    )
+    e = UNIMAX_EPOCH_CAP
+    rows = sorted(
+        ((r["lang"], int(r["c"])) for r in cap),
+        key=lambda t: (t[1] * e, t[0]),
+    )
+    total = sum(c for _, c in rows)
+    remaining = (total * 3) // 2
+    nl = len(rows)
+    out = []
+    for i, (lang, c) in enumerate(rows):
+        alloc = min(c * e, remaining // (nl - i))
+        remaining -= alloc
+        epochs = 0.0 if c == 0 else math.floor(alloc / c * 1e6) / 1e6
+        out.append((lang, c, c * e, alloc, epochs))
+    return spark.createDataFrame(
+        sorted(out),
+        "lang string, capacity_tokens long, cap_tokens long, "
+        "alloc_tokens long, epochs double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram language-model surprisal per document — the CCNet/KenLM-style
 # quality signal (Wenzek et al. 2020): score each document by its mean
 # per-token negative log-probability under a unigram LM trained on the
@@ -1311,6 +1410,149 @@ def bpe_pair_counts(spark, sf_dir):
         .agg(F.sum("tf").alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge LOOP (Sennrich et al. 2016) — the full iterated tokenizer-
+# training step bpe_pair_counts only counts: M rounds of (count
+# adjacent symbol pairs weighted by word frequency -> pick the most
+# frequent pair, ties broken (count DESC, lhs, rhs) -> merge it
+# non-overlapping left-to-right in every word). Output: the learned
+# merge table (rank, lhs, rhs, pair count at selection time).
+#
+# Cross-engine exactness: everything is integer counts + string
+# equality. The merge is a LEFT FOLD over the unit list carried as a
+# chr(31)-separated string: acc starts '', each unit appends as
+# sep||unit, EXCEPT when the accumulator ends with sep||lhs and the
+# incoming unit equals rhs — then the unit appends WITHOUT a
+# separator, fusing lhs+rhs into one unit. A freshly fused unit no
+# longer string-equals lhs, so overlapping runs merge exactly like
+# the canonical left-to-right scan ('aaaa' + (a,a) -> [aa, aa]); both
+# engines state the identical fold (Spark aggregate(), DuckDB
+# list_reduce over a ''-prepended list). Words are restricted to
+# ^[a-z0-9]+$ so the separator byte cannot occur in a unit. The
+# DuckDB oracle unrolls the M rounds as generated CTEs (same pattern
+# as pagerank_loop_parts).
+#
+# 100 TB: the corpus-wide work is ONE word-frequency aggregate; every
+# round after that runs on the |vocab|-sized (units, freq) relation —
+# pair counting is an explode + map-side-combined aggregate, the
+# argmax is a 1-row TakeOrdered collect (scalar driver state, like
+# pagerank's node count), and the merge pass is a per-row fold with no
+# shuffle. Rounds are localCheckpointed, superseded checkpoints freed.
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 4
+_BPE_SEP = "\x1f"
+
+
+def _bpe_merge_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    head = r"""
+    WITH wt AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY word
+    ),
+    w0 AS (
+      SELECT list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS units, freq
+      FROM wt
+    )"""
+    step = """,
+    pc{k} AS (
+      SELECT u['a'] AS a, u['b'] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(units)),
+                 i -> struct_pack(a := units[i], b := units[i + 1]))) AS u,
+               freq
+        FROM w{p}
+      ) GROUP BY 1, 2
+    ),
+    top{k} AS (SELECT a, b, cnt FROM pc{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{k} AS (
+      SELECT string_split(substr(
+               list_reduce(list_prepend('', units), (acc, x) ->
+                 CASE WHEN x = t.b
+                       AND right(acc, length(t.a) + 1) = chr(31) || t.a
+                      THEN acc || x
+                      ELSE acc || chr(31) || x END), 2), chr(31)) AS units,
+             freq
+      FROM w{p} CROSS JOIN top{k} t
+    )"""
+    body = "".join(step.format(k=k, p=k - 1) for k in range(1, rounds + 1))
+    tail = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count "
+        f"FROM top{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"{head}{body}\n    SELECT * FROM (\n    {tail}\n    ) ORDER BY merge_rank\n"
+
+
+@plan("bpe_merge_loop", _bpe_merge_oracle())
+def bpe_merge_loop(spark, sf_dir):
+    """First BPE_MERGE_ROUNDS learned BPE merges over the corpus word
+    vocabulary (see the section comment for the exact fold spec and
+    the scale shape)."""
+    from ..operators.graph import _free_local_checkpoint
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("units"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    prev_ckpt = words
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        top = (
+            words.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(units, 1, size(units) - 1), "
+                        "(u, i) -> named_struct('a', u, 'b', element_at(units, i + 2)))"
+                    )
+                ).alias("u"),
+                "freq",
+            )
+            .groupBy(F.col("u.a").alias("a"), F.col("u.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()  # 1 row — scalar driver state per round
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((k, a, b, cnt))
+        # a, b are ^[a-z0-9]+ unit strings — safe to inline as literals
+        fold = (
+            f"split(substring(aggregate(units, '', (acc, x) -> "
+            f"CASE WHEN x = '{b}' AND right(acc, {len(a) + 1}) = "
+            f"concat('{_BPE_SEP}', '{a}') THEN concat(acc, x) "
+            f"ELSE concat(acc, '{_BPE_SEP}', x) END), 2), '{_BPE_SEP}')"
+        )
+        words = words.select(
+            F.expr(fold).alias("units"), "freq"
+        ).localCheckpoint()
+        _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = words
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
     )
 
 

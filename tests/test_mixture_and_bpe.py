@@ -1,0 +1,64 @@
+"""Invariant tests for the round-8 mixture/tokenizer plans: UniMax
+water-filling conservation + cap semantics, and the BPE merge loop's
+left-to-right fold on a planted vocabulary."""
+
+from __future__ import annotations
+
+from comperhensive_bigdata_analysis__spark import plans
+
+
+def test_unimax_waterfill_invariants(spark, sf_dir):
+    from comperhensive_bigdata_analysis__spark.plans.training import (
+        UNIMAX_EPOCH_CAP,
+    )
+
+    rows = plans.QUERIES["unimax_language_budget"](spark, sf_dir).collect()
+    total = sum(r["capacity_tokens"] for r in rows)
+    budget = (total * 3) // 2
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    # conservation: never over budget; floor losses only
+    assert alloc <= budget
+    assert budget - alloc < len(rows) * 2
+    for r in rows:
+        assert r["cap_tokens"] == r["capacity_tokens"] * UNIMAX_EPOCH_CAP
+        assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
+        assert r["epochs"] <= UNIMAX_EPOCH_CAP
+    # a budget of 1.5x total with cap 2x must cap at least one small
+    # language AND leave at least one uncapped (both branches live)
+    capped = [r for r in rows if r["alloc_tokens"] == r["cap_tokens"]]
+    assert capped and len(capped) < len(rows)
+
+
+def test_bpe_merge_loop_planted_vocabulary(spark, tmp_path):
+    """Corpus engineered so the four merges are forced in a known
+    order, including the overlapping-run case: counting is canonical
+    Sennrich get_stats (every adjacent position — 'aaaa' has THREE
+    (a,a) positions) while the merge is non-overlapping left-to-right
+    ('aaaa' -> [aa, aa], so round 3 sees (aa,aa) x40)."""
+    rows = []
+    did = 0
+    for word, n in (("aaaa", 40), ("bcbc", 30), ("dde", 20)):
+        for _ in range(n):
+            rows.append((did, word, "en", "s", len(word)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in plans.QUERIES["bpe_merge_loop"](spark, str(tmp_path)).collect()
+    ]
+    # round 1: (a,a) counts 3 positions per 'aaaa' word = 120;
+    #   (b,c) = 60, (c,b) = 30, (d,d) = 20, (d,e) = 20
+    # round 2 (aaaa -> [aa,aa], non-overlap): (aa,aa) = 40 vs (b,c) 60
+    # round 3 (bcbc -> [bc,bc]): (bc,bc) = 30 vs (aa,aa) 40 -> (aa,aa)
+    # round 4: (bc,bc) = 30 wins over (d,d)/(d,e) = 20
+    assert got == [
+        (1, "a", "a", 120),
+        (2, "b", "c", 60),
+        (3, "aa", "aa", 40),
+        (4, "bc", "bc", 30),
+    ]

@@ -108,6 +108,7 @@ for _name in (
     "soft_dedup_weights",
     "exact_substr_scrub_census",
     "pagerank_loop_parts",
+    "bpe_merge_loop",
     "dsir_importance_weights",
     "exact_substr_spans",
     "bigram_lm_surprisal",
