@@ -1446,8 +1446,19 @@ def bpe_pair_counts(spark, sf_dir):
 BPE_MERGE_ROUNDS = 4
 _BPE_SEP = "\x1f"
 
+#: One fold step of the merge (DuckDB side), parameterized on the pair
+#: table alias `t` — shared by the learn chain and the fertility-apply
+#: chain so the semantics cannot drift between them.
+_BPE_FOLD_SQL = (
+    "string_split(substr(list_reduce(list_prepend('', units), (acc, x) -> "
+    "CASE WHEN x = t.b AND right(acc, length(t.a) + 1) = chr(31) || t.a "
+    "THEN acc || x ELSE acc || chr(31) || x END), 2), chr(31))"
+)
 
-def _bpe_merge_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+
+def _bpe_oracle_prefix(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """WITH-chain learning the merges: wt/w0 plus per-round pc{k} /
+    top{k} / w{k} CTEs (generated — same pattern as pagerank_loop)."""
     head = r"""
     WITH wt AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -1472,53 +1483,71 @@ def _bpe_merge_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
     ),
     top{k} AS (SELECT a, b, cnt FROM pc{k} ORDER BY cnt DESC, a, b LIMIT 1),
     w{k} AS (
-      SELECT string_split(substr(
-               list_reduce(list_prepend('', units), (acc, x) ->
-                 CASE WHEN x = t.b
-                       AND right(acc, length(t.a) + 1) = chr(31) || t.a
-                      THEN acc || x
-                      ELSE acc || chr(31) || x END), 2), chr(31)) AS units,
-             freq
+      SELECT {fold} AS units, freq
       FROM w{p} CROSS JOIN top{k} t
     )"""
-    body = "".join(step.format(k=k, p=k - 1) for k in range(1, rounds + 1))
+    return head + "".join(
+        step.format(k=k, p=k - 1, fold=_BPE_FOLD_SQL)
+        for k in range(1, rounds + 1)
+    )
+
+
+def _bpe_merge_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
     tail = "\n    UNION ALL ".join(
         f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count "
         f"FROM top{k}"
         for k in range(1, rounds + 1)
     )
-    return f"{head}{body}\n    SELECT * FROM (\n    {tail}\n    ) ORDER BY merge_rank\n"
+    return (
+        f"{_bpe_oracle_prefix(rounds)}\n    SELECT * FROM (\n    {tail}\n"
+        f"    ) ORDER BY merge_rank\n"
+    )
 
 
-@plan("bpe_merge_loop", _bpe_merge_oracle())
-def bpe_merge_loop(spark, sf_dir):
-    """First BPE_MERGE_ROUNDS learned BPE merges over the corpus word
-    vocabulary (see the section comment for the exact fold spec and
-    the scale shape)."""
-    from ..operators.graph import _free_local_checkpoint
+def _bpe_spark_fold(a: str, b: str) -> str:
+    """Spark twin of _BPE_FOLD_SQL with the pair inlined as literals
+    (a, b are ^[a-z0-9]+ unit strings — safe to inline)."""
+    return (
+        f"split(substring(aggregate(units, '', (acc, x) -> "
+        f"CASE WHEN x = '{b}' AND right(acc, {len(a) + 1}) = "
+        f"concat('{_BPE_SEP}', '{a}') THEN concat(acc, x) "
+        f"ELSE concat(acc, '{_BPE_SEP}', x) END), 2), '{_BPE_SEP}')"
+    )
 
-    d = load_table(spark, sf_dir, "documents")
-    words = (
+
+def _bpe_words(d, *extra_cols):
+    """(units, freq[, extra...]) word-type relation: lowercased
+    ^[a-z0-9]+$ whitespace tokens, character-split."""
+    return (
         d.filter(F.length(F.trim("text")) > 0)
         .select(
+            *extra_cols,
             F.explode(
                 F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("word")
+            ).alias("word"),
         )
         .filter(F.col("word").rlike("^[a-z0-9]+$"))
-        .groupBy("word")
+        .groupBy("word", *extra_cols)
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
+            *extra_cols,
             F.expr(
                 "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
             ).alias("units"),
             "freq",
         )
-        .localCheckpoint()
     )
+
+
+def _learn_bpe_merges(spark, sf_dir, rounds: int = BPE_MERGE_ROUNDS):
+    """Run the merge-learning loop; returns [(rank, lhs, rhs, count)]."""
+    from ..operators.graph import _free_local_checkpoint
+
+    d = load_table(spark, sf_dir, "documents")
+    words = _bpe_words(d).localCheckpoint()
     merges = []
     prev_ckpt = words
-    for k in range(1, BPE_MERGE_ROUNDS + 1):
+    for k in range(1, rounds + 1):
         top = (
             words.select(
                 F.explode(
@@ -1539,20 +1568,110 @@ def bpe_merge_loop(spark, sf_dir):
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((k, a, b, cnt))
-        # a, b are ^[a-z0-9]+ unit strings — safe to inline as literals
-        fold = (
-            f"split(substring(aggregate(units, '', (acc, x) -> "
-            f"CASE WHEN x = '{b}' AND right(acc, {len(a) + 1}) = "
-            f"concat('{_BPE_SEP}', '{a}') THEN concat(acc, x) "
-            f"ELSE concat(acc, '{_BPE_SEP}', x) END), 2), '{_BPE_SEP}')"
-        )
         words = words.select(
-            F.expr(fold).alias("units"), "freq"
+            F.expr(_bpe_spark_fold(a, b)).alias("units"), "freq"
         ).localCheckpoint()
         _free_local_checkpoint(prev_ckpt)
         prev_ckpt = words
+    return merges
+
+
+@plan("bpe_merge_loop", _bpe_merge_oracle())
+def bpe_merge_loop(spark, sf_dir):
+    """First BPE_MERGE_ROUNDS learned BPE merges over the corpus word
+    vocabulary (see the section comment for the exact fold spec and
+    the scale shape)."""
     return spark.createDataFrame(
-        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+        _learn_bpe_merges(spark, sf_dir),
+        "merge_rank long, lhs string, rhs string, pair_count long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE fertility census — APPLY the learned merge table and report the
+# metric tokenizer training exists to improve: units per word
+# (fertility) by language. The merges are learned GLOBALLY (exactly
+# the bpe_merge_loop chain, shared CTE generator / shared Spark loop),
+# then applied to the per-(lang, word) vocabulary as
+# BPE_MERGE_ROUNDS chained folds — per-row expressions, no shuffle —
+# and rolled up per language. Degenerate corpora (a round with no
+# pairs) apply the remaining rounds as identity: the oracle LEFT JOINs
+# each (possibly empty) top{k} and a NULL pair falls through to the
+# plain-append branch, matching the Spark loop's early break.
+# Float discipline: units_per_word is ONE double division of two exact
+# BIGINTs, floor-rounded 1e-6.
+# 100 TB: learning = the bpe_merge_loop shape (vocab-sized rounds);
+# application adds one (lang, word) aggregate and M fold projections.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    lw = r""",
+    lwt AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT lang,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY lang, word
+    ),
+    al0 AS (
+      SELECT lang, freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS units
+      FROM lwt
+    )"""
+    apply_step = """,
+    al{k} AS (
+      SELECT lang, freq, {fold} AS units
+      FROM al{p} LEFT JOIN top{k} t ON TRUE
+    )"""
+    body = "".join(
+        apply_step.format(k=k, p=k - 1, fold=_BPE_FOLD_SQL)
+        for k in range(1, rounds + 1)
+    )
+    return (
+        _bpe_oracle_prefix(rounds)
+        + lw
+        + body
+        + f"""
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * len(units)) AS BIGINT) AS n_units,
+           FLOOR(CAST(SUM(freq * len(units)) AS DOUBLE)
+                 / CAST(SUM(freq) AS DOUBLE) * 1e6) / 1e6 AS units_per_word
+    FROM al{rounds} GROUP BY lang ORDER BY lang
+"""
+    )
+
+
+@plan("bpe_fertility_census", _bpe_fertility_oracle())
+def bpe_fertility_census(spark, sf_dir):
+    """Per-language BPE fertility after applying the globally learned
+    merge table (see the section comment)."""
+    merges = _learn_bpe_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    al = _bpe_words(d, F.col("lang"))
+    for _, a, b, _cnt in merges:
+        al = al.select(
+            "lang", F.expr(_bpe_spark_fold(a, b)).alias("units"), "freq"
+        )
+    return (
+        al.groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.size("units"))
+            .cast("bigint")
+            .alias("n_units"),
+            (
+                F.floor(
+                    F.sum(F.col("freq") * F.size("units")).cast("double")
+                    / F.sum("freq").cast("double")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("units_per_word"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -62,3 +62,34 @@ def test_bpe_merge_loop_planted_vocabulary(spark, tmp_path):
         (3, "aa", "aa", 40),
         (4, "bc", "bc", 30),
     ]
+
+
+def test_bpe_fertility_tracks_merge_table(spark, sf_dir):
+    """Applying M merges can only shrink unit counts, never below one
+    unit per word; and a language's fertility must drop vs the
+    char-level baseline whenever any learned merge occurs in it."""
+    from pyspark.sql import functions as F
+
+    from comperhensive_bigdata_analysis__spark.plans.training import (
+        _bpe_words,
+    )
+    from comperhensive_bigdata_analysis__spark.sources.tables import load_table
+
+    rows = plans.QUERIES["bpe_fertility_census"](spark, sf_dir).collect()
+    assert rows, "census empty"
+    d = load_table(spark, sf_dir, "documents")
+    base = {
+        r["lang"]: (r["nw"], r["nc"])
+        for r in _bpe_words(d, F.col("lang"))
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("nw"),
+            F.sum(F.col("freq") * F.size("units")).alias("nc"),
+        )
+        .collect()
+    }
+    for r in rows:
+        nw, nc = base[r["lang"]]
+        assert r["n_words"] == nw  # application never drops words
+        assert nw <= r["n_units"] <= nc  # merges only shrink, floor 1/word
+        assert 1.0 <= r["units_per_word"] <= nc / nw
