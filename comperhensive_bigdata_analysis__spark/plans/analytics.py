@@ -903,3 +903,57 @@ def autocorr_lag7_revenue(spark, sf_dir):
             )
         ).alias("acf_7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity census (Sweeney 2002) — the governance gate a training
+# pipeline runs before customer-derived data leaves the fence: group
+# the table by its quasi-identifier tuple and report the equivalence-
+# class size distribution plus what a k>=5 release policy would
+# suppress. QIDs here are (nation, market segment) on customer — the
+# classic "harmless" demographic pair whose joint distribution gets
+# sparse. All-integer output.
+# 100 TB: two map-side-combined hash aggregates (QID tuple, then class
+# size) — the second runs on the |distinct QID| relation. Linear, no
+# joins, no windows.
+# ---------------------------------------------------------------------------
+
+_K_ANON_ORACLE = """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN k < 5 THEN SUM(k) ELSE 0 END AS BIGINT)
+             AS suppressed_rows
+    FROM g GROUP BY k ORDER BY k
+"""
+
+
+@plan("k_anonymity_census", _K_ANON_ORACLE)
+def k_anonymity_census(spark, sf_dir):
+    """Equivalence-class size histogram for the (nation, segment)
+    quasi-identifier pair, with the rows a k>=5 policy suppresses."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        g.groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_rows",
+            F.when(F.col("k") < 5, F.col("n_rows"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("suppressed_rows"),
+        )
+        .orderBy("k")
+    )

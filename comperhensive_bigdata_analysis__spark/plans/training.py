@@ -1494,8 +1494,8 @@ def _bpe_oracle_prefix(rounds: int = BPE_MERGE_ROUNDS) -> str:
 
 def _bpe_merge_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
     tail = "\n    UNION ALL ".join(
-        f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count "
-        f"FROM top{k}"
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"cnt AS pair_count FROM top{k}"
         for k in range(1, rounds + 1)
     )
     return (
