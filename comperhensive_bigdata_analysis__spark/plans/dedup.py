@@ -948,3 +948,79 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
         .orderBy(F.desc("n_shared"), "id_a", "id_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (the FineWeb/C4-style "frequency cap": no
+# single domain may contribute more than CAP documents to the corpus,
+# so boilerplate-heavy giants can't dominate the mixture). Selection is
+# deterministic and order-free: rank each source's documents by
+# (md5(doc_id), doc_id) — a stable pseudo-random priority both engines
+# compute identically, so re-runs and engine swaps keep the SAME
+# survivors (no RNG, no insertion-order dependence). The census
+# reports, per source, raw vs kept doc and token mass.
+# All-integer output.
+# 100 TB: one keyed window per source (rank over the md5 priority —
+# partitioned, never global) and one rollup. Because the census
+# reports RAW mass alongside kept mass, every row is ranked (no
+# WindowGroupLimit prune applies); a pure cap-and-keep materialization
+# would instead filter rk <= cap, where the group-limit pushdown DOES
+# prune each source to its top CAP rows before the sort completes.
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 20  # max documents any one source may contribute
+
+
+_DOMAIN_CAP_ORACLE = rf"""
+    WITH pri AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN nt ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM pri GROUP BY source ORDER BY source
+"""
+
+
+@plan("domain_cap_census", _DOMAIN_CAP_ORACLE)
+def domain_cap_census(spark, sf_dir):
+    """Per-source raw vs capped doc/token mass under the DOMAIN_CAP
+    md5-priority survivor rule (see the section comment)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    pri = d.select(
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("nt"),
+        F.row_number().over(w).alias("rk"),
+    )
+    kept = F.col("rk") <= DOMAIN_CAP
+    return (
+        pri.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias(
+                "kept_docs"
+            ),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(kept, F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
