@@ -258,13 +258,18 @@ def semdedup_dup_edges(e, salts=("",)):
     sub-bucket salts (VERDICT r7 ask #4): each salt re-splits oversize
     clusters differently, so a second (rotated) pass recovers most
     pairs the first split separated while keeping the per-pass pair
-    count linear (n * cap / 2 per salt). Returns distinct
+    count linear (n * cap / 2 per salt). The assignment + member
+    census is built ONCE — only the cheap digest sub column varies per
+    salt (structurally, not just via ReuseExchange). Returns distinct
     (cid, id_a, id_b). Measured recall per salt count:
     plans.ml.semdedup_salt_recall."""
+    assign = _assignment(e).select("vec_id", "cid")
+    mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    base = assign.join(F.broadcast(mem), "cid")
     out = None
     for salt in salts:
-        assign, _ = _assign_sub(e, salt=salt)
-        edges = _dup_edges(e, assign).select("cid", "id_a", "id_b")
+        salted = base.select("vec_id", "cid", _sub_expr(salt).alias("sub"))
+        edges = _dup_edges(e, salted).select("cid", "id_a", "id_b")
         out = edges if out is None else out.unionAll(edges)
     return out.distinct()
 
@@ -593,8 +598,14 @@ def semdedup_salt_recall(spark, sf_dir):
         .join(sb, "id_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_true"),
-            F.sum(F.when(same1, 1).otherwise(0)).cast("bigint").alias("n1"),
-            F.sum(F.when(same2, 1).otherwise(0)).cast("bigint").alias("n2"),
+            # COALESCE like the oracle: an empty truth set must yield
+            # 0, not NULL (review r8 — hash mismatch on sampled runs)
+            F.coalesce(F.sum(F.when(same1, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.coalesce(F.sum(F.when(same2, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("n2"),
         )
     )
     recall = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(

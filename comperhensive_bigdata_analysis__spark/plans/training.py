@@ -1573,6 +1573,9 @@ def _learn_bpe_merges(spark, sf_dir, rounds: int = BPE_MERGE_ROUNDS):
         ).localCheckpoint()
         _free_local_checkpoint(prev_ckpt)
         prev_ckpt = words
+    # the return value is a driver-side list — the final words
+    # checkpoint has no remaining reader either (review r8)
+    _free_local_checkpoint(prev_ckpt)
     return merges
 
 

@@ -48,3 +48,27 @@ def test_rows_only_set_matches_registry():
     artifact_rows_only = {n for n, r in rows.items() if r.get("mode") == "rows-only"}
     registry_rows_only = set(plans.QUERIES) - set(plans.ORACLES)
     assert artifact_rows_only == registry_rows_only
+
+
+def test_artifact_rows_not_stale():
+    """Review r8: every artifact row carries an md5 of the plan's
+    source + oracle SQL from when it was swept; a mismatch means the
+    committed green row is PRE-CHANGE evidence. The pre-commit hook
+    auto-resweeps up to 5 changed plans; this is the hard gate behind
+    it (rows without a hash are legacy and exempt until next sweep)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from correctness_sweep import plan_src_hash
+
+    stale = [
+        n
+        for n, r in _rows().items()
+        if n in plans.QUERIES
+        and r.get("src_hash")
+        and r["src_hash"] != plan_src_hash(n, plans)
+    ]
+    assert not stale, (
+        f"stale artifact rows (plan changed since sweep): {stale} — "
+        "run tools/correctness_sweep.py with these names"
+    )

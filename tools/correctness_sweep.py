@@ -38,6 +38,25 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 ARTIFACT = os.path.join(REPO, "CORRECTNESS_FULL.json")
 
 
+def plan_src_hash(name: str, plans) -> str | None:
+    """md5 over the plan function's source + its oracle SQL — the
+    staleness stamp (review r8): a changed plan whose artifact row
+    predates the change is detectable by hash mismatch, so the
+    pre-commit sync re-sweeps it instead of shipping pre-change
+    evidence as green. Helper-only edits (shared operators) escape
+    this net — the full per-round sweep remains the backstop."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(plans.QUERIES[name])
+    except (OSError, TypeError):
+        return None
+    return hashlib.md5(
+        (src + (plans.ORACLES.get(name) or "")).encode()
+    ).hexdigest()
+
+
 def sweep(sf_dir: str, only: list[str] | None) -> dict[str, dict]:
     from comperhensive_bigdata_analysis__spark import plans
     from comperhensive_bigdata_analysis__spark.session import get_spark
@@ -105,6 +124,7 @@ def sweep(sf_dir: str, only: list[str] | None) -> dict[str, dict]:
                 "oracle_rows": r["duck_rows"],
                 "err": None,
             }
+        out[name]["src_hash"] = plan_src_hash(name, plans)
         print(f"{r['status']:9s} {name}", flush=True)
     spark.stop()
     return out

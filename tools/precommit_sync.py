@@ -70,21 +70,37 @@ def main() -> None:
 
     full = os.path.join(REPO, "CORRECTNESS_FULL.json")
     try:
-        rows = set(json.load(open(full)))
+        rows = json.load(open(full))
     except (OSError, ValueError):
-        rows = set()
-    missing = sorted(set(plans.QUERIES) - rows)
-    extra = sorted(rows - set(plans.QUERIES))
-    if missing and len(missing) <= MAX_SWEEP and not extra:
-        if _run([sys.executable, "tools/correctness_sweep.py", *missing]):
+        rows = {}
+    missing = sorted(set(plans.QUERIES) - set(rows))
+    extra = sorted(set(rows) - set(plans.QUERIES))
+    # Staleness (review r8): a row whose src_hash no longer matches the
+    # plan's current source+oracle is pre-change evidence — re-sweep it
+    # rather than shipping it as green. Legacy rows without a hash are
+    # skipped (they gain one at their next sweep).
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from correctness_sweep import plan_src_hash
+
+    stale = sorted(
+        n
+        for n, r in rows.items()
+        if n in plans.QUERIES
+        and isinstance(r, dict)
+        and r.get("src_hash")
+        and r["src_hash"] != plan_src_hash(n, plans)
+    )
+    to_sweep = sorted(set(missing) | set(stale))
+    if to_sweep and len(to_sweep) <= MAX_SWEEP and not extra:
+        if _run([sys.executable, "tools/correctness_sweep.py", *to_sweep]):
             _git_add("CORRECTNESS_FULL.json")
         else:
             print("precommit_sync: WARNING — targeted sweep failed for "
-                  f"{missing}; CORRECTNESS_FULL.json incomplete")
-    elif missing or extra:
+                  f"{to_sweep}; CORRECTNESS_FULL.json incomplete/stale")
+    elif to_sweep or extra:
         print(f"precommit_sync: WARNING — CORRECTNESS_FULL drift too large "
-              f"to auto-fix (missing={missing[:8]} extra={extra[:8]}); "
-              "run tools/refresh_artifacts.py")
+              f"to auto-fix (missing={missing[:8]} stale={stale[:8]} "
+              f"extra={extra[:8]}); run tools/refresh_artifacts.py")
 
 
 if __name__ == "__main__":
