@@ -329,3 +329,78 @@ def hash_embed_topk(spark, sf_dir):
         .select("doc_id", "dot", "norm_sq")
     )
     return ranked
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantization error census — the standard ANN memory move
+# (4 bytes/dim -> 1) evaluated before adopting it: per-dimension scale
+# s = max|x| / 127, code q = floor(x / s), reconstruction x' = q * s.
+# Reports, per dimension, the scale, MSE, and max absolute error — the
+# numbers that decide whether int8 (or the PQ tier, pq_adc_knn) is
+# safe for the recall target.
+# Exactness: max|x| is comparison-only; x/s, floor, q*s, x - x' are
+# all IEEE-identical row math in both engines; squared errors truncate
+# to DECIMAL(28,12) before the order-free sum; MSE and the two
+# reported floats are floor-rounded 1e-6. An all-zero dimension would
+# divide by zero, so s = 0 pins q = 0 and err = x (= 0) in BOTH
+# engines via the same CASE.
+# 100 TB: the scale table is one map-side-combined MAX per dimension
+# (64 rows — broadcast-safe metadata); the error pass is a key join of
+# the component relation against it plus one aggregate. Linear, no
+# windows.
+# ---------------------------------------------------------------------------
+
+_INT8_QUANT_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    sc AS (SELECT pos, MAX(ABS(x)) / 127.0 AS s FROM v GROUP BY pos),
+    e AS (
+      SELECT v.pos,
+             CASE WHEN sc.s = 0 THEN v.x
+                  ELSE v.x - FLOOR(v.x / sc.s) * sc.s END AS err
+      FROM v JOIN sc ON v.pos = sc.pos
+    )
+    SELECT e.pos, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(ANY_VALUE(sc.s) * 1e6) / 1e6 AS scale,
+           FLOOR(CAST(SUM(CAST(err * err AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*) * 1e12) / 1e12 AS mse,
+           FLOOR(MAX(ABS(err)) * 1e6) / 1e6 AS max_abs_err
+    FROM e JOIN sc ON e.pos = sc.pos
+    GROUP BY e.pos ORDER BY e.pos
+"""
+
+
+@plan("int8_quant_error_census", _INT8_QUANT_ORACLE)
+def int8_quant_error_census(spark, sf_dir):
+    """Per-dimension int8 quantization error (see section comment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 1-based component index to match SQL array subscript convention
+    v = _exploded(emb).select(
+        (F.col("pos") + 1).cast("long").alias("pos"), "x"
+    )
+    sc = v.groupBy("pos").agg((F.max(F.abs("x")) / 127.0).alias("s"))
+    err = F.when(F.col("s") == 0, F.col("x")).otherwise(
+        F.col("x") - F.floor(F.col("x") / F.col("s")) * F.col("s")
+    )
+    e = v.join(F.broadcast(sc), "pos").select("pos", "s", err.alias("err"))
+    return (
+        e.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.floor(F.first("s") * 1e6) / 1e6).alias("scale"),
+            (
+                F.floor(
+                    F.sum((F.col("err") * F.col("err")).cast(PDEC))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * 1e12
+                )
+                / 1e12
+            ).alias("mse"),
+            (F.floor(F.max(F.abs("err")) * 1e6) / 1e6).alias("max_abs_err"),
+        )
+        .orderBy("pos")
+    )
