@@ -248,8 +248,32 @@ PICKS = {
     "winnowing_fingerprint_pairs": (
         "MOSS winnowing: char-gram hashes and window minima are all "
         "array expressions inside the scan projection (zero exchanges "
-        "until the fingerprint relation exists); the pair join keys on "
-        "the 60-bit fingerprint; top-k head, never a global sort."
+        "until the fingerprint relation exists); the df census and the "
+        "pair join share the fingerprint exchange, and the "
+        "WINNOW_MAX_DF filter drops boilerplate fingerprints so bucket "
+        "size — and with it pair mass — is bounded (the r8 probe "
+        "measured 27.6x -> 5.1x at 8x growth); top-k head, never a "
+        "global sort."
+    ),
+    "exact_substr_scrub_census": (
+        "the production scrubber driven end-to-end: span-table digest "
+        "exchanges + per-doc span collect_list, then the token filter "
+        "is a JVM higher-order expression (exists/filter/transform) "
+        "inside the scan projection — no Python stage — and the "
+        "census is one per-source rollup."
+    ),
+    "domain_cap_census": (
+        "per-source frequency cap: ONE keyed window (rank over the md5 "
+        "priority inside each source partition — never a global sort) "
+        "feeding a per-source rollup; the cap-and-keep materialization "
+        "variant filters rk <= cap, where WindowGroupLimit prunes each "
+        "group before the sort completes."
+    ),
+    "int8_quant_error_census": (
+        "quantization eval: the per-dimension scale table is 64 rows "
+        "(metadata) and broadcast; the error pass is one broadcast key "
+        "join + one map-side-combined aggregate over the component "
+        "relation — linear, no windows."
     ),
     "bigram_lm_surprisal": (
         "conditional-LM scoring from one tokenize pass: the (doc, w1, "
