@@ -905,6 +905,16 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
     module comment). Pairs need >= 3 shared fingerprints to rank;
     fingerprints in more than WINNOW_MAX_DF documents are boilerplate
     and excluded before pairing (the linearity cap — section comment)."""
+    return winnowing_pairs_at(spark, sf_dir, max_df=WINNOW_MAX_DF)
+
+
+def winnowing_pairs_at(spark, sf_dir, max_df: int | None):
+    """The winnowing pair census at an explicit df cap. ``max_df=None``
+    disables the cap — kept callable as the scale probe's measured
+    NEGATIVE CONTROL (the uncapped shape was 27.6x at 8x growth; the
+    probe re-measures it every round so the cap's value stays an
+    empirical row, not a one-time claim — same pattern as the LSH
+    fixed-band control)."""
     d = load_table(spark, sf_dir, "documents")
     g = d.filter(F.length("text") >= _WIN_K + _WIN_W - 1).select(
         "doc_id", F.lower(F.col("text")).alias("lt")
@@ -928,12 +938,11 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
             )
         ).alias("f"),
     )
-    dft = fp.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
-    rare = fp.join(
-        dft.filter(F.col("df") <= WINNOW_MAX_DF).select("f"), "f"
-    )
-    a = rare.alias("a")
-    b = rare.alias("b")
+    if max_df is not None:
+        dft = fp.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
+        fp = fp.join(dft.filter(F.col("df") <= max_df).select("f"), "f")
+    a = fp.alias("a")
+    b = fp.alias("b")
     return (
         a.join(
             b,
