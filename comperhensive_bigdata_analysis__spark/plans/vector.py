@@ -334,7 +334,10 @@ def hash_embed_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # int8 scalar-quantization error census — the standard ANN memory move
 # (4 bytes/dim -> 1) evaluated before adopting it: per-dimension scale
-# s = max|x| / 127, code q = floor(x / s), reconstruction x' = q * s.
+# s = max|x| / 127, round-to-nearest code q = floor(x / s + 0.5)
+# (the deterministic cross-engine spelling of the standard symmetric
+# SQ rounding — review r8: a floor code would inflate MSE ~4x and
+# make max_abs_err a constant ~s), reconstruction x' = q * s.
 # Reports, per dimension, the scale, MSE, and max absolute error — the
 # numbers that decide whether int8 (or the PQ tier, pq_adc_knn) is
 # safe for the recall target.
@@ -360,7 +363,7 @@ _INT8_QUANT_ORACLE = """
     e AS (
       SELECT v.pos,
              CASE WHEN sc.s = 0 THEN v.x
-                  ELSE v.x - FLOOR(v.x / sc.s) * sc.s END AS err
+                  ELSE v.x - FLOOR(v.x / sc.s + 0.5) * sc.s END AS err
       FROM v JOIN sc ON v.pos = sc.pos
     )
     SELECT e.pos, CAST(COUNT(*) AS BIGINT) AS n,
@@ -383,7 +386,7 @@ def int8_quant_error_census(spark, sf_dir):
     )
     sc = v.groupBy("pos").agg((F.max(F.abs("x")) / 127.0).alias("s"))
     err = F.when(F.col("s") == 0, F.col("x")).otherwise(
-        F.col("x") - F.floor(F.col("x") / F.col("s")) * F.col("s")
+        F.col("x") - F.floor(F.col("x") / F.col("s") + 0.5) * F.col("s")
     )
     e = v.join(F.broadcast(sc), "pos").select("pos", "s", err.alias("err"))
     return (

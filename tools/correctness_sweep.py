@@ -38,23 +38,69 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 ARTIFACT = os.path.join(REPO, "CORRECTNESS_FULL.json")
 
 
+def _called_package_functions(fn, src: str):
+    """(name, source) for every package-local function the plan body
+    calls, ONE level deep — covers thin-wrapper plans whose whole body
+    lives in a helper (winnowing_pairs_at, lsh_pairs_at; review r8)
+    and the section-shared operators, whether reached via module
+    globals or a function-local ``from ..x import y``."""
+    import importlib
+    import inspect
+    import re
+    import sys
+
+    pkg = "comperhensive_bigdata_analysis__spark"
+    mod = sys.modules.get(fn.__module__)
+    candidates: dict[str, object] = {}
+    for called in set(re.findall(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", src)):
+        candidates.setdefault(called, getattr(mod, called, None))
+    for rel, names in re.findall(
+        r"from\s+(\.[.\w]*)\s+import\s+\(?([\w,\s]+?)\)?\n", src
+    ):
+        try:
+            m = importlib.import_module(rel, package=fn.__module__.rsplit(".", 1)[0])
+        except Exception:
+            continue
+        for n in re.split(r"[,\s]+", names.strip()):
+            # overwrite, not setdefault: the call-scan above pre-seeds
+            # locally-imported names with None (module global lookup)
+            if n and candidates.get(n) is None:
+                candidates[n] = getattr(m, n, None)
+    out = []
+    for n in sorted(candidates):
+        t = candidates[n]
+        if (
+            inspect.isfunction(t)
+            and t is not fn
+            and getattr(t, "__module__", "").startswith(pkg)
+        ):
+            try:
+                out.append((n, inspect.getsource(t)))
+            except (OSError, TypeError):
+                pass
+    return out
+
+
 def plan_src_hash(name: str, plans) -> str | None:
-    """md5 over the plan function's source + its oracle SQL — the
-    staleness stamp (review r8): a changed plan whose artifact row
-    predates the change is detectable by hash mismatch, so the
-    pre-commit sync re-sweeps it instead of shipping pre-change
-    evidence as green. Helper-only edits (shared operators) escape
-    this net — the full per-round sweep remains the backstop."""
+    """md5 over the plan function's source, the sources of the
+    package-local functions it directly calls (one level), and its
+    oracle SQL — the staleness stamp (review r8): a changed plan whose
+    artifact row predates the change is detectable by hash mismatch,
+    so the pre-commit sync re-sweeps it instead of shipping pre-change
+    evidence as green. Edits two-plus call levels down still escape —
+    the full per-round sweep remains the backstop."""
     import hashlib
     import inspect
 
+    fn = plans.QUERIES[name]
     try:
-        src = inspect.getsource(plans.QUERIES[name])
+        src = inspect.getsource(fn)
     except (OSError, TypeError):
         return None
-    return hashlib.md5(
-        (src + (plans.ORACLES.get(name) or "")).encode()
-    ).hexdigest()
+    pieces = [src]
+    pieces += [s for _, s in _called_package_functions(fn, src)]
+    pieces.append(plans.ORACLES.get(name) or "")
+    return hashlib.md5("".join(pieces).encode()).hexdigest()
 
 
 def sweep(sf_dir: str, only: list[str] | None) -> dict[str, dict]:
