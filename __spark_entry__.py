@@ -34,10 +34,17 @@ from comperhensive_bigdata_analysis__spark import plans as _plans
 #: on disk, the rotation happens automatically the moment the driver
 #: lands a new artifact — pytest stays green at every round boundary
 #: (the r6 failure mode: a hard-coded window going stale the instant
-#: CORRECTNESS_r06.json was written). Every window plan is oracled
-#: (strong hash check, never rows-only); the full catalog is still
-#: returned and the local DuckDB gate covers everything the window
-#: doesn't.
+#: CORRECTNESS_r06.json was written). Since round 9 the eligible pool
+#: is ALL registered plans, not just the oracled ones (VERDICT r8 ask
+#: #1): the four documented rows-only sketch plans were invisible to
+#: the old `oracled`-only rule and so collected zero external driver
+#: evidence across eight rounds — the driver harness records a weaker
+#: rows-count check for plans absent from ``oracle_sql()``, which is
+#: still external evidence worth having once. They enter as
+#: first-exposure candidates and rotate on the same last-seen rule as
+#: everything else; the full catalog is still returned and the local
+#: DuckDB gate (plus the TOL_CHECKS tolerance contracts) covers
+#: everything the window doesn't.
 
 _WINDOW_SIZE = 50
 
@@ -77,13 +84,15 @@ def _compute_window(
     if root is None:
         root = _pathlib.Path(__file__).resolve().parent
     last_seen = _artifact_rounds(root)
-    oracled = set(_plans.ORACLES)
-    window = [n for n in _ANCHORS if n in oracled]
-    fresh = sorted(n for n in oracled if n not in last_seen and n not in window)
+    eligible = set(_plans.QUERIES)
+    window = [n for n in _ANCHORS if n in eligible]
+    fresh = sorted(
+        n for n in eligible if n not in last_seen and n not in window
+    )
     window += fresh[: size - len(window)]
     if len(window) < size:
         stale_first = sorted(
-            (n for n in oracled if n not in window),
+            (n for n in eligible if n not in window),
             key=lambda n: (last_seen.get(n, -1), n),
         )
         window += stale_first[: size - len(window)]
