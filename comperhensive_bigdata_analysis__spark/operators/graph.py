@@ -43,13 +43,37 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     graph that lets O(iterations) rank vectors pile up in executor
     storage. The checkpointed RDD is reachable as the LogicalRDD leaf's
     ``rdd`` field; unpersisting THAT frees the blocks. Best-effort by
-    design: on a non-checkpointed frame (or if the internal shape ever
-    moves) this is a silent no-op and correctness is unaffected.
+    design: a non-checkpointed frame (the plan leaf is not a
+    LogicalRDD, e.g. a loop's round-0 seed) is an EXPECTED no-op and
+    returns quietly; but when the frame IS a checkpointed LogicalRDD
+    and the free path still throws (Spark Connect, an internal
+    plan-shape change, a Spark upgrade), a ONE-TIME warning is emitted
+    so the silent return of O(iterations) checkpoint accumulation is
+    visible (ADVICE r8); the pytest canary on version bumps is
+    test_iterative_loops_free_superseded_checkpoints (test_graph.py).
     """
+    global _FREE_WARNED
     try:
-        df._jdf.queryExecution().logical().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — cleanup must never fail the job
-        pass
+        logical = df._jdf.queryExecution().logical()
+        if logical.getClass().getSimpleName() != "LogicalRDD":
+            return  # not a checkpointed frame — expected no-op, no warn
+        logical.rdd().unpersist(False)
+    except Exception as exc:  # noqa: BLE001 — cleanup must never fail the job
+        if not _FREE_WARNED:
+            _FREE_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "_free_local_checkpoint could not reach the checkpointed "
+                f"RDD ({type(exc).__name__}: {exc}); superseded loop "
+                "checkpoints will accumulate until driver GC. Internal "
+                "plan shape may have moved (Spark upgrade / Connect).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+
+_FREE_WARNED = False
 
 
 def connected_components(

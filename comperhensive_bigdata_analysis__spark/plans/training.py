@@ -1123,9 +1123,9 @@ UNIMAX_EPOCH_CAP = 2  # max epochs over any single language's corpus
 _UNIMAX_ORACLE = rf"""
     WITH RECURSIVE cap AS (
       SELECT lang,
-             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+             COALESCE(CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
-                      END) AS BIGINT) AS c
+                      END) AS BIGINT), 0) AS c
       FROM documents GROUP BY lang
     ),
     tot AS (
@@ -1170,12 +1170,19 @@ def unimax_language_budget(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     cap = (
         d.groupBy("lang")
-        .agg(F.sum(token_count(F.col("text"))).cast("bigint").alias("c"))
+        # COALESCE: a language whose documents are all NULL-text sums
+        # to NULL; degrade to capacity 0 like the oracle's cap CTE
+        # instead of TypeError-ing on int(None) below (ADVICE r8).
+        .agg(
+            F.coalesce(F.sum(token_count(F.col("text"))), F.lit(0))
+            .cast("bigint")
+            .alias("c")
+        )
         .collect()  # |languages| rows — metadata-sized by construction
     )
     e = UNIMAX_EPOCH_CAP
     rows = sorted(
-        ((r["lang"], int(r["c"])) for r in cap),
+        ((r["lang"], int(r["c"] or 0)) for r in cap),
         key=lambda t: (t[1] * e, t[0]),
     )
     total = sum(c for _, c in rows)

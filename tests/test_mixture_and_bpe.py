@@ -93,3 +93,47 @@ def test_bpe_fertility_tracks_merge_table(spark, sf_dir):
         assert r["n_words"] == nw  # application never drops words
         assert nw <= r["n_units"] <= nc  # merges only shrink, floor 1/word
         assert 1.0 <= r["units_per_word"] <= nc / nw
+
+
+def test_unimax_null_text_language_degrades_to_zero(spark, tmp_path):
+    """ADVICE r8: a language whose documents are ALL NULL-text used to
+    TypeError on int(None) while the DuckDB oracle degraded to NULL
+    rows. Both engines must now agree on capacity 0 for that language
+    (COALESCE on both sides)."""
+    import duckdb
+
+    from comperhensive_bigdata_analysis__spark import plans
+
+    rows = [(1, None, "xx", "s", 0), (2, None, "xx", "s", 0)]
+    rows += [(10 + i, "alpha beta gamma", "en", "s", 16) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["lang"]: r
+        for r in plans.QUERIES["unimax_language_budget"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["xx"]["capacity_tokens"] == 0
+    assert got["xx"]["alloc_tokens"] == 0
+    assert got["xx"]["epochs"] == 0.0
+    assert got["en"]["capacity_tokens"] == 15
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}/*.parquet'"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(plans.ORACLES["unimax_language_budget"]).fetchall()
+    }
+    con.close()
+    assert oracle["xx"][1] == 0 and oracle["xx"][3] == 0
+    assert oracle["en"][1] == 15
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in oracle.items()
+    }

@@ -17,6 +17,12 @@ Anything it rewrites is `git add`-ed so the fix rides the same commit.
 It NEVER exits non-zero: a broken sync must not wedge the driver's
 end-of-round snapshot — pytest's doc-count guards remain the hard gate.
 
+Opt-out (ADVICE r8): ``SKIP_PLAN_SYNC=1 git commit ...`` skips the sync
+entirely — the Spark work (scale_audit ~40 s, each targeted sweep
+~30-90 s) is a surprising side effect for a doc-only commit, so the
+hook now prints what it is about to run and its expected duration
+before launching anything.
+
 Install (idempotent; .git/ persists across rounds):
 
     cp tools/hooks/pre-commit .git/hooks/pre-commit
@@ -62,6 +68,9 @@ def main() -> None:
     audit = os.path.join(REPO, "SCALE_AUDIT.md")
     m = re.search(r"Catalog totals: (\d+) plans", open(audit).read())
     if not m or int(m.group(1)) != n:
+        print("precommit_sync: SCALE_AUDIT.md plan count stale — rerunning "
+              "tools/scale_audit.py (one local Spark session, ~40 s; "
+              "SKIP_PLAN_SYNC=1 to skip)", flush=True)
         if _run([sys.executable, "tools/scale_audit.py"]):
             _git_add("SCALE_AUDIT.md")
         else:
@@ -92,6 +101,10 @@ def main() -> None:
     )
     to_sweep = sorted(set(missing) | set(stale))
     if to_sweep and len(to_sweep) <= MAX_SWEEP and not extra:
+        print(f"precommit_sync: {len(to_sweep)} missing/stale artifact "
+              f"row(s) {to_sweep} — running targeted correctness sweep "
+              f"(~30-90 s per plan at sf0.01; SKIP_PLAN_SYNC=1 to skip)",
+              flush=True)
         if _run([sys.executable, "tools/correctness_sweep.py", *to_sweep]):
             _git_add("CORRECTNESS_FULL.json")
         else:
@@ -104,7 +117,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 — never block a commit
-        print(f"precommit_sync: WARNING — sync skipped ({e})")
+    if os.environ.get("SKIP_PLAN_SYNC") == "1":
+        print("precommit_sync: skipped (SKIP_PLAN_SYNC=1)")
+    else:
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001 — never block a commit
+            print(f"precommit_sync: WARNING — sync skipped ({e})")
