@@ -1,0 +1,132 @@
+"""Adjudicate the two newest COMMITTED bench artifacts (VERDICT r8 #4).
+
+The >15% round-over-round flag rule (VERDICT r7 ask #5) was applied to
+builder-local runs only, so the committed BENCH_r{N}.json pair — which
+lands after the round's last commit and is the number of record — went
+unannotated (r8: q5 +19%, q6 +24% on untouched plans, no verdict on
+file). This tool closes that gap: run it at ROUND START, it diffs the
+two newest committed BENCH_r*.json per-query medians and rewrites a
+generated section at the top of BENCH_NOTES.md with the delta table
+and a per-row verdict:
+
+  ok        |delta| <= 15%
+  band      >15% but within 15pp of the run-wide median drift — a
+            correlated host-state move, one environment datum, not a
+            per-plan regression (the r7/r8 adjudication rule)
+  FLAG      >15% and OUTSIDE the correlated band — needs a written
+            builder adjudication in the paragraph below the table
+
+The section is idempotent per pair (re-running replaces it). Only the
+committed artifacts are read — never a local rerun — so the verdicts
+always refer to the driver's numbers of record.
+
+Usage: python tools/bench_compare.py  (from anywhere; paths repo-rooted)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SECTION_RE = re.compile(
+    r"## Committed pair r\d+ vs r\d+ \(generated\).*?(?=\n## |\Z)", re.S
+)
+FLAG_PCT = 15.0  # |delta| above this needs a verdict
+BAND_PP = 15.0  # distance from the median drift still "correlated"
+
+
+def _queries(path: str) -> dict[str, float]:
+    art = json.load(open(path))
+    inner = art.get("parsed")
+    if not inner:
+        tail = art.get("tail", "")
+        i = tail.rfind('{"metric"')
+        inner = json.loads(tail[i:]) if i >= 0 else {}
+    return dict(inner.get("queries", {}))
+
+
+def newest_pair() -> tuple[str, str]:
+    arts = sorted(
+        f for f in os.listdir(REPO) if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    if len(arts) < 2:
+        raise SystemExit("need two committed BENCH_r*.json artifacts")
+    return arts[-2], arts[-1]
+
+
+def build_section(old_name: str, new_name: str) -> str:
+    old, new = _queries(os.path.join(REPO, old_name)), _queries(
+        os.path.join(REPO, new_name)
+    )
+    common = sorted(set(old) & set(new), key=lambda q: (len(q), q))
+    deltas = {q: (new[q] - old[q]) / old[q] * 100 for q in common if old[q]}
+    med = statistics.median(deltas.values()) if deltas else 0.0
+    ro = re.search(r"r(\d+)", old_name).group(1).lstrip("0")
+    rn = re.search(r"r(\d+)", new_name).group(1).lstrip("0")
+    lines = [
+        f"## Committed pair r{ro} vs r{rn} (generated)",
+        "",
+        f"tools/bench_compare.py over the committed {old_name} /"
+        f" {new_name} medians (the numbers of record). Run-wide median"
+        f" drift {med:+.1f}% — verdicts: ok (<=15%), band (correlated"
+        f" with the run-wide drift; one environment datum), FLAG (needs"
+        f" the builder adjudication below).",
+        "",
+        f"| query | r{ro} (s) | r{rn} (s) | delta | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    flags = []
+    for q in common:
+        d = deltas.get(q)
+        if d is None:
+            continue
+        if abs(d) <= FLAG_PCT:
+            verdict = "ok"
+        elif abs(d - med) <= BAND_PP:
+            verdict = "band"
+        else:
+            verdict = "**FLAG**"
+            flags.append(q)
+        lines.append(
+            f"| {q} | {old[q]:.3f} | {new[q]:.3f} | {d:+.1f}% | {verdict} |"
+        )
+    only = sorted((set(old) ^ set(new)) & (set(old) | set(new)))
+    new_rows = sorted(set(new) - set(old))
+    gone_rows = sorted(set(old) - set(new))
+    if new_rows:
+        lines.append(f"\nNew rows in r{rn} (no pair): {', '.join(new_rows)}.")
+    if gone_rows:
+        lines.append(f"\nRows dropped in r{rn}: {', '.join(gone_rows)}.")
+    if flags:
+        lines.append(
+            f"\n**FLAGged rows ({', '.join(flags)}): builder adjudication"
+            f" required — keep the written verdict directly below this"
+            f" section.**"
+        )
+    else:
+        lines.append("\nNo rows FLAGged outside the correlated band.")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    old_name, new_name = newest_pair()
+    section = build_section(old_name, new_name)
+    notes_path = os.path.join(REPO, "BENCH_NOTES.md")
+    text = open(notes_path).read()
+    if SECTION_RE.search(text):
+        text = SECTION_RE.sub(lambda _: section, text, count=1)
+    else:
+        # insert after the standing-file preamble (before the first ##)
+        i = text.find("\n## ")
+        text = text[: i + 1] + section + "\n" + text[i + 1 :]
+    open(notes_path, "w").write(text)
+    print(f"BENCH_NOTES.md: committed pair {old_name} vs {new_name} written")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
