@@ -228,3 +228,54 @@ def test_semdedup_salt_union_matches_recall_flags(spark, sf_dir):
     assert n1 == rows["salts_1"]["n_found"]
     assert n2 == rows["salts_2"]["n_found"]
     assert rows["salts_2"]["recall"] >= rows["salts_1"]["recall"]
+
+
+def test_winnowing_cap_keeps_planted_pairs_in_boilerplate_swamp(spark, tmp_path):
+    """The recall-on-true-copies evidence for the WINNOW_MAX_DF cap
+    (VERDICT r8 ask #6): 40 documents all share the SAME boilerplate
+    header/footer (df = 40 >> cap, so every boilerplate fingerprint is
+    dropped), and five pairs additionally share a distinct planted
+    passage (df = 2 <= cap, so passage fingerprints survive). The
+    capped census must rank EXACTLY the five planted pairs — the cap
+    removes the boilerplate cross-product (uncapped, all C(40,2) = 780
+    pairs would clear the >= 3 bar) without losing one true copy pair."""
+    from comperhensive_bigdata_analysis__spark import plans
+    from comperhensive_bigdata_analysis__spark.plans.dedup import (
+        WINNOW_MAX_DF,
+        winnowing_pairs_at,
+    )
+
+    boiler = "zzzz1zzzz zzzz2zzzz zzzz3zzzz zzzz4zzzz"  # shared by ALL docs
+    passage_letters = "KLMNO"
+    rows = []
+    for doc_id in range(40):
+        body = f"u{doc_id:02d}u " * 6  # per-doc unique filler
+        if doc_id < 10:  # five planted pairs: (0,1) (2,3) ... (8,9)
+            u = passage_letters[doc_id // 2]
+            body += " ".join(f"{u * 4}{d}{u * 4}" for d in "123")
+        rows.append((doc_id, f"{boiler} {body} {boiler}", "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in plans.QUERIES["winnowing_fingerprint_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)}
+    # the swamp premise holds: uncapped, the boilerplate cross-product
+    # swamps the census (hits the top-20 limit with non-planted pairs)
+    uncapped = winnowing_pairs_at(spark, str(tmp_path), max_df=None).collect()
+    assert len(uncapped) == 20
+    assert {(r["id_a"], r["id_b"]) for r in uncapped} - got
+    # and the oracled survival eval sees the same counts: 780 uncapped
+    # pairs, 5 kept -> 5 * 1e6 DIV 780 = 6410 ppm
+    ev = plans.QUERIES["winnowing_cap_recall"](spark, str(tmp_path)).collect()[0]
+    assert ev["max_df"] == WINNOW_MAX_DF
+    assert ev["n_true_pairs"] == 780
+    assert ev["n_kept_pairs"] == 5
+    assert ev["recall_ppm"] == 5 * 1000000 // 780
