@@ -206,8 +206,62 @@ _SEMDEDUP_CTE = f"""
     )
 """
 
+#: Sub-bucket digest salts for the CENSUS pass (round-9 decision,
+#: VERDICT r8 ask #3): the measured semdedup_salt_recall numbers are
+#: 0.494 -> 0.775 at sf0.01 and 0.163 -> 0.312 at sf0.1 going from 1
+#: salt to the 2-salt union — recall roughly DOUBLES for ~2x the
+#: (linear, n*cap/2-bounded) pair cost, so the census runs both salts.
+#: The greedy plan deliberately stays at 1 salt: see its section
+#: comment (the sequential walk needs each vector in exactly ONE
+#: bucket; a 2-salt union would force per-CLUSTER walks and break the
+#: bounded-group applyInPandas contract).
+SEMDEDUP_SALTS = ("", "r1")
+
+
+def _salted_dup_ctes(salts) -> str:
+    """Per-salt a3/p/dup CTE chain + the distinct union ``dup`` CTE —
+    the oracle twin of ``semdedup_dup_edges(e, salts)`` (same md5
+    digest, same (cid, sub) pair scope per salt, distinct on
+    (cid, id_a, id_b) across salts)."""
+    parts = []
+    for i, salt in enumerate(salts):
+        lit = f"'{salt}' || " if salt else ""
+        parts.append(f"""
+    a3_{i} AS (
+      SELECT a2.vec_id, a2.cid,
+             CAST('0x' || substr(md5({lit}CAST(a2.vec_id AS VARCHAR)),
+                                 1, 8) AS BIGINT)
+               % CAST(CEIL(mem.n_members / {SEMDEDUP_MAX_CLUSTER}.0)
+                      AS BIGINT) AS sub
+      FROM a2 JOIN mem ON a2.cid = mem.cid
+    ),
+    p_{i} AS (
+      SELECT aa.cid AS cid, a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(a.x * a.x AS DECIMAL(28,12))) AS DOUBLE) AS sq_a,
+             CAST(SUM(CAST(b.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sq_b
+      FROM v a
+      JOIN v b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      JOIN a3_{i} aa ON aa.vec_id = a.vec_id
+      JOIN a3_{i} ab ON ab.vec_id = b.vec_id
+                AND ab.cid = aa.cid AND ab.sub = aa.sub
+      GROUP BY 1, 2, 3
+    ),
+    dup_{i} AS (
+      SELECT cid, id_a, id_b FROM p_{i}
+      WHERE dot / (sqrt(sq_a) * sqrt(sq_b)) >= {SEMDEDUP_THRESH}
+    )""")
+    union = " UNION ".join(
+        f"SELECT cid, id_a, id_b FROM dup_{i}" for i in range(len(salts))
+    )
+    return ",".join(parts) + f",\n    dup AS ({union})"
+
+
 _SEMDEDUP_ORACLE = f"""
-    WITH {_SEMDEDUP_CTE}
+    WITH {_ASSIGN_CTE},
+    a2 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid),
+    {_salted_dup_ctes(SEMDEDUP_SALTS)}
     SELECT mem.cid AS cluster,
            CAST(mem.n_members AS BIGINT) AS n_members,
            CAST(COALESCE(dd.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
@@ -253,7 +307,7 @@ def _assign_sub(e, salt: str = ""):
     ), mem
 
 
-def semdedup_dup_edges(e, salts=("",)):
+def semdedup_dup_edges(e, salts=None):
     """Production duplicate-edge list, unioned over one or more
     sub-bucket salts (VERDICT r7 ask #4): each salt re-splits oversize
     clusters differently, so a second (rotated) pass recovers most
@@ -262,9 +316,19 @@ def semdedup_dup_edges(e, salts=("",)):
     census is built ONCE — only the cheap digest sub column varies per
     salt (structurally, not just via ReuseExchange). Returns distinct
     (cid, id_a, id_b). Measured recall per salt count:
-    plans.ml.semdedup_salt_recall."""
+    plans.ml.semdedup_salt_recall. Default = SEMDEDUP_SALTS (the r9
+    2-salt decision)."""
+    if salts is None:
+        salts = SEMDEDUP_SALTS
     assign = _assignment(e).select("vec_id", "cid")
     mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return _dup_edges_union(e, assign, mem, salts)
+
+
+def _dup_edges_union(e, assign, mem, salts):
+    """The salted-union edge body of ``semdedup_dup_edges``, split out
+    so callers that already hold (assign, mem) — the census — don't
+    rebuild the assignment a second time."""
     base = assign.join(F.broadcast(mem), "cid")
     out = None
     for salt in salts:
@@ -314,20 +378,24 @@ def _dup_edges(e, assign):
 @plan("semantic_dedup_census", _SEMDEDUP_ORACLE)
 def semantic_dedup_census(spark, sf_dir):
     """Per-cluster semantic-dedup census: members, duplicate pairs
-    (cosine >= 0.35 within the cluster's sub-buckets only), vectors
+    (cosine >= 0.35 within the cluster's sub-buckets, unioned over the
+    SEMDEDUP_SALTS rotated re-splits — the r9 2-salt decision, see the
+    constant's comment for the measured recall numbers), vectors
     pruned by the any-lower-id-duplicate rule, and survivors.
 
     100 TB: the only broadcasts are K-row tables; assignment is one
     grouped reduction per vector; the pair join's equality key is
     (pos, cid, sub) so candidates never leave their sub-bucket, and
-    the SEMDEDUP_MAX_CLUSTER re-split caps the pair count at n*cap/2 —
-    linear in corpus size. The census output is K rows. The pruning
-    rule here upper-bounds the sequential greedy; see
-    semantic_dedup_greedy for the exact greedy census.
+    the SEMDEDUP_MAX_CLUSTER re-split caps the pair count at n*cap/2
+    PER SALT — linear in corpus size, x|salts| passes. The census
+    output is K rows. The pruning rule here upper-bounds the
+    sequential greedy; see semantic_dedup_greedy for the exact greedy
+    census.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    assign, mem = _assign_sub(e)
-    dup = _dup_edges(e, assign)
+    assign = _assignment(e).select("vec_id", "cid")
+    mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    dup = _dup_edges_union(e, assign, mem, SEMDEDUP_SALTS)
     dd = dup.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.countDistinct("id_b").alias("n_pruned"),
@@ -360,6 +428,17 @@ def semantic_dedup_census(spark, sf_dir):
 # embarrassingly parallel across buckets no matter the corpus size.
 # The oracle replays the same walk as a DuckDB recursive CTE carrying
 # the kept-id list bucket-by-bucket in vec_id rank order.
+#
+# SALT DECISION (r9, VERDICT r8 ask #3): the greedy deliberately stays
+# at ONE salt while the census runs the 2-salt union. The sequential
+# keep-first walk is only well-defined over a PARTITION of the
+# vectors — each vector in exactly one bucket, walked in ascending id.
+# Under a 2-salt edge union a vector participates in two bucketings,
+# so the walk would have to run per CLUSTER over the union edges, and
+# cluster sizes are unbounded — exactly the unbounded applyInPandas
+# group the re-split exists to prevent. 1 salt keeps the bounded-group
+# contract; the recall cost is measured and committed
+# (semdedup_salt_recall: 0.494 vs 0.775 at sf0.01).
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_GREEDY_ORACLE = f"""

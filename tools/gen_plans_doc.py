@@ -181,14 +181,24 @@ PICKS = {
         "SemDeDup scale shape: K-row centroid broadcast for assignment, "
         "K-row size table broadcast for the md5 sub-bucket re-split, "
         "then the pair join keyed on (pos, cid, sub) — candidates never "
-        "leave a <=48-member bucket, so total pairs are n*cap/2, linear "
-        "in corpus size (probed 1.66x at 8x data)."
+        "leave a <=48-member bucket, so total pairs are n*cap/2 per "
+        "salt, linear in corpus size. r9 SALT DECISION (measured by the "
+        "oracled semdedup_salt_recall plan): recall of true "
+        "within-cluster dup pairs is 0.494 at 1 salt vs 0.775 at the "
+        "2-salt union at sf0.01 (0.163 vs 0.312 at sf0.1) — recall "
+        "roughly doubles for ~2x the linear pair cost, so the census "
+        "runs SEMDEDUP_SALTS = ('', 'r1') and its oracle derives the "
+        "same distinct 2-salt union in SQL."
     ),
     "semantic_dedup_greedy": (
         "same edge pipeline as the census, then a grouped applyInPandas "
         "walk per capped bucket — sequential inside <=48 members, "
         "parallel across every bucket; only edge-participants cross the "
-        "Arrow boundary, everyone else never leaves the JVM."
+        "Arrow boundary, everyone else never leaves the JVM. Stays at 1 "
+        "salt by decision (r9): the keep-first walk needs each vector "
+        "in exactly ONE bucket; a 2-salt union would force unbounded "
+        "per-cluster groups — the recall cost is the committed "
+        "semdedup_salt_recall delta."
     ),
     "shipping_priority_topk": (
         "TPC-H Q3: lineitem collapses to per-order decimal partials "
