@@ -165,13 +165,23 @@ def exact_substr_span_table(docs: DataFrame, id_col: str,
     sh = tk.select("doc_id", F.explode(windows).alias("x")).select(
         "doc_id", F.col("x.pos").alias("pos"), F.col("x.dg").alias("dg")
     )
-    freq = (
-        sh.groupBy("dg")
-        .agg(F.count(F.lit(1)).alias("f"))
+    # Corpus-duplicated windows via ONE digest-keyed window count, not
+    # the groupBy-then-join-back shape: the r9 profile showed the old
+    # shape's "reused" digest exchange never fired at runtime (the freq
+    # leg prunes to dg-only while the join leg carries (doc_id, pos),
+    # so the exchanges differ and the tokenize+md5 shingle scan — the
+    # most expensive stage — executed TWICE). The window shape shuffles
+    # the shingle mass once, counts within each dg partition, and
+    # filters in place: sf0.1 census 3.09s -> 1.43s, 8x probe ratio
+    # 3.26x -> 2.35x, output identical. A mega-duplicated digest just
+    # raises one partition's count — no pair blowup, spill-safe sort.
+    dup = (
+        sh.withColumn(
+            "f", F.count(F.lit(1)).over(Window.partitionBy("dg"))
+        )
         .filter(F.col("f") > 1)
-        .select("dg")
+        .select("doc_id", "pos")
     )
-    dup = sh.join(freq, "dg").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_max = F.max("pos").over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
