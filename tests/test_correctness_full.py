@@ -72,3 +72,29 @@ def test_artifact_rows_not_stale():
         f"stale artifact rows (plan changed since sweep): {stale} — "
         "run tools/correctness_sweep.py with these names"
     )
+
+
+def test_src_hash_closure_is_transitive():
+    """ADVICE r8: the one-level callee scan let a helper edit two calls
+    down (exact_substr_scrub_census -> exact_substr_scrub ->
+    exact_substr_span_table) ship pre-change artifact rows as green —
+    the r9 live case. Pin the transitive walk on exactly that chain,
+    plus a thin-wrapper plan whose body is one helper call."""
+    import inspect
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from correctness_sweep import _callee_closure
+
+    fn = plans.QUERIES["exact_substr_scrub_census"]
+    names = {k for k, _ in _callee_closure(fn, inspect.getsource(fn))}
+    assert any(k.endswith(".exact_substr_scrub") for k in names), names
+    assert any(k.endswith(".exact_substr_span_table") for k in names), (
+        "two-level helper missing from the closure"
+    )
+    wfn = plans.QUERIES["winnowing_fingerprint_pairs"]
+    wnames = {k for k, _ in _callee_closure(wfn, inspect.getsource(wfn))}
+    assert any(k.endswith(".winnowing_pairs_at") for k in wnames)
+    assert any(k.endswith("._winnow_fingerprints") for k in wnames), (
+        "helper below the thin wrapper missing from the closure"
+    )

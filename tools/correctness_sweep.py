@@ -39,11 +39,10 @@ ARTIFACT = os.path.join(REPO, "CORRECTNESS_FULL.json")
 
 
 def _called_package_functions(fn, src: str):
-    """(name, source) for every package-local function the plan body
-    calls, ONE level deep — covers thin-wrapper plans whose whole body
-    lives in a helper (winnowing_pairs_at, lsh_pairs_at; review r8)
-    and the section-shared operators, whether reached via module
-    globals or a function-local ``from ..x import y``."""
+    """(name, function, source) for every package-local function the
+    given function's body calls, ONE level deep — whether reached via
+    module globals or a function-local ``from ..x import y``. The
+    transitive walk lives in ``_callee_closure``."""
     import importlib
     import inspect
     import re
@@ -75,20 +74,47 @@ def _called_package_functions(fn, src: str):
             and getattr(t, "__module__", "").startswith(pkg)
         ):
             try:
-                out.append((n, inspect.getsource(t)))
+                out.append((n, t, inspect.getsource(t)))
             except (OSError, TypeError):
                 pass
     return out
 
 
+def _callee_closure(fn, src: str):
+    """(qualified_name, source) for the TRANSITIVE closure of
+    package-local functions reachable from the plan body (ADVICE r8:
+    the one-level scan shipped pre-change rows as green when a helper
+    two-plus calls down changed — live case: exact_substr_scrub_census
+    -> exact_substr_scrub -> exact_substr_span_table). Cycle-guarded by
+    function identity; sorted by qualified name so the hash is stable
+    across walk order."""
+    seen_fns = {fn}
+    closure: dict[str, str] = {}
+    stack = [(fn, src)]
+    while stack:
+        f, s = stack.pop()
+        for _, callee, csrc in _called_package_functions(f, s):
+            if callee in seen_fns:
+                continue
+            seen_fns.add(callee)
+            key = f"{callee.__module__}.{callee.__qualname__}"
+            closure[key] = csrc
+            stack.append((callee, csrc))
+    return sorted(closure.items())
+
+
 def plan_src_hash(name: str, plans) -> str | None:
-    """md5 over the plan function's source, the sources of the
-    package-local functions it directly calls (one level), and its
-    oracle SQL — the staleness stamp (review r8): a changed plan whose
-    artifact row predates the change is detectable by hash mismatch,
-    so the pre-commit sync re-sweeps it instead of shipping pre-change
-    evidence as green. Edits two-plus call levels down still escape —
-    the full per-round sweep remains the backstop."""
+    """md5 over the plan function's source, the sources of the full
+    TRANSITIVE closure of package-local functions it calls (ADVICE r8:
+    one level missed helpers two-plus calls down), and its oracle SQL —
+    the staleness stamp (review r8): a changed plan whose artifact row
+    predates the change is detectable by hash mismatch, so the
+    pre-commit sync re-sweeps it instead of shipping pre-change
+    evidence as green. Remaining blind spot (documented, not closed):
+    module-level CONSTANTS a helper reads aren't hashed unless some
+    function's source changed too — constants in this package always
+    ride next to the functions that use them, and the full per-round
+    sweep remains the backstop."""
     import hashlib
     import inspect
 
@@ -98,7 +124,7 @@ def plan_src_hash(name: str, plans) -> str | None:
     except (OSError, TypeError):
         return None
     pieces = [src]
-    pieces += [s for _, s in _called_package_functions(fn, src)]
+    pieces += [s for _, s in _callee_closure(fn, src)]
     pieces.append(plans.ORACLES.get(name) or "")
     return hashlib.md5("".join(pieces).encode()).hexdigest()
 

@@ -331,10 +331,13 @@ def main() -> None:
             "  ratio pins the fanout constant, not a growth term.\n"
             "- exact_substr_spans emits ~1 digest row per token\n"
             "  (stride-1 16-token windows, md5-keyed so shingle\n"
-            "  STRINGS never shuffle); frequency count and join-back\n"
-            "  share the digest exchange, and the island merge is one\n"
-            "  window pass inside the per-doc partitioning — linear,\n"
-            "  with the fanout constant pinned here.\n"
+            "  STRINGS never shuffle); since r9 the corpus-duplicate\n"
+            "  test is ONE window count partitioned by digest (the old\n"
+            "  groupBy+join-back shape claimed exchange reuse that the\n"
+            "  executed plan showed never fired, so the shingle scan\n"
+            "  ran twice), and the island merge is one window pass\n"
+            "  inside the per-doc partitioning — linear, one shuffle\n"
+            "  of the digest mass, fanout constant pinned here.\n"
             "- bigram_lm_surprisal builds its (doc, w1, w2) partial in\n"
             "  one tokenize pass and re-aggregates it into the bigram\n"
             "  model and the w1 marginal; scoring joins by key (the\n"
@@ -359,10 +362,24 @@ def main() -> None:
             "  document frequency exceeds WINNOW_MAX_DF before pairing\n"
             "  (boilerplate substrings are not pairwise-copy evidence),\n"
             "  bounding per-fingerprint bucket size so pair mass is\n"
-            "  linear; the [uncapped] row is its NEGATIVE CONTROL — the\n"
-            "  Zipfian-bucket m^2/2 pair blowup (27.6x at 8x when first\n"
-            "  measured in round 8), re-measured every round for the\n"
-            "  same canary purpose as the fixed-band LSH row.\n"
+            "  linear — the r9 decomposition measured pair mass growing\n"
+            "  SUB-linearly (4.9x at 8x data: the fixed cap binds harder\n"
+            "  on a larger corpus), pinning the old 5.16x probe row on\n"
+            "  the REPEATED fingerprint scan, not pairs. Since r9 the\n"
+            "  fingerprint frame is materialized once (localCheckpoint)\n"
+            "  and the capped pair stage explodes per-fingerprint\n"
+            "  sorted doc lists (buffers bounded at cap elements, the\n"
+            "  df filter precedes the collect). The [uncapped] row is\n"
+            "  its NEGATIVE CONTROL — the Zipfian-bucket m^2/2 pair\n"
+            "  blowup (27.6x at 8x when first measured in round 8),\n"
+            "  kept on the self-join shape (group-lists would\n"
+            "  materialize unbounded arrays) and re-measured every\n"
+            "  round for the same canary purpose as the fixed-band LSH\n"
+            "  row.\n"
+            "- semantic_dedup_census runs the r9 2-salt sub-bucket\n"
+            "  union (measured recall 0.494 -> 0.775 at sf0.01, see\n"
+            "  PLANS.md): ~2x the linear per-salt pair cost, assignment\n"
+            "  built once for both salts.\n"
         )
     print("wrote SCALE_PROBE.md")
     spark.stop()
