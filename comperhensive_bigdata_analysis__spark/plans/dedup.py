@@ -917,15 +917,14 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
 
 
 def _winnow_fingerprints(spark, sf_dir):
-    """(doc_id, f) winnowing fingerprint pairs — the shared first pass.
-    Materialized ONCE via ``localCheckpoint`` by every consumer below:
-    the r8 shape re-executed this text scan + md5 transform on each of
-    the plan's legs (df census, join, self-join a, self-join b), and
-    the r9 scale-probe decomposition showed that repeated scan — not
-    pair mass, which grows SUB-linearly under the fixed cap (4.9x at 8x
-    data: the cap binds harder on a larger corpus) — was the whole
-    super-3x share of the 5.16x probe row. Same per-round
-    materialize-and-move-on pattern as the pagerank/BPE loops."""
+    """(doc_id, f) winnowing fingerprint rows — the shared first pass,
+    fully declarative (no checkpoint: an eager materialization here ran
+    Spark jobs at plan-CONSTRUCTION time and hid the parquet scan
+    behind a LogicalRDD leaf, blinding the scan-reuse audit — r9 review
+    finding). The capped consumer executes this scan exactly once by
+    plan shape (window count, see ``_winnow_pair_counts``); the
+    uncapped self-join control recomputes it per side, which is part of
+    what that negative control measures."""
     d = load_table(spark, sf_dir, "documents")
     g = d.filter(F.length("text") >= _WIN_K + _WIN_W - 1).select(
         "doc_id", F.lower(F.col("text")).alias("lt")
@@ -948,7 +947,7 @@ def _winnow_fingerprints(spark, sf_dir):
                 )
             )
         ).alias("f"),
-    ).localCheckpoint()
+    )
 
 
 #: Pair explosion over a per-fingerprint sorted doc list: (docs[i],
@@ -964,14 +963,18 @@ def _winnow_pair_counts(spark, sf_dir, max_df: int | None):
     fingerprints, NOT limited — the census head and the recall eval
     both build on this. Two physical shapes on purpose:
 
-    - capped: df census -> keep f with df <= cap -> groupBy f
-      collect_list (buffers BOUNDED at cap elements — the reason the
-      filter precedes the collect; a boilerplate fingerprint in
+    - capped: ONE window count partitioned by the fingerprint (the
+      same shape that fixed exact_substr_spans this round: a df census
+      + join-back never reused its exchange at runtime and re-ran the
+      fingerprint scan per leg) -> in-place df filter -> groupBy f
+      collect_list, which REUSES the window's hash partitioning on f
+      (no second shuffle; buffers BOUNDED at cap elements because the
+      filter precedes the collect — a boilerplate fingerprint in
       millions of docs must never materialize one giant list) ->
       explode bounded pair structs -> one hash aggregate on the pair.
-      The groupBy reuses the join output's hash partitioning on f, so
-      beyond the fingerprint materialization this costs one shuffle of
-      the kept rows plus the pair aggregate.
+      Total: one scan, one shuffle of the fingerprint mass, one pair
+      aggregate. Measured r9: strictly faster than both the r8
+      double-scan shape and the checkpoint variant at 1x AND 8x.
     - uncapped (max_df=None): the r8 self-join shape, kept ONLY as the
       scale probe's measured negative control (22.78x at 8x when last
       uncapped) — group-list explode without the cap would materialize
@@ -980,8 +983,11 @@ def _winnow_pair_counts(spark, sf_dir, max_df: int | None):
     """
     fp = _winnow_fingerprints(spark, sf_dir)
     if max_df is not None:
-        dft = fp.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
-        kept = fp.join(dft.filter(F.col("df") <= max_df).select("f"), "f")
+        from pyspark.sql.window import Window
+
+        kept = fp.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("f"))
+        ).filter(F.col("df") <= max_df)
         pairs = (
             kept.groupBy("f")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -1046,7 +1052,12 @@ def winnowing_pairs_at(spark, sf_dir, max_df: int | None):
 # is deliberately the uncapped quadratic census (the same
 # bounded-fixture role as semdedup_salt_recall's within-cluster exact
 # leg) and would run on a sampled slice at scale, while the capped leg
-# stays the linear production shape.
+# stays the linear production shape. The plan executes the fingerprint
+# scan three times (self-join truth x2 + capped leg) BY DESIGN: the
+# legs cannot share an exchange, and an eager materialization to force
+# sharing ran jobs at construction time and blinded the scan-reuse
+# audit (r9 review) — three visible scans of an eval beat one hidden
+# one.
 # ---------------------------------------------------------------------------
 
 _WINNOW_RECALL_ORACLE = rf"""

@@ -51,8 +51,11 @@ def _queries(path: str) -> dict[str, float]:
 
 
 def newest_pair() -> tuple[str, str]:
+    # numeric round sort, not lexicographic: BENCH_r100.json must sort
+    # after BENCH_r99.json (r9 review)
     arts = sorted(
-        f for f in os.listdir(REPO) if re.fullmatch(r"BENCH_r\d+\.json", f)
+        (f for f in os.listdir(REPO) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
     )
     if len(arts) < 2:
         raise SystemExit("need two committed BENCH_r*.json artifacts")
@@ -81,6 +84,7 @@ def build_section(old_name: str, new_name: str) -> str:
         "|---|---|---|---|---|",
     ]
     flags = []
+    no_baseline = [q for q in common if q not in deltas]
     for q in common:
         d = deltas.get(q)
         if d is None:
@@ -95,18 +99,26 @@ def build_section(old_name: str, new_name: str) -> str:
         lines.append(
             f"| {q} | {old[q]:.3f} | {new[q]:.3f} | {d:+.1f}% | {verdict} |"
         )
-    only = sorted((set(old) ^ set(new)) & (set(old) | set(new)))
     new_rows = sorted(set(new) - set(old))
     gone_rows = sorted(set(old) - set(new))
     if new_rows:
         lines.append(f"\nNew rows in r{rn} (no pair): {', '.join(new_rows)}.")
     if gone_rows:
         lines.append(f"\nRows dropped in r{rn}: {', '.join(gone_rows)}.")
+    if no_baseline:
+        # a 0.0 committed median is the most anomalous row there is —
+        # surface it instead of silently skipping it (r9 review)
+        lines.append(
+            f"\nRows with a zero r{ro} median (no delta computable — "
+            f"adjudicate the zero itself): {', '.join(no_baseline)}."
+        )
     if flags:
         lines.append(
             f"\n**FLAGged rows ({', '.join(flags)}): builder adjudication"
-            f" required — keep the written verdict directly below this"
-            f" section.**"
+            f" required — write the verdict in its own '## Adjudication"
+            f" ...' section below (NOT inside this generated section:"
+            f" a rerun replaces everything up to the next '## '"
+            f" heading).**"
         )
     else:
         lines.append("\nNo rows FLAGged outside the correlated band.")

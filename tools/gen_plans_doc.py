@@ -258,14 +258,14 @@ PICKS = {
     "winnowing_fingerprint_pairs": (
         "MOSS winnowing: char-gram hashes and window minima are all "
         "array expressions inside the scan projection (zero exchanges "
-        "until the fingerprint relation exists); the df census "
-        "aggregates on the SAME fingerprint key the pair join uses "
-        "(the static plan rebuilds the fingerprint subtree per "
-        "consumer — identical subtrees, collapsed where AQE reuse "
-        "applies), and the WINNOW_MAX_DF filter drops boilerplate "
-        "fingerprints so bucket size — and with it pair mass — is "
-        "bounded (the r8 probe measured 27.6x -> 5.1x at 8x growth); "
-        "top-k head, never a global sort."
+        "until the fingerprint relation exists); since r9 the df "
+        "census is ONE window count partitioned by the fingerprint "
+        "with an in-place WINNOW_MAX_DF filter (the r8 census+join "
+        "shape re-ran the fingerprint scan per consumer — runtime "
+        "reuse never fired), then per-fingerprint sorted doc lists "
+        "reuse that partitioning and explode cap-bounded pair structs "
+        "— pair mass bounded (27.6x -> ~4x at 8x growth across "
+        "r8->r9 probes); top-k head, never a global sort."
     ),
     "exact_substr_scrub_census": (
         "the production scrubber driven end-to-end: span-table digest "

@@ -366,10 +366,15 @@ def main() -> None:
             "  SUB-linearly (4.9x at 8x data: the fixed cap binds harder\n"
             "  on a larger corpus), pinning the old 5.16x probe row on\n"
             "  the REPEATED fingerprint scan, not pairs. Since r9 the\n"
-            "  fingerprint frame is materialized once (localCheckpoint)\n"
-            "  and the capped pair stage explodes per-fingerprint\n"
-            "  sorted doc lists (buffers bounded at cap elements, the\n"
-            "  df filter precedes the collect). The [uncapped] row is\n"
+            "  capped path is ONE window count partitioned by the\n"
+            "  fingerprint (one scan, one shuffle — same fix as\n"
+            "  exact_substr_spans), then per-fingerprint sorted doc\n"
+            "  lists reusing that partitioning (buffers bounded at cap\n"
+            "  elements, the df filter precedes the collect) —\n"
+            "  measured strictly faster than both the r8 double-scan\n"
+            "  shape and a checkpoint variant at 1x AND 8x; the ratio\n"
+            "  column reads higher than the checkpoint variant's only\n"
+            "  because the 1x base got faster. The [uncapped] row is\n"
             "  its NEGATIVE CONTROL — the Zipfian-bucket m^2/2 pair\n"
             "  blowup (27.6x at 8x when first measured in round 8),\n"
             "  kept on the self-join shape (group-lists would\n"
