@@ -34,17 +34,21 @@ from comperhensive_bigdata_analysis__spark import plans as _plans
 #: on disk, the rotation happens automatically the moment the driver
 #: lands a new artifact — pytest stays green at every round boundary
 #: (the r6 failure mode: a hard-coded window going stale the instant
-#: CORRECTNESS_r06.json was written). Since round 9 the eligible pool
-#: is ALL registered plans, not just the oracled ones (VERDICT r8 ask
-#: #1): the four documented rows-only sketch plans were invisible to
-#: the old `oracled`-only rule and so collected zero external driver
-#: evidence across eight rounds — the driver harness records a weaker
-#: rows-count check for plans absent from ``oracle_sql()``, which is
-#: still external evidence worth having once. They enter as
-#: first-exposure candidates and rotate on the same last-seen rule as
-#: everything else; the full catalog is still returned and the local
-#: DuckDB gate (plus the TOL_CHECKS tolerance contracts) covers
-#: everything the window doesn't.
+#: CORRECTNESS_r06.json was written). Round 9 widened the eligible
+#: pool to ALL registered plans so the four rows-only sketch plans
+#: would collect external evidence — the r9 artifact settled what
+#: that evidence is: for a plan absent from ``oracle_sql()`` the
+#: driver records ``err: "no_oracle"`` with a bare spark_rows count
+#: and **rows_match null** (NOT a rows-count comparison, as this
+#: comment previously assumed — VERDICT r9 ask #5). Pool decision,
+#: round 10: non-oracled plans are EXCLUDED from the window again —
+#: a no_oracle row buys nothing a second time, and each raw sketch
+#: plan now has an oracled tolerance-verdict twin (plans/sketch.py)
+#: that turns its accuracy contract into a hash-matchable green row,
+#: so the window slots go to plans where the driver can actually
+#: verify something. The raw sketch plans stay in the catalog tail
+#: (still returned by ``queries()``; local TOL_CHECKS tolerance
+#: stamps cover them) — they just don't consume rotation slots.
 
 _WINDOW_SIZE = 50
 
@@ -59,8 +63,18 @@ def _artifact_rounds(root: _pathlib.Path) -> dict[str, int]:
     """Map plan name -> index of the most recent committed driver
     artifact (CORRECTNESS_r*.json) containing a row for it. Plans
     absent from every artifact are first-exposure candidates."""
+    # Numeric round sort, not lexicographic: CORRECTNESS_r100.json must
+    # sort AFTER r99, or last-seen indices invert and the stale-first
+    # rotation picks wrong plans (r9 ADVICE; same key as bench_compare).
+    import re as _re
+
+    def _round_key(path: str) -> int:
+        m = _re.search(r"r(\d+)", _pathlib.Path(path).name)
+        return int(m.group(1)) if m else -1
+
     last_seen: dict[str, int] = {}
-    for i, f in enumerate(sorted(_glob.glob(str(root / "CORRECTNESS_r*.json")))):
+    arts = sorted(_glob.glob(str(root / "CORRECTNESS_r*.json")), key=_round_key)
+    for i, f in enumerate(arts):
         try:
             rows = _json.loads(_pathlib.Path(f).read_text())
         except (OSError, ValueError):  # unreadable artifact: skip, stay green
@@ -84,7 +98,10 @@ def _compute_window(
     if root is None:
         root = _pathlib.Path(__file__).resolve().parent
     last_seen = _artifact_rounds(root)
-    eligible = set(_plans.QUERIES)
+    # Window-eligible = oracled plans only (round-10 pool decision, see
+    # module comment): the driver records no comparison at all for
+    # non-oracled plans, so a window slot on one is a wasted slot.
+    eligible = set(_plans.QUERIES) & set(_plans.ORACLES)
     window = [n for n in _ANCHORS if n in eligible]
     fresh = sorted(
         n for n in eligible if n not in last_seen and n not in window

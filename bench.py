@@ -201,6 +201,40 @@ SCALE_TIER = (
 )
 
 
+def _env_stamp(spark, sf_dir: str) -> dict:
+    """Host-state stamp (VERDICT r9 ask #4): two of the last three
+    rounds moved ±40-80% on environment alone; recording load average,
+    free memory, and one fixed trivial calibration row alongside the
+    medians makes band-vs-real adjudication mechanical instead of
+    essayistic. The calibration row is a full count of the tiny region
+    parquet — a fixed job whose compute is ~zero, so its wall time is
+    pure scheduler + host overhead."""
+    stamp: dict = {}
+    try:
+        stamp["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        stamp["loadavg_1m"] = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    stamp["mem_available_gb"] = round(
+                        int(line.split()[1]) / 1048576, 1
+                    )
+                    break
+    except OSError:
+        stamp["mem_available_gb"] = None
+    reg = load_table(spark, sf_dir, "region")
+    reg.count()  # untimed warm-up
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        reg.count()
+        samples.append(time.perf_counter() - t0)
+    stamp["calibration_count_sec"] = round(statistics.median(samples), 4)
+    return stamp
+
+
 def _scale_dir(spark, sf_dir: str) -> str:
     """Build (or reuse — marker-file keyed on source + copies) the
     inflated corpus under /tmp."""
@@ -229,6 +263,8 @@ def main() -> None:
 
     # Warm the JVM/codegen path once, untimed.
     plans.QUERIES["pricing_summary"](spark, sf_dir).collect()
+
+    env_start = _env_stamp(spark, sf_dir)
 
     # Variance protocol (VERDICT r6 ask #3): the 1x rows are sub-second
     # and best-of-2 produced phantom 12% round-over-round drift, so the
@@ -288,6 +324,10 @@ def main() -> None:
                 "stat": "median",
                 "runs_1x": runs_1x,
                 "runs_scale": runs_scale,
+                # Host-state stamps bracket the run (r9 ask #4); the
+                # calibration row is the band-vs-real normalizer.
+                "env_start": env_start,
+                "env_end": _env_stamp(spark, sf_dir),
             }
         )
     )

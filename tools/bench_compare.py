@@ -10,9 +10,15 @@ generated section at the top of BENCH_NOTES.md with the delta table
 and a per-row verdict:
 
   ok        |delta| <= 15%
-  band      >15% but within 15pp of the run-wide median drift — a
-            correlated host-state move, one environment datum, not a
-            per-plan regression (the r7/r8 adjudication rule)
+  band      >15% but within the correlated band of the run-wide median
+            drift — a correlated host-state move, one environment
+            datum, not a per-plan regression (the r7/r8 adjudication
+            rule). The band half-width scales with the observed
+            dispersion of deltas (2.5 * MAD, capped at the historical
+            15pp so it only ever tightens — r9 ADVICE: a fixed 15pp
+            auto-cleared real regressions on low-dispersion rounds),
+            and a row moving AGAINST a >15% run-wide drift is never
+            "correlated" regardless of distance.
   FLAG      >15% and OUTSIDE the correlated band — needs a written
             builder adjudication in the paragraph below the table
 
@@ -37,7 +43,9 @@ SECTION_RE = re.compile(
     r"## Committed pair r\d+ vs r\d+ \(generated\).*?(?=\n## |\Z)", re.S
 )
 FLAG_PCT = 15.0  # |delta| above this needs a verdict
-BAND_PP = 15.0  # distance from the median drift still "correlated"
+BAND_PP_CAP = 15.0  # historical band half-width; the MAD scale only tightens
+BAND_PP_FLOOR = 4.0  # never narrower than bench noise on a 2-row sample
+MAD_K = 2.5  # band half-width = MAD_K * MAD(deltas), clamped to the above
 
 
 def _queries(path: str) -> dict[str, float]:
@@ -47,7 +55,19 @@ def _queries(path: str) -> dict[str, float]:
         tail = art.get("tail", "")
         i = tail.rfind('{"metric"')
         inner = json.loads(tail[i:]) if i >= 0 else {}
-    return dict(inner.get("queries", {}))
+    out = dict(inner.get("queries", {}))
+    _queries.last_env = {
+        k: inner.get(k) for k in ("env_start", "env_end") if inner.get(k)
+    }
+    if not out:
+        # a committed number-of-record artifact with zero parseable
+        # queries is corruption, not "every query dropped" (r9 ADVICE)
+        raise SystemExit(
+            f"{os.path.basename(path)}: no queries parseable from 'parsed'"
+            f" or the '{{\"metric\"' tail — corrupted artifact, refusing to"
+            f" write a compare section"
+        )
+    return out
 
 
 def newest_pair() -> tuple[str, str]:
@@ -62,13 +82,33 @@ def newest_pair() -> tuple[str, str]:
     return arts[-2], arts[-1]
 
 
+def _env_line(name: str, env: dict) -> str:
+    parts = []
+    for tag in ("env_start", "env_end"):
+        e = env.get(tag)
+        if e:
+            parts.append(
+                f"{tag.split('_')[1]} load {e.get('loadavg_1m')}, free"
+                f" {e.get('mem_available_gb')} GiB, calib"
+                f" {e.get('calibration_count_sec')}s"
+            )
+    return f"{name}: {'; '.join(parts)}." if parts else f"{name}: no stamp."
+
+
 def build_section(old_name: str, new_name: str) -> str:
-    old, new = _queries(os.path.join(REPO, old_name)), _queries(
-        os.path.join(REPO, new_name)
-    )
+    old = _queries(os.path.join(REPO, old_name))
+    env_old = dict(getattr(_queries, "last_env", {}))
+    new = _queries(os.path.join(REPO, new_name))
+    env_new = dict(getattr(_queries, "last_env", {}))
     common = sorted(set(old) & set(new), key=lambda q: (len(q), q))
     deltas = {q: (new[q] - old[q]) / old[q] * 100 for q in common if old[q]}
     med = statistics.median(deltas.values()) if deltas else 0.0
+    mad = (
+        statistics.median(abs(d - med) for d in deltas.values())
+        if deltas
+        else 0.0
+    )
+    band_pp = min(BAND_PP_CAP, max(BAND_PP_FLOOR, MAD_K * mad))
     ro = re.search(r"r(\d+)", old_name).group(1).lstrip("0")
     rn = re.search(r"r(\d+)", new_name).group(1).lstrip("0")
     lines = [
@@ -76,9 +116,17 @@ def build_section(old_name: str, new_name: str) -> str:
         "",
         f"tools/bench_compare.py over the committed {old_name} /"
         f" {new_name} medians (the numbers of record). Run-wide median"
-        f" drift {med:+.1f}% — verdicts: ok (<=15%), band (correlated"
-        f" with the run-wide drift; one environment datum), FLAG (needs"
-        f" the builder adjudication below).",
+        f" drift {med:+.1f}%, delta MAD {mad:.1f}pp, correlated band"
+        f" half-width {band_pp:.1f}pp (2.5*MAD clamped to [4, 15]) —"
+        f" verdicts: ok (<=15%), band (correlated with the run-wide"
+        f" drift; one environment datum), FLAG (needs the builder"
+        f" adjudication below).",
+        "",
+        f"Host stamps (r9 ask #4 — present from BENCH_r10 on): "
+        f"{_env_line(old_name, env_old)} {_env_line(new_name, env_new)}"
+        f" The calibration row (fixed trivial count) is the mechanical"
+        f" band-vs-real normalizer: if its ratio moves with the median"
+        f" drift, the drift is host state.",
         "",
         f"| query | r{ro} (s) | r{rn} (s) | delta | verdict |",
         "|---|---|---|---|---|",
@@ -89,9 +137,12 @@ def build_section(old_name: str, new_name: str) -> str:
         d = deltas.get(q)
         if d is None:
             continue
+        # a row moving against a >15% run-wide drift is never a
+        # "correlated host move", whatever its distance from the median
+        against_drift = abs(med) > FLAG_PCT and d * med < 0
         if abs(d) <= FLAG_PCT:
             verdict = "ok"
-        elif abs(d - med) <= BAND_PP:
+        elif abs(d - med) <= band_pp and not against_drift:
             verdict = "band"
         else:
             verdict = "**FLAG**"
