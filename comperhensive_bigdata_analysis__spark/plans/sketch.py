@@ -390,6 +390,217 @@ def approx_percentile_calibration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Tolerance-VERDICT twins for the four rows-only sketch plans (VERDICT
+# r9 ask #2). The raw sketch plans above legitimately cannot hash-match
+# a cross-engine oracle (the estimate is engine-specific), so across
+# r1-r9 they had zero external *green* evidence — the driver records
+# `err: "no_oracle"` for them, not even a rows-count check. These twins
+# turn each sketch's documented ACCURACY CONTRACT into a hash-matchable
+# row, the winnowing_cap_recall pattern (plans/dedup.py): Spark
+# computes the sketch AND its own exact aggregate and emits only
+# cross-engine-deterministic columns — the group key, the exact value
+# (integers only; interpolated exact percentiles stay Spark-side
+# because the last-ulp of cross-engine float interpolation is not a
+# contract worth gating on), and an integer `within_tol` verdict.
+# DuckDB derives the same row from its exact aggregate with
+# within_tol=1 by construction: a hash MISMATCH therefore means either
+# the exact legs disagree (a real correctness bug) or the sketch
+# violated its documented bound (a real contract breach). The raw
+# plans stay in the catalog for the estimate itself (TOL_CHECKS still
+# stamps their local tolerance); the twins are what the driver can
+# verify.
+# 100 TB: each twin's exact leg is an eval-only baseline (exact
+# distinct / exact percentile are precisely what the sketches replace
+# in production — at scale the eval runs on a sample, the sketch leg
+# is the production shape and is unchanged here).
+# ---------------------------------------------------------------------------
+
+_ADU_TOL_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 AS BIGINT) AS within_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@plan("approx_distinct_users_tol", _ADU_TOL_ORACLE)
+def approx_distinct_users_tol(spark, sf_dir):
+    """HLL++ (rsd=0.02) vs exact distinct, per event_type: emits the
+    exact count (cross-engine integer) and the <=5% relative-error
+    verdict — the same bound tests/test_sketch.py pins locally, now
+    externally hash-checkable."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * 0.05
+    )
+    return per.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        F.when(F.col("exact_users") == 0, F.col("approx_users") == 0)
+        .otherwise(ok)
+        .cast("bigint")
+        .alias("within_tol"),
+    ).orderBy("event_type")
+
+
+_APP_TOL_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(1 AS BIGINT) AS within_tol
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@plan("approx_percentile_prices_tol", _APP_TOL_ORACLE)
+def approx_percentile_prices_tol(spark, sf_dir):
+    """approx_percentile(accuracy=10000) p50/p90 vs Spark's own exact
+    `percentile`, per priority: <=5% relative error on BOTH quantiles
+    (the interpolation-vs-actual-data-value semantic gap dominates at
+    small group sizes — same bound as the local TOL_CHECKS contract).
+    The exact percentile value itself stays Spark-side: it is an
+    interpolated float, and gating on its cross-engine last ulp would
+    test IEEE trivia, not the sketch."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.5, 0.9))"
+        ).alias("exact"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
+        ).alias("approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ok = F.lit(True)
+    for i in range(2):
+        ok = ok & (
+            F.abs(F.col("approx")[i] - F.col("exact")[i])
+            <= F.abs(F.col("exact")[i]) * 0.05
+        )
+    return per.select(
+        "o_orderpriority",
+        "n_orders",
+        ok.cast("bigint").alias("within_tol"),
+    ).orderBy("o_orderpriority")
+
+
+_HLL_TOL_ORACLE = """
+    SELECT * FROM (
+      SELECT event_type AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(1 AS BIGINT) AS within_tol
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             CAST(1 AS BIGINT)
+      FROM events
+    ) ORDER BY grain
+"""
+
+
+@plan("hll_mergeable_distinct_tol", _HLL_TOL_ORACLE)
+def hll_mergeable_distinct_tol(spark, sf_dir):
+    """DataSketches HLL (lgK=14) vs exact distinct at BOTH grains —
+    per event_type and the 'ALL' row whose sketch comes from
+    hll_union_agg over the per-type sketches, so a green row verifies
+    the MERGE path (the 100 TB rollup pattern), not just the build.
+    <=5% bound, same as the local tolerance stamp."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_row = per_type.select(
+        F.col("event_type").alias("grain"),
+        "n_events",
+        "exact_users",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    merged_sk = per_type.agg(
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("approx_users"),
+    )
+    global_exact = e.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    merged = merged_sk.crossJoin(global_exact).select(
+        F.lit("ALL").alias("grain"), "n_events", "exact_users", "approx_users"
+    )
+    both = per_row.unionByName(merged)
+    ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * 0.05
+    )
+    return both.select(
+        "grain",
+        "n_events",
+        "exact_users",
+        F.when(F.col("exact_users") == 0, F.col("approx_users") == 0)
+        .otherwise(ok)
+        .cast("bigint")
+        .alias("within_tol"),
+    ).orderBy("grain")
+
+
+_CAL_TOL_ORACLE = """
+    SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p_pct,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST(1 AS BIGINT) AS within_tol
+    ORDER BY p_pct
+"""
+
+
+@plan("approx_percentile_calibration_tol", _CAL_TOL_ORACLE)
+def approx_percentile_calibration_tol(spark, sf_dir):
+    """The accuracy=10000 calibration contract (<=1% relative error at
+    p50/p90/p99 of order totals vs Spark's exact percentile) as one
+    integer verdict row per quantile — p rendered as an integer
+    percent so no float literal crosses engines."""
+    o = load_table(spark, sf_dir, "orders")
+    ps = list(_CAL_PS)
+    agg = o.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, ps))}))"
+        ).alias("exact"),
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(p) for p in ps]), 10000
+        ).alias("approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    pairs = agg.select(
+        "n_orders",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(int(p * 100)) for p in ps]).alias("p_pct"),
+                F.col("exact").alias("exact"),
+                F.col("approx").alias("approx"),
+            )
+        ).alias("z"),
+    )
+    ok = F.abs(F.col("z.approx") - F.col("z.exact")) <= F.abs(
+        F.col("z.exact")
+    ) * 0.01
+    return pairs.select(
+        F.col("z.p_pct").cast("bigint").alias("p_pct"),
+        "n_orders",
+        ok.cast("bigint").alias("within_tol"),
+    ).orderBy("p_pct")
+
+
+# ---------------------------------------------------------------------------
 # Tolerance contracts for the rows-only sketch plans (VERDICT r5 ask
 # #8). A sketch's output legitimately cannot hash-match a cross-engine
 # oracle, but its ERROR ENVELOPE is still checkable: each entry below
