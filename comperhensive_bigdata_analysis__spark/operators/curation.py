@@ -139,11 +139,36 @@ ESS_W = 16
 
 
 def exact_substr_span_table(docs: DataFrame, id_col: str,
-                            text_col: str, w: int = ESS_W) -> DataFrame:
+                            text_col: str, w: int = ESS_W,
+                            dup_shape: str = "census") -> DataFrame:
     """(doc_id, s, e) maximal corpus-duplicated spans — the census the
     plan ``exact_substr_spans`` aggregates; here exposed per-span so the
     scrubber (and any masking/annotation pass) can consume it.
-    Positions are 1-based token indices, inclusive."""
+    Positions are 1-based token indices, inclusive.
+
+    ``dup_shape`` picks the corpus-duplicate test's physical shape —
+    both produce identical rows:
+
+    - ``"census"`` (default since r10): lazily persist the shingle
+      frame, then partial-aggregated ``groupBy(dg).count()`` census ->
+      ``df > 1`` filter -> LEFT SEMI join back on dg. The census
+      groupBy map-side-combines (a hot digest sends at most one
+      partial row per map task), the semi join broadcasts or
+      AQE-skew-splits — no stage ever colocates one digest's full
+      mass in one task — and the cache means the tokenize+md5 scan
+      (the dominant stage) runs once even though the legs share no
+      runtime exchange. Measured r10 on the planted-hot-key probe
+      corpus (one boilerplate digest carrying ~47% of shingle mass):
+      faster than the window shape at EVERY point — uniform 1x/8x
+      0.73/1.99s vs 1.04/2.22s, planted-skew 1x/8x 1.33/3.69s vs
+      1.65/4.39s.
+    - ``"window"`` (the r9 shape, kept as the planted-skew probe's
+      measured negative control): ONE window count partitioned by dg
+      with an in-place filter — one scan, no cache, but ALL rows of
+      one digest land in one window task, and AQE skew-splitting does
+      not apply to windows. At 100 TB one hot boilerplate shingle
+      makes that task the job; no cluster size fixes a single task.
+    """
     from ..functions.text import tokens
 
     tk = docs.filter(F.length(F.trim(text_col)) > 0).select(
@@ -165,23 +190,32 @@ def exact_substr_span_table(docs: DataFrame, id_col: str,
     sh = tk.select("doc_id", F.explode(windows).alias("x")).select(
         "doc_id", F.col("x.pos").alias("pos"), F.col("x.dg").alias("dg")
     )
-    # Corpus-duplicated windows via ONE digest-keyed window count, not
-    # the groupBy-then-join-back shape: the r9 profile showed the old
-    # shape's "reused" digest exchange never fired at runtime (the freq
-    # leg prunes to dg-only while the join leg carries (doc_id, pos),
-    # so the exchanges differ and the tokenize+md5 shingle scan — the
-    # most expensive stage — executed TWICE). The window shape shuffles
-    # the shingle mass once, counts within each dg partition, and
-    # filters in place: sf0.1 census 3.09s -> 1.43s, 8x probe ratio
-    # 3.26x -> 2.35x, output identical. A mega-duplicated digest just
-    # raises one partition's count — no pair blowup, spill-safe sort.
-    dup = (
-        sh.withColumn(
-            "f", F.count(F.lit(1)).over(Window.partitionBy("dg"))
+    if dup_shape == "window":
+        # r9 shape — see the docstring; kept callable as the planted-
+        # skew probe's negative control.
+        dup = (
+            sh.withColumn(
+                "f", F.count(F.lit(1)).over(Window.partitionBy("dg"))
+            )
+            .filter(F.col("f") > 1)
+            .select("doc_id", "pos")
         )
-        .filter(F.col("f") > 1)
-        .select("doc_id", "pos")
-    )
+    else:
+        # LAZY persist (no jobs at construction — the r9 localCheckpoint
+        # lesson): the census leg and the join-back leg prune different
+        # columns, so runtime ReuseExchange never fires (measured r9)
+        # and without the cache the tokenize+md5 scan — the dominant
+        # stage — runs twice. With it, both legs read one materialized
+        # shingle frame; a production ExactSubstr pass materializes
+        # this relation anyway (it is the suffix-table analog).
+        sh = sh.persist()
+        dup_dg = (
+            sh.groupBy("dg")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") > 1)
+            .select("dg")
+        )
+        dup = sh.join(dup_dg, "dg", "left_semi").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_max = F.max("pos").over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)

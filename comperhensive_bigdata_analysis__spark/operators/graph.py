@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _free_local_checkpoint(df: DataFrame) -> None:
+def _free_local_checkpoint(df: DataFrame, *,
+                           expect_checkpointed: bool = False) -> None:
     """Deterministically drop a ``localCheckpoint``'s storage blocks.
 
     ``Dataset.unpersist()`` is a no-op for checkpointed data (the cache
@@ -45,18 +46,37 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     ``rdd`` field; unpersisting THAT frees the blocks. Best-effort by
     design: a non-checkpointed frame (the plan leaf is not a
     LogicalRDD, e.g. a loop's round-0 seed) is an EXPECTED no-op and
-    returns quietly; but when the frame IS a checkpointed LogicalRDD
-    and the free path still throws (Spark Connect, an internal
-    plan-shape change, a Spark upgrade), a ONE-TIME warning is emitted
-    so the silent return of O(iterations) checkpoint accumulation is
-    visible (ADVICE r8); the pytest canary on version bumps is
-    test_iterative_loops_free_superseded_checkpoints (test_graph.py).
+    returns quietly — UNLESS the caller passes
+    ``expect_checkpointed=True`` because it just built the frame with
+    ``.localCheckpoint()``: then a non-LogicalRDD leaf means a Spark
+    upgrade renamed/wrapped the internal node and checkpoint blocks
+    would silently accumulate, so a ONE-TIME warning fires (ADVICE r9
+    — the r8 warning only covered the exception path, leaving the
+    most likely failure mode, the early return, silent at runtime).
+    The same one-time warning covers the free path throwing (Spark
+    Connect, an internal plan-shape change); the pytest canary on
+    version bumps is test_iterative_loops_free_superseded_checkpoints
+    (test_graph.py).
     """
     global _FREE_WARNED
     try:
         logical = df._jdf.queryExecution().logical()
         if logical.getClass().getSimpleName() != "LogicalRDD":
-            return  # not a checkpointed frame — expected no-op, no warn
+            if expect_checkpointed and not _FREE_WARNED:
+                _FREE_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    "_free_local_checkpoint: caller passed a frame it "
+                    "just localCheckpoint'd, but the plan leaf is "
+                    f"{logical.getClass().getSimpleName()}, not "
+                    "LogicalRDD — a Spark upgrade likely moved the "
+                    "internal node; superseded loop checkpoints will "
+                    "accumulate until driver GC.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            return  # not a checkpointed frame — expected no-op path
         logical.rdd().unpersist(False)
     except Exception as exc:  # noqa: BLE001 — cleanup must never fail the job
         if not _FREE_WARNED:
@@ -133,7 +153,7 @@ def connected_components(
         # this round's checkpoint is materialized and counted — the
         # previous round's blocks have no remaining reader (ADVICE r7)
         if prev_ckpt is not None:
-            _free_local_checkpoint(prev_ckpt)
+            _free_local_checkpoint(prev_ckpt, expect_checkpointed=True)
         prev_ckpt = merged
         labels = merged.drop("__old")
         if changed == 0:

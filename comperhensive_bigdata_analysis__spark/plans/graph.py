@@ -510,7 +510,7 @@ def pagerank_loop_parts(spark, sf_dir):
             .localCheckpoint()
         )
         if prev_ckpt is not None:
-            _free_local_checkpoint(prev_ckpt)
+            _free_local_checkpoint(prev_ckpt, expect_checkpointed=True)
         prev_ckpt = ranks
     return (
         ranks.select(F.col("node").alias("part_id"), "rank_fp")

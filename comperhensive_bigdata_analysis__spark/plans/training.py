@@ -1578,11 +1578,11 @@ def _learn_bpe_merges(spark, sf_dir, rounds: int = BPE_MERGE_ROUNDS):
         words = words.select(
             F.expr(_bpe_spark_fold(a, b)).alias("units"), "freq"
         ).localCheckpoint()
-        _free_local_checkpoint(prev_ckpt)
+        _free_local_checkpoint(prev_ckpt, expect_checkpointed=True)
         prev_ckpt = words
     # the return value is a driver-side list — the final words
     # checkpoint has no remaining reader either (review r8)
-    _free_local_checkpoint(prev_ckpt)
+    _free_local_checkpoint(prev_ckpt, expect_checkpointed=True)
     return merges
 
 

@@ -134,3 +134,42 @@ def inflate_corpus(
             "overwrite"
         ).parquet(f"{out_dir}/{t}.parquet")
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Planted-hot-key skew corpus (VERDICT r9 ask #1). The key-disjoint
+# inflation above keeps every per-key mass CONSTANT as the corpus
+# grows, which makes the scale probe structurally blind to hot-key
+# shapes: a digest-partitioned window count measures clean on it even
+# though its worst case is one key holding a large share of the mass.
+# This builder makes that worst case real: half the documents (even
+# doc_id — deterministic, stride-invariant) get a single repeated
+# boilerplate token appended, with boilerplate char mass ~equal to the
+# doc's own text, so EVERY w-token shingle inside the boilerplate run
+# is the SAME digest — one hot key carrying roughly a third of the
+# corpus's total shingle mass (the Zipfian head of a real corpus,
+# concentrated into its worst single-key form). Documents only: the
+# digest-window shapes under test consume nothing else.
+# ---------------------------------------------------------------------------
+
+SKEW_TOKEN = "zqboilerplatex"
+
+
+def plant_skew_corpus(spark: SparkSession, base_dir: str, out_dir: str) -> str:
+    d = load_table(spark, base_dir, "documents")
+    # ~3x the doc's own token mass (floor 96 tokens): the probe corpus's
+    # docs are short, and the planted key must carry a large enough
+    # share of TOTAL shingle mass (~50%) that a single-task tail is
+    # unambiguous at probe scale, not a rounding error.
+    n_rep = f"CAST(length(text) / 5 AS INT)"
+    planted = F.expr(
+        f"concat(text, ' ', repeat('{SKEW_TOKEN} ', greatest({n_rep}, 96)))"
+    )
+    out = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, planted).otherwise(F.col("text")),
+    )
+    out.repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    return out_dir

@@ -1,0 +1,78 @@
+"""Hot-key shape equivalence (VERDICT r9 ask #1).
+
+The digest-frequency dedup pipelines carry two physical shapes each:
+the production census shape (persist + partial-agg census + broadcast
+semi/anti join — skew-safe: no stage colocates one key's full mass)
+and the r9 window-count shape (kept as the planted-skew probe's
+negative control). These tests pin that the shapes are OUTPUT-
+IDENTICAL on a boilerplate-heavy corpus — the planted-skew probe rows
+in SCALE_PROBE.md only measure cost, so equivalence must be pinned
+here — and that the probe's corpus planter behaves deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comperhensive_bigdata_analysis__spark.operators.curation import (
+    exact_substr_span_table,
+)
+from comperhensive_bigdata_analysis__spark.plans.dedup import (
+    WINNOW_MAX_DF,
+    _winnow_pair_counts,
+)
+from comperhensive_bigdata_analysis__spark.sources.inflate import (
+    SKEW_TOKEN,
+    plant_skew_corpus,
+)
+
+
+def _boilerplate_docs(spark):
+    """Tiny corpus with one mega-hot shingle digest: most docs are the
+    same boilerplate run, plus one true copy pair whose shared passage
+    is rare (df=2)."""
+    boiler = ("spam " * 40).strip()
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel " * 4
+    rows = [(i, f"doc {i} opener {boiler}") for i in range(12)]
+    rows.append((100, f"left intro {passage} left outro"))
+    rows.append((101, f"right intro {passage} right outro"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_substr_shapes_identical(spark):
+    d = _boilerplate_docs(spark)
+    a = exact_substr_span_table(d, "doc_id", "text", dup_shape="census")
+    b = exact_substr_span_table(d, "doc_id", "text", dup_shape="window")
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and rows_a
+    # the true copy pair's passage must be flagged in both docs
+    flagged = {r[0] for r in rows_a}
+    assert {100, 101} <= flagged
+
+
+def test_winnow_cap_shapes_identical(spark, sf_dir):
+    a = _winnow_pair_counts(spark, sf_dir, WINNOW_MAX_DF, cap_shape="census")
+    b = _winnow_pair_counts(spark, sf_dir, WINNOW_MAX_DF, cap_shape="window")
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+
+
+def test_plant_skew_corpus_deterministic(spark, sf_dir, tmp_path):
+    out1 = plant_skew_corpus(spark, sf_dir, str(tmp_path / "s1"))
+    out2 = plant_skew_corpus(spark, sf_dir, str(tmp_path / "s2"))
+    d1 = spark.read.parquet(f"{out1}/documents.parquet")
+    d2 = spark.read.parquet(f"{out2}/documents.parquet")
+    sig = lambda d: d.select(  # noqa: E731 - order-insensitive corpus sig
+        F.expr("bit_xor(xxhash64(doc_id, text))").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert sig(d1) == sig(d2)
+    # even doc_ids got the boilerplate, odd did not
+    marked = d1.withColumn("has", F.col("text").contains(SKEW_TOKEN))
+    bad = marked.filter(
+        ((F.col("doc_id") % 2 == 0) & ~F.col("has"))
+        | ((F.col("doc_id") % 2 == 1) & F.col("has"))
+    ).count()
+    assert bad == 0
