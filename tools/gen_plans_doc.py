@@ -249,23 +249,31 @@ PICKS = {
         "broadcasts."
     ),
     "exact_substr_spans": (
-        "ExactSubstr (Lee et al. 2022) as shingle-frequency join + "
+        "ExactSubstr (Lee et al. 2022) as shingle-frequency census + "
         "gaps-and-islands: stride-1 windows keyed by md5 digest (16-byte "
-        "shuffle keys, never shingle strings), frequency and join-back "
-        "share the digest exchange, island merge rides the per-doc "
-        "window partitioning."
+        "shuffle keys, never shingle strings); since r10 the shingle "
+        "frame is lazily persisted and the corpus-dup test is a partial-"
+        "aggregated digest census + broadcast LEFT SEMI join-back — one "
+        "materialized scan, and no stage colocates one digest's mass "
+        "(the r9 window-count shape put a hot digest's every row in one "
+        "window task; SCALE_PROBE's planted-skew rows price it at "
+        "max/p50 ~4 vs ~1.2 for this shape); island merge rides the "
+        "per-doc window partitioning."
     ),
     "winnowing_fingerprint_pairs": (
         "MOSS winnowing: char-gram hashes and window minima are all "
         "array expressions inside the scan projection (zero exchanges "
-        "until the fingerprint relation exists); since r9 the df "
-        "census is ONE window count partitioned by the fingerprint "
-        "with an in-place WINNOW_MAX_DF filter (the r8 census+join "
-        "shape re-ran the fingerprint scan per consumer — runtime "
-        "reuse never fired), then per-fingerprint sorted doc lists "
-        "reuse that partitioning and explode cap-bounded pair structs "
-        "— pair mass bounded (27.6x -> ~4x at 8x growth across "
-        "r8->r9 probes); top-k head, never a global sort."
+        "until the fingerprint relation exists); since r10 the "
+        "fingerprint frame is lazily persisted, the df census is a "
+        "partial-aggregated groupBy, and the WINNOW_MAX_DF cap is a "
+        "broadcast ANTI join of the tiny over-cap blacklist — so every "
+        "key reaching the per-fingerprint sorted doc lists has <= cap "
+        "rows and that collect shuffle is uniform by construction "
+        "(the r9 window-count shape colocated each fingerprint's full "
+        "mass in one window task); cap-bounded pair structs explode "
+        "into one pair aggregate — pair mass bounded (27.6x uncapped "
+        "control vs ~3x capped at 8x growth); top-k head, never a "
+        "global sort."
     ),
     "exact_substr_scrub_census": (
         "the production scrubber driven end-to-end: span-table digest "
