@@ -127,3 +127,41 @@ def test_iterative_loops_free_superseded_checkpoints(spark):
     assert labels.count() == 13
     # symmetrized edges + final labels = 2
     assert persisted() - before <= 2, (before, persisted())
+
+
+def test_free_checkpoint_warns_when_expected_leaf_missing(spark):
+    """ADVICE r9: a caller that just localCheckpoint'd its frame passes
+    expect_checkpointed=True — if the plan leaf is then NOT a
+    LogicalRDD (a Spark upgrade renamed/wrapped the node), the free
+    path must warn once instead of silently letting O(iterations)
+    checkpoints accumulate. A plain (non-checkpointed) frame stands in
+    for the wrong-leaf case."""
+    import warnings
+
+    from comperhensive_bigdata_analysis__spark.operators import graph as g
+
+    plain = spark.range(3).toDF("node")
+    old = g._FREE_WARNED
+    try:
+        g._FREE_WARNED = False
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            g._free_local_checkpoint(plain, expect_checkpointed=True)
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "LogicalRDD" in str(w.message)
+            for w in caught
+        ), [str(w.message) for w in caught]
+        # one-time: a second call stays quiet
+        with warnings.catch_warnings(record=True) as again:
+            warnings.simplefilter("always")
+            g._free_local_checkpoint(plain, expect_checkpointed=True)
+        assert not again
+        # and the default (unknown-provenance) path never warns
+        g._FREE_WARNED = False
+        with warnings.catch_warnings(record=True) as quiet:
+            warnings.simplefilter("always")
+            g._free_local_checkpoint(plain)
+        assert not quiet
+    finally:
+        g._FREE_WARNED = old
