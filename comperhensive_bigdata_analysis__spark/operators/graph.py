@@ -172,27 +172,34 @@ def survivors(
     The canonical dedup survivorship rule — keep the longest (or
     highest-scoring) member of each near-dup cluster, drop the rest.
     Returns (component, survivor_id, n_members, best_quality).
-    """
-    from pyspark.sql.window import Window
 
+    Shape: ONE hash aggregation, not a window. A window partitioned by
+    component colocates the whole cluster in one task and AQE cannot
+    split it — and near-dup components are the textbook hot key (one
+    boilerplate cluster can hold a visible fraction of a 100 TB
+    corpus). ``min(struct(-q, member))`` map-side-combines to a single
+    row per component per input partition, so a giant cluster costs
+    O(partitions) combiner rows instead of a single-task sort of its
+    entire membership. ``quality_col`` must therefore be numeric (the
+    negation realizes "q desc, member asc" inside an ascending struct
+    min); NaN qualities are rejected by the dedup callers upstream.
+    """
     joined = components.join(attrs, on=components["node"] == attrs[node_col]).select(
         "component", F.col(node_col).alias("member"), F.col(quality_col).alias("q")
     )
-    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("member").asc())
+    best = F.min(F.struct((-F.col("q")).alias("nq"), F.col("member").alias("m")))
     return (
-        joined.select(
-            "component",
-            "member",
-            "q",
-            F.row_number().over(w).alias("__rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+        joined.groupBy("component")
+        .agg(
+            best.alias("__best"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("q").alias("best_quality"),
         )
-        .filter(F.col("__rn") == 1)
         .select(
             "component",
-            F.col("member").alias("survivor_id"),
+            F.col("__best.m").alias("survivor_id"),
             "n_members",
-            F.col("q").alias("best_quality"),
+            "best_quality",
         )
     )
 

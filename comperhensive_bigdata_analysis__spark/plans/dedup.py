@@ -1161,12 +1161,16 @@ def winnowing_cap_recall(spark, sf_dir):
 # survivors (no RNG, no insertion-order dependence). The census
 # reports, per source, raw vs kept doc and token mass.
 # All-integer output.
-# 100 TB: one keyed window per source (rank over the md5 priority —
-# partitioned, never global) and one rollup. Because the census
-# reports RAW mass alongside kept mass, every row is ranked (no
-# WindowGroupLimit prune applies); a pure cap-and-keep materialization
-# would instead filter rk <= cap, where the group-limit pushdown DOES
-# prune each source to its top CAP rows before the sort completes.
+# 100 TB: raw mass is a plain map-side-combined aggregate (no rank
+# needed), and the kept set is the salted two-level top-CAP
+# (operators/skew.salted_top_k) — a bare rank window partitioned by
+# source would sort a hot source's ENTIRE doc set in one task AQE
+# cannot split (the r9 digest-window lesson), while the salted shape
+# bounds every task at ~mass/32 and the exact final rank at
+# <= CAP*32 rows per source. The projected (source, nt, priority)
+# frame is lazily persisted so the token_count regexp — the dominant
+# stage — runs once for both legs (the exact-substr census pattern,
+# operators/curation.py).
 # ---------------------------------------------------------------------------
 
 DOMAIN_CAP = 20  # max documents any one source may contribute
@@ -1197,31 +1201,31 @@ _DOMAIN_CAP_ORACLE = rf"""
 def domain_cap_census(spark, sf_dir):
     """Per-source raw vs capped doc/token mass under the DOMAIN_CAP
     md5-priority survivor rule (see the section comment)."""
-    from pyspark.sql.window import Window
-
     from ..functions.text import token_count
+    from ..operators.skew import salted_top_k
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    )
     pri = d.select(
         "source",
+        "doc_id",
         token_count(F.col("text")).cast("bigint").alias("nt"),
-        F.row_number().over(w).alias("rk"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("__pri"),
+    ).persist()
+    raw = pri.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
     )
-    kept = F.col("rk") <= DOMAIN_CAP
+    kept = salted_top_k(
+        pri, ["source"], ["__pri", "doc_id"], DOMAIN_CAP
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.sum("nt").cast("bigint").alias("kept_tokens"),
+    )
     return (
-        pri.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias(
-                "kept_docs"
-            ),
-            F.sum("nt").cast("bigint").alias("n_tokens"),
-            F.sum(F.when(kept, F.col("nt")).otherwise(0))
-            .cast("bigint")
-            .alias("kept_tokens"),
+        # inner join: every non-empty source keeps >= 1 doc (CAP >= 1)
+        raw.join(kept, "source")
+        .select(
+            "source", "n_docs", "kept_docs", "n_tokens", "kept_tokens"
         )
         .orderBy("source")
     )

@@ -88,11 +88,19 @@ _STRAT_ORACLE = """
 
 @plan("stratified_sample_docs", _STRAT_ORACLE)
 def stratified_sample_docs(spark, sf_dir):
+    # Exact per-source top-5 via the salted two-level rank
+    # (operators/skew.salted_top_k): a bare rank window partitioned by
+    # source sorts a hot source's ENTIRE doc set in one unsplittable
+    # task at 100 TB; the salted prune bounds every task at ~mass/32
+    # and the final exact rank at <= 5*32 rows per source. Output
+    # identical — (md5(doc_id), doc_id) is a total order.
+    from ..operators.skew import salted_top_k
+
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(_md5_str(F.col("doc_id")), F.col("doc_id"))
+    pri = d.select("source", "doc_id", _md5_str(F.col("doc_id")).alias("__pri"))
     return (
-        d.select("source", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
-        .filter(F.col("rk") <= 5)
+        salted_top_k(pri, ["source"], ["__pri", "doc_id"], 5, rank_col="rk")
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
         .orderBy("source", "rk")
     )
 

@@ -76,3 +76,65 @@ def test_plant_skew_corpus_deterministic(spark, sf_dir, tmp_path):
         | ((F.col("doc_id") % 2 == 1) & F.col("has"))
     ).count()
     assert bad == 0
+
+
+def test_salted_top_k_matches_bare_window_on_hot_key(spark):
+    """salted_top_k is EXACT: on a frame where one key holds ~90% of
+    the rows (the case the salted shape exists for), it must emit the
+    same (rows, ranks) as the bare rank window it replaces — including
+    a key with fewer than k rows (all kept, ranks 1..n)."""
+    from pyspark.sql.window import Window
+
+    from comperhensive_bigdata_analysis__spark.operators.skew import (
+        salted_top_k,
+    )
+
+    rows = [("hot", i) for i in range(180)] + [
+        ("warm", i) for i in range(17)
+    ] + [("tiny", 0), ("tiny", 1)]
+    df = spark.createDataFrame(rows, "k string, v long").withColumn(
+        "pri", F.md5(F.col("v").cast("string").cast("binary"))
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_top_k(df, ["k"], ["pri", "v"], 5, salts=7)
+            .select("k", "v", "__rk")
+            .collect(),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("pri", "v")
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= 5)
+            .select("k", "v", "__rk")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len({r[:1] for r in got}) == 3  # all three keys present
+    # a key with fewer rows than k keeps all of them, ranks 1..n
+    assert sorted(r[2] for r in got if r[0] == "tiny") == [1, 2]
+
+
+def test_salted_top_k_more_salts_than_rows(spark):
+    """salts >> rows must not lose rows: every salt bucket has <= 1
+    row, the prune keeps everything, the exact pass ranks it."""
+    from comperhensive_bigdata_analysis__spark.operators.skew import (
+        salted_top_k,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], "k string, v long"
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_top_k(df, ["k"], ["v"], 2, salts=64)
+            .select("k", "v", "__rk")
+            .collect(),
+        )
+    )
+    assert got == [("a", 1, 1), ("a", 2, 2), ("b", 9, 1)]
