@@ -103,3 +103,92 @@ def salted_top_k(
         .filter(F.col(rank_col) <= k)
         .select(*out_cols, rank_col)
     )
+
+
+def distributed_scan(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    rank_col: str | None = None,
+    prior_sum_of: str | None = None,
+    prior_col: str = "__prior",
+    total_count_col: str | None = None,
+) -> DataFrame:
+    """Exact per-key running aggregates — ``row_number()`` in
+    ``rank_col`` and/or the EXCLUSIVE running sum of ``prior_sum_of``
+    in ``prior_col``, both OVER (PARTITION BY keys ORDER BY
+    order_cols) — without colocating one key's mass in a single task.
+    ``total_count_col`` additionally attaches each key's TOTAL row
+    count to every row (free: it falls out of the same census), which
+    is what rank-derived quantile bucketing (ntile) needs.
+
+    The bare window is the textbook scale-killer when a key is hot
+    (one language holding half a pretraining corpus is the COMMON
+    case, not the tail): AQE cannot split a window partition. This is
+    the classic two-level parallel scan instead:
+
+    1. ``repartitionByRange(keys + order_cols)`` — the range
+       partitioner splits a hot key across many partitions while
+       keeping its rows globally ordered across partition ids. The
+       frame is persisted so the partition-id column is read from ONE
+       materialization (partition ids must agree between the two legs
+       below).
+    2. local scan: row_number / exclusive sum within
+       (partition_id, keys) — every window task is bounded by the
+       range-partition size regardless of key skew.
+    3. offsets: per-(partition_id, keys) totals (census-sized: at most
+       n_partitions rows per key), cumulated per key over partition_id
+       order in a tiny window, then broadcast-joined back; global
+       value = local value + offset of the partitions before it.
+
+    ``order_cols`` must be a total order within each key (end with a
+    unique id) — the same determinism contract the bare window has.
+    """
+    from pyspark.sql.window import Window
+
+    out_cols = df.columns
+    val = prior_sum_of
+    parts = df.repartitionByRange(*keys, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parts = parts.persist()
+    w_local = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
+    w_prev = w_local.rowsBetween(Window.unboundedPreceding, -1)
+    local = parts
+    census_aggs = [F.count(F.lit(1)).alias("__n")]
+    if rank_col is not None:
+        local = local.withColumn(rank_col, F.row_number().over(w_local))
+    if val is not None:
+        local = local.withColumn(
+            prior_col, F.coalesce(F.sum(val).over(w_prev), F.lit(0))
+        )
+        census_aggs.append(F.sum(val).alias("__s"))
+    census = parts.groupBy("__pid", *keys).agg(*census_aggs)
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = [F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off_n")]
+    if val is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off_s")
+        )
+    if total_count_col is not None:
+        off_cols.append(
+            F.sum("__n")
+            .over(Window.partitionBy(*keys))
+            .alias(total_count_col)
+        )
+    offsets = census.select("__pid", *keys, *off_cols)
+    joined = local.join(F.broadcast(offsets), ["__pid", *keys])
+    added = []
+    if rank_col is not None:
+        joined = joined.withColumn(rank_col, F.col(rank_col) + F.col("__off_n"))
+        added.append(rank_col)
+    if val is not None:
+        joined = joined.withColumn(prior_col, F.col(prior_col) + F.col("__off_s"))
+        added.append(prior_col)
+    if total_count_col is not None:
+        added.append(total_count_col)
+    return joined.select(*out_cols, *added)

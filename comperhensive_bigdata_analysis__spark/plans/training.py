@@ -982,11 +982,16 @@ def benchmark_contamination(spark, sf_dir):
 # into the next window) rather than sequential next-fit: identical
 # output on any engine, one window-function pass, no iteration.
 #
-# 100 TB: one shuffle to order each source partition (range-partitioned
-# window, not a global sort), integer arithmetic end to end; the census
-# output is |sources| x |windows| rows. Skew guard: a single gigantic
-# source still sorts in parallel because Spark range-splits the window
-# partition's sort, and the downstream aggregate is map-side combined.
+# 100 TB: the exclusive prefix sum runs as operators/skew.
+# distributed_scan, NOT a bare window — a window partitioned by source
+# hash-shuffles ALL of one source's rows into a single task (AQE
+# cannot split a window partition), so a gigantic source serializes
+# the job. The scan range-repartitions on (source, doc_id) — splitting
+# the hot source across partitions in order — takes a bounded local
+# prefix sum per (partition, source), and broadcast-joins the
+# census-sized per-partition offsets back. Integer arithmetic end to
+# end; the census output is |sources| x |windows| rows and the
+# downstream aggregate is map-side combined.
 # ---------------------------------------------------------------------------
 
 PACK_BUDGET = 2048  # tokens per training window
@@ -1021,17 +1026,15 @@ _PACK_ORACLE = rf"""
 def pack_context_windows(spark, sf_dir):
     from ..functions.text import token_count
 
+    from ..operators.skew import distributed_scan
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = toks.withColumn(
-        "prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = distributed_scan(
+        toks, ["source"], ["doc_id"], prior_sum_of="n_tokens",
+        prior_col="prior",
     ).withColumn("window_id", F.expr(f"prior div {PACK_BUDGET}"))
     return (
         packed.groupBy("source", F.col("window_id").cast("bigint").alias("window_id"))
@@ -2004,13 +2007,17 @@ def dsir_importance_weights(spark, sf_dir):
 # Float discipline: per-doc surprisals are already floor-rounded
 # doubles identical cross-engine; the per-bucket mean DECIMAL-truncates
 # them before the order-insensitive sum and floors to 1e-6.
-# 100 TB: the demo tier sorts each language partition for the exact
-# NTILE (oracle-checkable); at real scale the language partitions are
-# skewed and CCNet's production recipe applies — compute the two
-# tercile THRESHOLDS per language from a sample, then bucket by
-# comparison map-side (no global sort). The aggregation shape
-# (surprisal legs + one (lang, bucket) combine) is unchanged either
-# way.
+# 100 TB: language is the canonical HOT key (English is half of any
+# web corpus — the common case, not the tail), and a bare ntile window
+# partitioned by lang sorts that half in one task AQE cannot split.
+# The exact NTILE is instead derived from operators/skew.
+# distributed_scan: range-repartition splits the hot language across
+# partitions while keeping global order, the per-(partition, lang)
+# local rank is bounded by partition size, and the census-sized offset
+# join yields the exact global rank r plus the per-lang count c; the
+# SQL-standard ntile bucket is then a map-side integer formula of
+# (r, c) — first (c mod 3) buckets hold (c div 3 + 1) rows, the rest
+# (c div 3). Output identical to the window ntile.
 # ---------------------------------------------------------------------------
 
 _CCNET_ORACLE = rf"""
@@ -2035,13 +2042,29 @@ _CCNET_ORACLE = rf"""
 def ccnet_quality_buckets(spark, sf_dir):
     """Per-(lang, tercile) doc/token census of LM surprisal (see module
     comment). Bucket 1 is the CCNet "head" (lowest surprisal)."""
-    from pyspark.sql.window import Window
+    from ..operators.skew import distributed_scan
 
     s = unigram_lm_surprisal(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
-    b = s.join(d, "doc_id").withColumn(
-        "bucket", F.ntile(3).over(w).cast("long")
+    ranked = distributed_scan(
+        s.join(d, "doc_id"),
+        ["lang"],
+        ["avg_surprisal", "doc_id"],
+        rank_col="__r",
+        total_count_col="__c",
+    )
+    # SQL-standard NTILE(3) from (rank r, count c): the first (c % 3)
+    # buckets hold (c div 3 + 1) rows, the remaining ones (c div 3).
+    # The ELSE branch only evaluates where r exceeds the big buckets,
+    # which implies c div 3 >= 1 — no division by zero.
+    b = ranked.withColumn(
+        "bucket",
+        F.expr(
+            "CAST(CASE WHEN __r <= (__c % 3) * (__c div 3 + 1)"
+            " THEN (__r - 1) div (__c div 3 + 1) + 1"
+            " ELSE (__c % 3) + (__r - (__c % 3) * (__c div 3 + 1) - 1)"
+            "      div (__c div 3) + 1 END AS BIGINT)"
+        ),
     )
     return (
         b.groupBy("lang", "bucket")

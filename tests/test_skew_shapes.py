@@ -138,3 +138,85 @@ def test_salted_top_k_more_salts_than_rows(spark):
         )
     )
     assert got == [("a", 1, 1), ("a", 2, 2), ("b", 9, 1)]
+
+
+def test_distributed_scan_matches_bare_window_on_hot_key(spark):
+    """distributed_scan's rank, exclusive running sum, and per-key
+    total must equal the bare window's on a frame where one key holds
+    ~90% of rows — including keys small enough to fit one range
+    partition and a single-row key."""
+    from pyspark.sql.window import Window
+
+    from comperhensive_bigdata_analysis__spark.operators.skew import (
+        distributed_scan,
+    )
+
+    rows = [("hot", i, (i * 7) % 13) for i in range(200)] + [
+        ("warm", i, i) for i in range(9)
+    ] + [("one", 0, 42)]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    got = sorted(
+        map(
+            tuple,
+            distributed_scan(
+                df,
+                ["k"],
+                ["i"],
+                rank_col="r",
+                prior_sum_of="v",
+                prior_col="p",
+                total_count_col="c",
+            ).collect(),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("i")
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "k",
+                "i",
+                "v",
+                F.row_number().over(w).cast("long").alias("r"),
+                F.coalesce(
+                    F.sum("v").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias("p"),
+                F.count(F.lit(1))
+                .over(Window.partitionBy("k"))
+                .alias("c"),
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_ccnet_ntile_formula_matches_window_ntile(spark):
+    """The (rank, count) integer formula in ccnet_quality_buckets must
+    reproduce SQL-standard NTILE(3) on every residue class of c mod 3
+    and on c < 3."""
+    from pyspark.sql.window import Window
+
+    rows = []
+    for key, n in [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5), ("f", 10)]:
+        rows += [(key, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, i long")
+    w = Window.partitionBy("k").orderBy("i")
+    both = df.select(
+        "k",
+        "i",
+        F.row_number().over(w).cast("long").alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("__c"),
+        F.ntile(3).over(w).cast("long").alias("want"),
+    ).withColumn(
+        "got",
+        F.expr(
+            "CAST(CASE WHEN __r <= (__c % 3) * (__c div 3 + 1)"
+            " THEN (__r - 1) div (__c div 3 + 1) + 1"
+            " ELSE (__c % 3) + (__r - (__c % 3) * (__c div 3 + 1) - 1)"
+            "      div (__c div 3) + 1 END AS BIGINT)"
+        ),
+    )
+    assert both.filter(F.col("got") != F.col("want")).count() == 0
