@@ -173,34 +173,32 @@ def survivors(
     highest-scoring) member of each near-dup cluster, drop the rest.
     Returns (component, survivor_id, n_members, best_quality).
 
-    Shape: ONE hash aggregation, not a window. A window partitioned by
-    component colocates the whole cluster in one task and AQE cannot
-    split it — and near-dup components are the textbook hot key (one
-    boilerplate cluster can hold a visible fraction of a 100 TB
-    corpus). ``min(struct(-q, member))`` map-side-combines to a single
-    row per component per input partition, so a giant cluster costs
-    O(partitions) combiner rows instead of a single-task sort of its
-    entire membership. ``quality_col`` must therefore be numeric (the
-    negation realizes "q desc, member asc" inside an ascending struct
-    min); NaN qualities are rejected by the dedup callers upstream.
+    Shape: hash aggregations + one equi-join-back, not a window. The
+    old rank/count windows partitioned by component colocated the
+    whole cluster in one task (no rank filter on the count leg, so no
+    WindowGroupLimit prune), and near-dup components are the textbook
+    hot key — one boilerplate cluster can hold a visible fraction of a
+    100 TB corpus, and AQE cannot split a window partition. Both
+    aggregates here (max/count, then min over the best-quality rows)
+    map-side-combine to one row per component per input partition, and
+    the join back to the census is an equi-join AQE's skew handling
+    CAN split. (min/max of a struct would do this in one pass but
+    compiles to a keyed SortAggregate — struct buffers can't
+    hash-aggregate — which the plan-shape suite forbids.)
     """
     joined = components.join(attrs, on=components["node"] == attrs[node_col]).select(
         "component", F.col(node_col).alias("member"), F.col(quality_col).alias("q")
     )
-    best = F.min(F.struct((-F.col("q")).alias("nq"), F.col("member").alias("m")))
+    best = joined.groupBy("component").agg(
+        F.max("q").alias("best_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
     return (
-        joined.groupBy("component")
-        .agg(
-            best.alias("__best"),
-            F.count(F.lit(1)).alias("n_members"),
-            F.max("q").alias("best_quality"),
-        )
-        .select(
-            "component",
-            F.col("__best.m").alias("survivor_id"),
-            "n_members",
-            "best_quality",
-        )
+        joined.join(best, "component")
+        .filter(F.col("q") == F.col("best_quality"))
+        .groupBy("component", "n_members", "best_quality")
+        .agg(F.min("member").alias("survivor_id"))
+        .select("component", "survivor_id", "n_members", "best_quality")
     )
 
 

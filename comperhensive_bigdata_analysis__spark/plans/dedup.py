@@ -1161,16 +1161,17 @@ def winnowing_cap_recall(spark, sf_dir):
 # survivors (no RNG, no insertion-order dependence). The census
 # reports, per source, raw vs kept doc and token mass.
 # All-integer output.
-# 100 TB: raw mass is a plain map-side-combined aggregate (no rank
-# needed), and the kept set is the salted two-level top-CAP
-# (operators/skew.salted_top_k) — a bare rank window partitioned by
-# source would sort a hot source's ENTIRE doc set in one task AQE
-# cannot split (the r9 digest-window lesson), while the salted shape
-# bounds every task at ~mass/32 and the exact final rank at
-# <= CAP*32 rows per source. The projected (source, nt, priority)
-# frame is lazily persisted so the token_count regexp — the dominant
-# stage — runs once for both legs (the exact-substr census pattern,
-# operators/curation.py).
+# 100 TB: the old single window ranked EVERY row (the raw-mass leg
+# needs no rank but shared the window), so no WindowGroupLimit prune
+# applied and a hot source's entire doc set sorted in one task AQE
+# cannot split (the r9 digest-window lesson). Now raw mass is a plain
+# map-side-combined aggregate, and the kept set is the salted
+# two-level top-CAP (operators/skew.salted_top_k), whose worst
+# single task holds <= CAP*32 rows per source — tighter even than the
+# group-limit-pruned bare window's CAP * num_map_partitions. The
+# projected (source, nt, priority) frame is lazily persisted so the
+# token_count regexp — the dominant stage — runs once for both legs
+# (the exact-substr census pattern, operators/curation.py).
 # ---------------------------------------------------------------------------
 
 DOMAIN_CAP = 20  # max documents any one source may contribute

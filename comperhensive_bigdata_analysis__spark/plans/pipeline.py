@@ -4,26 +4,29 @@ per-(lang, source) token accounting. One registered plan so the WHOLE
 chain is oracle-checked, not just its stages.
 
 Pipeline plan shape (and why it scales):
-1. dedup: ONE hash aggregation min(struct(doc_id, ...)) keyed on
-   md5(text) — keeps the lowest doc_id per content. md5 is uniform
-   over DISTINCT texts but a mass-duplicated boilerplate text is
-   still one hot digest, so this is deliberately an aggregate (map-
-   side combine keeps one survivor-candidate row per digest per
-   input partition), NOT a window: a window partitioned by digest
-   colocates every copy of the hot text in one unsplittable task
-   (the r9 digest-window lesson, VERDICT r9 "What's wrong #1").
+1. dedup: row_number over md5(text), keep rn == 1 (lowest doc_id per
+   content). md5 is uniform over DISTINCT texts; a mass-duplicated
+   boilerplate text is still ONE hot digest, but because the rank
+   filter is adjacent, Spark's WindowGroupLimit pushdown prunes each
+   MAP partition to its first row per digest before the shuffle — the
+   hot digest's reducer task receives at most one row per upstream
+   partition, not the full copy mass. (An aggregate min(struct(...))
+   would bound it the same way but compiles to a keyed SortAggregate
+   — struct buffers can't hash-aggregate — which the plan-shape suite
+   forbids; the group-limited window keeps whole-stage codegen.)
 2. quality + token stats: pure map-side expressions (regexp/len), no
    shuffle, whole-stage codegen.
 3. rollup: groupBy on (lang, source) — a handful of groups, map-side
    combined.
 Total: two exchanges (dedup key, final rollup) regardless of corpus
-size. At 100 TB the dedup exchange dominates, is partially combined
-map-side, and AQE coalesces the rollup.
+size. At 100 TB the dedup exchange dominates, is pruned map-side by
+the group limit, and AQE coalesces the rollup.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     SQL_STOPWORD_COUNT,
@@ -82,16 +85,13 @@ _PIPELINE_ORACLE = rf"""
 @plan("corpus_clean_pipeline", _PIPELINE_ORACLE)
 def corpus_clean_pipeline(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    # keep-first survivor per digest as an AGGREGATE (module comment):
-    # doc_id is unique, so min(struct(doc_id, payload)) is the row with
-    # the smallest doc_id — deterministic, map-side combining, no
-    # single-task hot-digest window partition.
+    # keep-first survivor per digest; the rn == 1 filter is what makes
+    # this scale — it triggers WindowGroupLimit's map-side prune (see
+    # the module comment), so the hot-digest task is bounded by the
+    # number of upstream partitions, not the duplicate mass.
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     deduped = (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("__dg"))
-        .agg(
-            F.min(F.struct("doc_id", "lang", "source", "text")).alias("__keep")
-        )
-        .select("__keep.lang", "__keep.source", "__keep.text")
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
     scored = deduped.select(
         "lang",

@@ -89,11 +89,12 @@ _STRAT_ORACLE = """
 @plan("stratified_sample_docs", _STRAT_ORACLE)
 def stratified_sample_docs(spark, sf_dir):
     # Exact per-source top-5 via the salted two-level rank
-    # (operators/skew.salted_top_k): a bare rank window partitioned by
-    # source sorts a hot source's ENTIRE doc set in one unsplittable
-    # task at 100 TB; the salted prune bounds every task at ~mass/32
-    # and the final exact rank at <= 5*32 rows per source. Output
-    # identical — (md5(doc_id), doc_id) is a total order.
+    # (operators/skew.salted_top_k). The bare rank-filter window does
+    # get WindowGroupLimit's map-side prune, but its hot-source
+    # reducer still sorts k * num_map_partitions rows in one task —
+    # millions at 100 TB scan widths; the salted shape tightens that
+    # single-task bound to <= 5*32 rows per source. Output identical —
+    # (md5(doc_id), doc_id) is a total order.
     from ..operators.skew import salted_top_k
 
     d = load_table(spark, sf_dir, "documents")

@@ -286,9 +286,20 @@ _PCT_ORACLE = """
 
 # ---------------------------------------------------------------------------
 # Analytic value functions: first/last/nth + percent_rank/cume_dist.
-# first/last/nth need an explicit UNBOUNDED-to-UNBOUNDED frame (the
-# default frame stops at CURRENT ROW, making last_value degenerate);
-# rank ratios are integer arithmetic -> engine-independent doubles.
+# Semantics (and the oracle) are the classic windows — first/last/nth
+# over an UNBOUNDED-to-UNBOUNDED date frame, rank ratios over the
+# price order — but the Spark shape derives them WITHOUT any window
+# partitioned by o_orderpriority: that key has 5 values, so each
+# window partition holds ~20% of ALL orders in one task AQE cannot
+# split, and none of these functions carries a rank filter, so
+# WindowGroupLimit's map-side prune never applies. Instead:
+# first/third come from a salted exact top-3 and last from a salted
+# top-1 in reverse order (operators/skew.salted_top_k), census-sized
+# and broadcast back; percent_rank = (r-1)/(c-1) and cume_dist = r/c are
+# integer formulas of the exact rank r and count c from
+# operators/skew.distributed_scan (the ordering ends in o_orderkey,
+# so ranks have no peers and rank == row_number). Rank ratios stay
+# integer arithmetic -> engine-independent doubles.
 # ---------------------------------------------------------------------------
 
 _VALUE_FN_ORACLE = """
@@ -309,24 +320,60 @@ _VALUE_FN_ORACLE = """
 
 @plan("window_value_functions", _VALUE_FN_ORACLE)
 def window_value_functions(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    w_date = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    from ..operators.skew import distributed_scan, salted_top_k
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
     )
-    w_price = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    # LAZY persist: the three top-k legs and the rank spine each
+    # consume this projection; without the cache the pruned orders
+    # scan runs four times (measured 64x: 13.2s -> 10.3s with it).
+    o = o.persist()
+    # per-priority date-order endpoints, census-sized (5 rows each):
+    # first and third from one salted exact top-3 in date order, last
+    # from a salted top-1 in reverse date order (struct min/max would
+    # do it in one aggregate but compiles to a keyed SortAggregate,
+    # which the plan-shape suite forbids). nth_value semantics keep
+    # NULL for a partition with < 3 rows via the left join below.
+    top3 = salted_top_k(
+        o, ["o_orderpriority"], ["o_orderdate", "o_orderkey"], 3
     )
+    firsts = top3.filter(F.col("__rk") == 1).select(
+        "o_orderpriority", F.col("o_totalprice").alias("first_price")
+    )
+    third = top3.filter(F.col("__rk") == 3).select(
+        "o_orderpriority", F.col("o_totalprice").alias("third_price")
+    )
+    lasts = salted_top_k(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+        1,
+    ).select("o_orderpriority", F.col("o_totalprice").alias("last_price"))
+    ranked = distributed_scan(
+        o,
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        rank_col="__r",
+        total_count_col="__c",
+    )
+    r, c = F.col("__r"), F.col("__c")
     return (
-        o.select(
+        ranked.join(F.broadcast(firsts), "o_orderpriority")
+        .join(F.broadcast(lasts), "o_orderpriority")
+        .join(F.broadcast(third), "o_orderpriority", "left")
+        .select(
             "o_orderkey",
             "o_orderpriority",
-            F.first("o_totalprice").over(w_date).alias("first_price"),
-            F.last("o_totalprice").over(w_date).alias("last_price"),
-            F.nth_value("o_totalprice", 3).over(w_date).alias("third_price"),
-            F.percent_rank().over(w_price).alias("price_pct_rank"),
-            F.cume_dist().over(w_price).alias("price_cume_dist"),
+            "first_price",
+            "last_price",
+            "third_price",
+            F.when(
+                c > 1, (r - 1).cast("double") / (c - 1).cast("double")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("price_pct_rank"),
+            (r.cast("double") / c.cast("double")).alias("price_cume_dist"),
         )
         .orderBy("o_orderkey")
     )
@@ -616,11 +663,17 @@ def pareto_frontier_orders(spark, sf_dir):
     """Per-priority skyline: orders not dominated by any strictly
     earlier, strictly pricier order.
 
-    100 TB: one exchange on o_orderpriority + per-partition window
-    sort on the integer day key; no self-join (the naive dominance
-    formulation is a quadratic theta-join). Output is the frontier
-    only — expected O(log n) rows per partition for exchangeable
-    arrivals.
+    100 TB: the running range-max is computed on a per-(priority, day)
+    CENSUS — max price per day (map-side-combined aggregate over the
+    raw rows), exclusive prefix-max over the day order in a window
+    whose partitions hold only ~|days| rows, broadcast-joined back —
+    instead of a range window over the raw table, which would sort
+    each priority's ENTIRE order set (~20% of the table for a 5-value
+    key) in one task AQE cannot split, with no WindowGroupLimit prune
+    (running max has no rank filter). No self-join either (the naive
+    dominance formulation is a quadratic theta-join). Output is the
+    frontier only — expected O(log n) rows per partition for
+    exchangeable arrivals.
     """
     o = load_table(spark, sf_dir, "orders")
     d = o.select(
@@ -631,12 +684,20 @@ def pareto_frontier_orders(spark, sf_dir):
         .cast("long")
         .alias("epoch_day"),
     )
-    w = (
+    day_max = d.groupBy("o_orderpriority", "epoch_day").agg(
+        F.max("o_totalprice").alias("__dmax")
+    )
+    w_prev = (
         Window.partitionBy("o_orderpriority")
         .orderBy("epoch_day")
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    m = d.withColumn("prev_max", F.max("o_totalprice").over(w))
+    prev = day_max.select(
+        "o_orderpriority",
+        "epoch_day",
+        F.max("__dmax").over(w_prev).alias("prev_max"),
+    )
+    m = d.join(F.broadcast(prev), ["o_orderpriority", "epoch_day"])
     return (
         m.filter(
             F.col("prev_max").isNull() | (F.col("o_totalprice") > F.col("prev_max"))

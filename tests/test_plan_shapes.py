@@ -178,14 +178,23 @@ def test_rrf_legs_are_parallel_topk(spark, sf_dir):
 
 
 def test_pareto_frontier_has_no_self_join(spark, sf_dir):
-    """The skyline must be the single-window rewrite — one scan of
-    orders, no join of any kind (the naive form is a quadratic
-    dominance theta-join)."""
+    """The skyline's running range-max must come from the per-(priority,
+    day) CENSUS broadcast back to the raw rows — never a quadratic
+    dominance self-join (no SortMergeJoin/Cartesian: the only join is
+    the single broadcast of the census), and never a window over the
+    raw un-aggregated relation (a 5-value partition key with no rank
+    filter would sort ~20% of all orders in one task)."""
     ex = _explain(plans.QUERIES["pareto_frontier_orders"](spark, sf_dir))
-    assert "Join" not in ex
-    # one source scan (formatted explain names each scan twice: once in
-    # the tree, once in the detail section)
-    assert ex.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in ex and "Cartesian" not in ex
+    # one broadcast join (formatted explain names each node twice: once
+    # in the tree, once in the detail section)
+    assert ex.count("BroadcastHashJoin") == 2
+    # the window input must be the day-grain census: an aggregate sits
+    # BELOW the window (formatted-plan node ids number bottom-up, so
+    # the aggregate's id must be smaller than the window's)
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", ex)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", ex)]
+    assert win_ids and agg_ids and min(agg_ids) < min(win_ids)
 
 
 def test_wma_fanout_happens_after_aggregate(spark, sf_dir):

@@ -33,8 +33,11 @@ PICKS = {
         "IN-subquery decorrelated to a broadcast LeftSemi join."
     ),
     "corpus_clean_pipeline": (
-        "dedup window on md5(text) = one exchange on a uniform 128-bit key; "
-        "quality scoring map-side; final rollup on (lang, source)."
+        "dedup window on md5(text) with an adjacent rn == 1 filter, so "
+        "WindowGroupLimit prunes each MAP partition to one row per digest "
+        "before the shuffle — a hot boilerplate digest's task is bounded "
+        "by the partition count, not the copy mass; quality scoring "
+        "map-side; final rollup on (lang, source)."
     ),
     "sessionize_events": (
         "one exchange on user_id, then ordered window passes (lag -> flag -> "
@@ -140,9 +143,12 @@ PICKS = {
         "distributed PageRank layout with deterministic arithmetic."
     ),
     "pareto_frontier_orders": (
-        "skyline via one running-max RANGE window per priority partition — "
-        "the quadratic dominance self-join never materializes; output is "
-        "the frontier only."
+        "skyline via a per-(priority, day) CENSUS: day-grain max aggregate "
+        "(map-side combined), exclusive prefix-max over ~|days| census rows, "
+        "broadcast back — never a range window over raw orders (a 5-value "
+        "key with no rank filter would sort ~20% of the table in one task) "
+        "and never the quadratic dominance self-join; output is the "
+        "frontier only."
     ),
     "corpus_similarity_matrix": (
         "inverted-index cosine: tokens collapse to (source, term) counts "
@@ -283,11 +289,12 @@ PICKS = {
         "census is one per-source rollup."
     ),
     "domain_cap_census": (
-        "per-source frequency cap: ONE keyed window (rank over the md5 "
-        "priority inside each source partition — never a global sort) "
-        "feeding a per-source rollup; the cap-and-keep materialization "
-        "variant filters rk <= cap, where WindowGroupLimit prunes each "
-        "group before the sort completes."
+        "per-source frequency cap: raw mass from a plain map-side-combined "
+        "aggregate (the old shared window ranked EVERY row, so no "
+        "WindowGroupLimit prune applied); kept set from the salted "
+        "two-level top-CAP (operators/skew.salted_top_k) whose worst task "
+        "holds <= CAP*32 rows per source; one lazily persisted projection "
+        "feeds both legs."
     ),
     "int8_quant_error_census": (
         "quantization eval: the per-dimension scale table is 64 rows "
