@@ -196,3 +196,22 @@ def distributed_scan(
     if total_count_col is not None:
         added.append(total_count_col)
     return joined.select(*out_cols, *added)
+
+
+def ntile_from_rank(n: int, rank_col: str, count_col: str):
+    """SQL-standard ``NTILE(n)`` as a map-side integer formula of the
+    exact 1-based rank ``rank_col`` and partition row count
+    ``count_col`` (both from :func:`distributed_scan`): the first
+    ``c % n`` buckets hold ``c div n + 1`` rows, the rest ``c div n``.
+    The ELSE branch only evaluates where the rank exceeds the big
+    buckets, which implies ``c div n >= 1`` — no division by zero.
+    Replaces ``F.ntile(n).over(window)``, whose unfiltered window
+    would colocate each partition key's entire mass in one task.
+    """
+    r, c = rank_col, count_col
+    return F.expr(
+        f"CAST(CASE WHEN {r} <= ({c} % {n}) * ({c} div {n} + 1)"
+        f" THEN ({r} - 1) div ({c} div {n} + 1) + 1"
+        f" ELSE ({c} % {n}) + ({r} - ({c} % {n}) * ({c} div {n} + 1) - 1)"
+        f" div ({c} div {n}) + 1 END AS BIGINT)"
+    )

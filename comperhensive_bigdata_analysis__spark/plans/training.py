@@ -343,10 +343,15 @@ def lag_delta_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# NTILE quartiles over order value. A global ntile needs a total order —
-# fine for profiling output this size; at 100 TB the same contract is
-# served by approx_percentile bucket bounds (see approx_percentile_prices)
-# with bucket assignment as a map-side comparison against broadcast bounds.
+# NTILE quartiles over order value. The EXACT global ntile runs as
+# operators/skew.distributed_scan with no partition key — a bare
+# Window.orderBy would sort the ENTIRE table in one task (the worst
+# global window there is; no rank filter, so no WindowGroupLimit
+# prune) — and the quartile is ntile_from_rank's integer formula of
+# the exact global rank and total count. The approximate contract
+# (approx_percentile bucket bounds broadcast as map-side comparisons,
+# see approx_percentile_prices) remains the cheaper alternative when
+# ±epsilon boundaries are acceptable.
 # ---------------------------------------------------------------------------
 
 _NTILE_ORACLE = """
@@ -363,10 +368,20 @@ _NTILE_ORACLE = """
 
 @plan("ntile_price_quartiles", _NTILE_ORACLE)
 def ntile_price_quartiles(spark, sf_dir):
+    from ..operators.skew import distributed_scan, ntile_from_rank
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = distributed_scan(
+        o.select("o_totalprice", "o_orderkey"),
+        [],
+        ["o_totalprice", "o_orderkey"],
+        rank_col="__r",
+        total_count_col="__c",
+    )
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile"))
+        ranked.select(
+            "o_totalprice", ntile_from_rank(4, "__r", "__c").alias("quartile")
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -838,9 +853,11 @@ def bigram_top_terms(spark, sf_dir):
 # Customers aggregate first (map-side combine to |customers| rows), THEN
 # the global NTILE ranks the small aggregate; per-decile sums stay
 # decimal-exact and the share divides two identically-derived doubles
-# (bit-identical IEEE division on both engines). Same global-window
-# caveat as ntile_price_quartiles: at 100 TB the ranking runs on the
-# post-agg relation, orders of magnitude smaller than the fact table.
+# (bit-identical IEEE division on both engines). The decile ranking
+# runs on the post-agg per-customer relation — smaller than the fact
+# table but still |customers| rows, which GROWS with the data — so the
+# exact global ntile is distributed_scan + ntile_from_rank, never a
+# bare Window.orderBy (one task holding every customer).
 # ---------------------------------------------------------------------------
 
 _DECILE_ORACLE = """
@@ -864,13 +881,23 @@ _DECILE_ORACLE = """
 
 @plan("decile_revenue_share", _DECILE_ORACLE)
 def decile_revenue_share(spark, sf_dir):
+    from ..operators.skew import distributed_scan, ntile_from_rank
+
     o = load_table(spark, sf_dir, "orders")
     cr = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    ranked = distributed_scan(
+        cr,
+        [],
+        [F.col("rev").desc(), F.col("o_custkey")],
+        rank_col="__r",
+        total_count_col="__c",
+    )
     g = (
-        cr.select("rev", F.ntile(10).over(w).cast("long").alias("decile"))
+        ranked.select(
+            "rev", ntile_from_rank(10, "__r", "__c").alias("decile")
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -2043,7 +2070,7 @@ _CCNET_ORACLE = rf"""
 def ccnet_quality_buckets(spark, sf_dir):
     """Per-(lang, tercile) doc/token census of LM surprisal (see module
     comment). Bucket 1 is the CCNet "head" (lowest surprisal)."""
-    from ..operators.skew import distributed_scan
+    from ..operators.skew import distributed_scan, ntile_from_rank
 
     s = unigram_lm_surprisal(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -2054,19 +2081,7 @@ def ccnet_quality_buckets(spark, sf_dir):
         rank_col="__r",
         total_count_col="__c",
     )
-    # SQL-standard NTILE(3) from (rank r, count c): the first (c % 3)
-    # buckets hold (c div 3 + 1) rows, the remaining ones (c div 3).
-    # The ELSE branch only evaluates where r exceeds the big buckets,
-    # which implies c div 3 >= 1 — no division by zero.
-    b = ranked.withColumn(
-        "bucket",
-        F.expr(
-            "CAST(CASE WHEN __r <= (__c % 3) * (__c div 3 + 1)"
-            " THEN (__r - 1) div (__c div 3 + 1) + 1"
-            " ELSE (__c % 3) + (__r - (__c % 3) * (__c div 3 + 1) - 1)"
-            "      div (__c div 3) + 1 END AS BIGINT)"
-        ),
-    )
+    b = ranked.withColumn("bucket", ntile_from_rank(3, "__r", "__c"))
     return (
         b.groupBy("lang", "bucket")
         .agg(

@@ -193,30 +193,30 @@ def test_distributed_scan_matches_bare_window_on_hot_key(spark):
     assert got == want
 
 
-def test_ccnet_ntile_formula_matches_window_ntile(spark):
-    """The (rank, count) integer formula in ccnet_quality_buckets must
-    reproduce SQL-standard NTILE(3) on every residue class of c mod 3
-    and on c < 3."""
+def test_ntile_from_rank_matches_window_ntile(spark):
+    """ntile_from_rank (used by ccnet terciles, price quartiles,
+    revenue deciles) must reproduce SQL-standard NTILE(n) for every
+    residue class of c mod n and for c < n."""
     from pyspark.sql.window import Window
 
+    from comperhensive_bigdata_analysis__spark.operators.skew import (
+        ntile_from_rank,
+    )
+
     rows = []
-    for key, n in [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5), ("f", 10)]:
-        rows += [(key, i) for i in range(n)]
+    for key, cnt in [
+        ("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5),
+        ("f", 10), ("g", 11), ("h", 23),
+    ]:
+        rows += [(key, i) for i in range(cnt)]
     df = spark.createDataFrame(rows, "k string, i long")
     w = Window.partitionBy("k").orderBy("i")
-    both = df.select(
-        "k",
-        "i",
-        F.row_number().over(w).cast("long").alias("__r"),
-        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("__c"),
-        F.ntile(3).over(w).cast("long").alias("want"),
-    ).withColumn(
-        "got",
-        F.expr(
-            "CAST(CASE WHEN __r <= (__c % 3) * (__c div 3 + 1)"
-            " THEN (__r - 1) div (__c div 3 + 1) + 1"
-            " ELSE (__c % 3) + (__r - (__c % 3) * (__c div 3 + 1) - 1)"
-            "      div (__c div 3) + 1 END AS BIGINT)"
-        ),
-    )
-    assert both.filter(F.col("got") != F.col("want")).count() == 0
+    for n in (3, 4, 10):
+        both = df.select(
+            "k",
+            "i",
+            F.row_number().over(w).cast("long").alias("__r"),
+            F.count(F.lit(1)).over(Window.partitionBy("k")).alias("__c"),
+            F.ntile(n).over(w).cast("long").alias("want"),
+        ).withColumn("got", ntile_from_rank(n, "__r", "__c"))
+        assert both.filter(F.col("got") != F.col("want")).count() == 0, n
