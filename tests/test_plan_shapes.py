@@ -354,3 +354,31 @@ def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
     assert "LeftSemi" in ex
     pushed = [ln for ln in ex.splitlines() if "PushedFilters" in ln]
     assert any("o_orderdate" in ln for ln in pushed), pushed
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ntile_price_quartiles",
+        "decile_revenue_share",
+        "ccnet_quality_buckets",
+        "pack_context_windows",
+        "window_value_functions",
+    ],
+)
+def test_scan_shaped_plans_range_partition(spark, sf_dir, name):
+    """The round-10 distributed_scan conversions must keep their range
+    exchange (the piece that splits a hot key across tasks in global
+    order); losing it silently reverts to a one-task-per-key window."""
+    ex = _explain(plans.QUERIES[name](spark, sf_dir))
+    assert "rangepartitioning" in ex.lower(), name
+
+
+@pytest.mark.parametrize(
+    "name", ["stratified_sample_docs", "domain_cap_census"]
+)
+def test_salted_topk_plans_keep_group_limit(spark, sf_dir, name):
+    """The salted top-k plans' local rank filters must keep triggering
+    WindowGroupLimit (the map-side prune is half the shape's bound)."""
+    ex = _explain(plans.QUERIES[name](spark, sf_dir))
+    assert "WindowGroupLimit" in ex, name
