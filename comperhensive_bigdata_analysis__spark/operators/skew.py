@@ -185,7 +185,15 @@ def distributed_scan(
             .alias(total_count_col)
         )
     offsets = census.select("__pid", *keys, *off_cols)
-    joined = local.join(F.broadcast(offsets), ["__pid", *keys])
+    # NULL-SAFE key equality: a bare window keeps NULL as its own
+    # partition, so the offsets join must too — a plain equi-join
+    # would silently DROP every null-keyed row (NULL never equals
+    # NULL). __pid is never null, so it stays a plain condition.
+    off = F.broadcast(offsets)
+    cond = local["__pid"] == off["__pid"]
+    for k in keys:
+        cond = cond & local[k].eqNullSafe(off[k])
+    joined = local.join(off, cond).drop(off["__pid"], *[off[k] for k in keys])
     added = []
     if rank_col is not None:
         joined = joined.withColumn(rank_col, F.col(rank_col) + F.col("__off_n"))

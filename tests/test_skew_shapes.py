@@ -220,3 +220,46 @@ def test_ntile_from_rank_matches_window_ntile(spark):
             F.ntile(n).over(w).cast("long").alias("want"),
         ).withColumn("got", ntile_from_rank(n, "__r", "__c"))
         assert both.filter(F.col("got") != F.col("want")).count() == 0, n
+
+
+def test_distributed_scan_keeps_null_keys(spark):
+    """A bare window treats NULL as its own partition; the scan's
+    offsets join must be null-safe or every null-keyed row silently
+    drops (NULL never equi-joins NULL)."""
+    from pyspark.sql.window import Window
+
+    from comperhensive_bigdata_analysis__spark.operators.skew import (
+        distributed_scan,
+    )
+
+    rows = [(None, 1, 10), (None, 2, 20), ("a", 1, 5), (None, 3, 30)]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    got = sorted(
+        map(
+            tuple,
+            distributed_scan(
+                df, ["k"], ["i"], rank_col="r",
+                prior_sum_of="v", prior_col="p", total_count_col="c",
+            ).collect(),
+        ),
+        key=str,
+    )
+    w = Window.partitionBy("k").orderBy("i")
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "k", "i", "v",
+                F.row_number().over(w).cast("long").alias("r"),
+                F.coalesce(
+                    F.sum("v").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias("p"),
+                F.count(F.lit(1)).over(Window.partitionBy("k")).alias("c"),
+            ).collect(),
+        ),
+        key=str,
+    )
+    assert got == want and len(got) == 4
