@@ -555,17 +555,21 @@ _TOP_TERMS_SRC_ORACLE = r"""
 
 @plan("top_terms_per_source", _TOP_TERMS_SRC_ORACLE)
 def top_terms_per_source(spark, sf_dir):
-    """Top-3 terms per document source via the array-native pipeline.
+    """Top-3 terms per document source.
 
-    100 TB: counts collapse map-side before the collect; each source's
-    array is |vocab-per-source| structs — bounded state per group, no
-    rank window over the full term table. (The window formulation the
-    oracle uses shuffles identically but sorts every group's full term
-    list; slice-after-sort does the same work array-side — the win is
-    that the array form composes inside ONE aggregation pass when the
-    consumer wants the list itself, e.g. a features column.)
+    100 TB: term counts collapse map-side in the (source, term)
+    aggregate; the top-3 selection is the salted exact top-k
+    (operators/skew.salted_top_k) over that census. The previous
+    array shape — collect_list of EVERY (n, term) struct per source,
+    sort, slice 3 — buffered a source's entire vocabulary (unbounded:
+    millions of distinct terms for a big domain) in ONE aggregation
+    buffer; its docstring's "bounded state per group" claim was
+    wrong, the same hot-key class as the window audit's other
+    conversions. Output identical (ranked by n desc, term asc — a
+    total order, matching the oracle's ROW_NUMBER).
     """
     from ..functions.text import tokens
+    from ..operators.skew import salted_top_k
 
     d = load_table(spark, sf_dir, "documents")
     tf = (
@@ -573,23 +577,12 @@ def top_terms_per_source(spark, sf_dir):
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    arr = tf.groupBy("source").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "term"))
-            ),
-            1,
-            3,
-        ).alias("top")
-    )
     return (
-        arr.select("source", F.posexplode("top").alias("pos", "entry"))
-        .select(
-            "source",
-            (F.col("pos") + 1).cast("int").alias("rk"),
-            F.col("entry.term").alias("term"),
-            (-F.col("entry.neg_n")).cast("bigint").alias("n"),
+        salted_top_k(
+            tf, ["source"], [F.col("n").desc(), F.col("term")], 3,
+            rank_col="rk",
         )
+        .select("source", F.col("rk").cast("int").alias("rk"), "term", "n")
         .orderBy("source", "rk")
     )
 
