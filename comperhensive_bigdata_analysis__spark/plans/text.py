@@ -520,15 +520,14 @@ def corpus_similarity_matrix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Per-source top-3 terms, computed the ARRAY-NATIVE way: per (source,
-# term) counts -> collect_list of (n, term) structs per source ->
-# sort_array + slice -> posexplode. collect_list order is
-# nondeterministic, which is exactly why the sort_array step exists —
-# determinism comes from sorting the materialized array, not from
-# collection order. The DuckDB oracle uses the classic row_number()<=3
-# formulation instead: two formulations, one answer, so the pair
-# checks the array pipeline's semantics rather than mirroring it.
-# Struct comparison sorts by (n desc via negation, term asc).
+# Per-source top-3 terms: (source, term) counts -> salted exact top-k
+# (operators/skew.salted_top_k). Formerly the array-native
+# collect_list + sort_array + slice pipeline — replaced in the r10
+# collect_list audit because that shape buffers a source's whole
+# vocabulary in one aggregation buffer (see the plan docstring). The
+# DuckDB oracle keeps the classic row_number() <= 3 formulation: two
+# formulations, one answer, so the pair still checks the Spark
+# shape's semantics rather than mirroring it.
 # ---------------------------------------------------------------------------
 
 _TOP_TERMS_SRC_ORACLE = r"""
