@@ -308,6 +308,29 @@ PICKS = {
         "marginal; scoring joins by key — the bigram vocabulary is "
         "never broadcast (it grows with corpus diversity)."
     ),
+    "ntile_price_quartiles": (
+        "exact global NTILE without a global window: range exchange "
+        "splits the total order across tasks, local row_number per "
+        "range partition, census-sized offsets broadcast back, bucket "
+        "= integer formula of (rank, count). The one-task whole-table "
+        "sort this replaces is SCALE_PROBE's [global-window] negative "
+        "control (5.03x vs 1.33x at 8x)."
+    ),
+    "ccnet_quality_buckets": (
+        "per-language surprisal terciles via distributed_scan — "
+        "language is the canonical hot key (English ~ half a web "
+        "corpus) and ntile has no rank filter, so a bare lang window "
+        "gets no WindowGroupLimit prune and colocates the hot "
+        "language in one task; the scan's range partitioning splits "
+        "it while the offsets stay census-sized."
+    ),
+    "top_terms_per_source": (
+        "per-source top-3 by the salted two-level rank: local "
+        "rank-filtered windows (WindowGroupLimit prunes map-side) "
+        "within (source, salt), exact re-rank over <= 3*32 survivors "
+        "per source — never a whole-vocabulary array buffer or an "
+        "unpruned per-source sort."
+    ),
 }
 
 
