@@ -480,7 +480,14 @@ def corpus_similarity_matrix(spark, sf_dir):
 
     100 TB: tokens collapse to (source, term) counts map-side before
     any join; the dot-product join shuffles the aggregate on term; the
-    |sources|-row norm table broadcasts.
+    |sources|-row norm table broadcasts. The output is quadratic in
+    |sources| BY DEFINITION — this is a dense dataset-card report over
+    a metadata-cardinality dimension (like nation), not a data-volume
+    dimension; for unbounded source counts the banded/blocked dedup
+    family (minhash_lsh_dedup, char_jaccard_dedup) is the tool. A
+    ubiquitous term's pair fan-out concentrates in its term partition,
+    but that is an EQUI-JOIN partition, which AQE's skew splitting can
+    divide — unlike a window partition (the r10 triage rule).
     """
     from ..functions.text import tokens
 
