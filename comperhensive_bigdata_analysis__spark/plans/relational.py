@@ -2396,11 +2396,15 @@ def nation_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one nation's share of a regional market by
     year — a ratio of conditional sums over a 7-join star.
 
-    100 TB: region/nation broadcast pre-filtered; the part type filter
-    semi-reduces lineitem via the part join; both the share numerator
-    and denominator ride ONE aggregation (the CASE moves the
-    market-of-interest branch into the aggregate), so the star is
-    traversed once. Exact decimal sums; one double division per year.
+    100 TB: region/nation broadcast pre-filtered (metadata-sized);
+    the part-type filter semi-reduces lineitem via the part join —
+    deliberately NOT hint-broadcast: the filtered part set is a fixed
+    FRACTION of a data-scaling table (r10 broadcast audit), so AQE
+    decides at runtime (auto-broadcast while it fits, shuffle join
+    beyond). Both the share numerator and denominator ride ONE
+    aggregation (the CASE moves the market-of-interest branch into
+    the aggregate), so the star is traversed once. Exact decimal
+    sums; one double division per year.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
@@ -2424,7 +2428,7 @@ def nation_market_share(spark, sf_dir):
         F.lit(1).cast(RATE_DEC) - F.col("l_discount").cast(RATE_DEC)
     )
     flat = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__ck"))
@@ -2550,7 +2554,9 @@ def product_profit_by_nation(spark, sf_dir):
     ps_supplycost).
 
     100 TB: the LIKE filter pushes to the part scan (StringContains)
-    and semi-reduces lineitem via broadcast; the margin is computed
+    and semi-reduces lineitem via the part join — not hint-broadcast:
+    a name-pattern subset of part scales with the data (r10 broadcast
+    audit), so AQE picks the join strategy at runtime; the margin is computed
     rowwise in exact decimals BEFORE aggregation so partials combine
     map-side; nation broadcasts; orders joins column-pruned to the
     date. One exchange per join key, small (nation x year) result.
@@ -2568,7 +2574,7 @@ def product_profit_by_nation(spark, sf_dir):
         "p_retailprice"
     ).cast(PRICE_DEC) * F.lit("0.6").cast("decimal(2,1)")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -2611,8 +2617,9 @@ def dominant_part_suppliers(spark, sf_dir):
     scale-invariant where the original's 50%-of-availqty is not, and
     exact-decimal so the boundary is engine-stable).
 
-    100 TB: the name filter semi-reduces lineitem via the broadcast
-    part join; the per-part total and supplier count come from an
+    100 TB: the name filter semi-reduces lineitem via the part join
+    (no broadcast hint — the filtered subset scales with the data,
+    AQE decides at runtime; r10 broadcast audit); the per-part total and supplier count come from an
     UNBOUNDED WINDOW over the per-(part, supplier) rollup rather than
     a re-aggregation self-join — Spark has no CTE materialization, so
     the join spelling would re-derive the rollup and scan the fact
@@ -2629,7 +2636,7 @@ def dominant_part_suppliers(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     per = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__q"))
     )

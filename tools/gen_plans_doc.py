@@ -244,7 +244,10 @@ PICKS = {
     "nation_market_share": (
         "TPC-H Q8: 7-join star traversed ONCE — share numerator and "
         "denominator are one conditional aggregate; region/nation "
-        "pre-filtered broadcasts semi-reduce both fact paths."
+        "(metadata-sized) broadcast, while the filtered part side is "
+        "deliberately un-hinted — a fixed fraction of a data-scaling "
+        "table, so AQE picks broadcast-vs-shuffle at runtime (r10 "
+        "broadcast audit)."
     ),
     "dsir_importance_weights": (
         "DSIR data selection in ONE tokenize/hash pass: the (doc, lang, "
