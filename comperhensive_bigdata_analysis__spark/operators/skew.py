@@ -143,7 +143,12 @@ def distributed_scan(
     3. offsets: per-(partition_id, keys) totals (census-sized: at most
        n_partitions rows per key), cumulated per key over partition_id
        order in a tiny window, then broadcast-joined back; global
-       value = local value + offset of the partitions before it.
+       value = local value + offset of the partitions before it. The
+       broadcast stays bounded even for high-cardinality keys: range
+       partitioning keeps each key CONTIGUOUS, so the census has
+       ~(n_keys + n_partitions) rows total (each key spans its own
+       partitions plus at most one shared boundary partition on each
+       side), never n_keys * n_partitions.
 
     ``order_cols`` must be a total order within each key (end with a
     unique id) — the same determinism contract the bare window has.
