@@ -1,4 +1,5 @@
-"""Hot-key shape equivalence (VERDICT r9 ask #1).
+"""Hot-key shape equivalence (VERDICT r9 ask #1 + the r10 window
+audit).
 
 The digest-frequency dedup pipelines carry two physical shapes each:
 the production census shape (persist + partial-agg census + broadcast
@@ -8,6 +9,13 @@ negative control). These tests pin that the shapes are OUTPUT-
 IDENTICAL on a boilerplate-heavy corpus — the planted-skew probe rows
 in SCALE_PROBE.md only measure cost, so equivalence must be pinned
 here — and that the probe's corpus planter behaves deterministically.
+
+The second half covers the r10 skew operators the window audit
+introduced (operators/skew.py): salted_top_k, distributed_scan, and
+ntile_from_rank, each pinned output-identical to the bare window it
+replaces on a 90%-hot-key frame and on its edge cases (salts >> rows,
+fewer rows than k, null keys, every c mod n residue class). The
+long-tail input space is covered by tests/test_scan_properties.py.
 """
 
 from __future__ import annotations
