@@ -201,6 +201,25 @@ SCALE_TIER = (
 )
 
 
+#: Calibration protocol (VERDICT r10 ask #1): the r10 stamp's own pair
+#: moved 2.4x WITHIN one run (env_start 0.152s vs env_end 0.062s),
+#: which made the amended adjudication rule unusable the first time it
+#: was needed. Measured r11: the start-vs-end gap is STRUCTURAL JIT
+#: state, not host noise — repeating the calibration job alone
+#: plateaus at ~75ms after ~90 runs, while after the full bench
+#: workload the same job runs ~55ms (the diverse task volume compiles
+#: scheduler paths the calibration job never triggers). No warm count
+#: makes start agree with end, so the cross-round NORMALIZER is the
+#: env_end stamp — post-workload, the one JVM state two runs of the
+#: same bench share — taken as a median of CAL_RUNS with its MAD
+#: recorded so tools/bench_compare.py can gate on the stamp's own
+#: internal stability. env_start keeps the same protocol as the
+#: at-start host-state datum (its absolute is NOT comparable to
+#: env_end by design).
+CAL_WARM = 12
+CAL_RUNS = 9
+
+
 def _env_stamp(spark, sf_dir: str) -> dict:
     """Host-state stamp (VERDICT r9 ask #4): two of the last three
     rounds moved ±40-80% on environment alone; recording load average,
@@ -225,13 +244,19 @@ def _env_stamp(spark, sf_dir: str) -> dict:
     except OSError:
         stamp["mem_available_gb"] = None
     reg = load_table(spark, sf_dir, "region")
-    reg.count()  # untimed warm-up
+    for _ in range(CAL_WARM):
+        reg.count()  # untimed: saturate JVM/scheduler warm-up first
     samples = []
-    for _ in range(5):
+    for _ in range(CAL_RUNS):
         t0 = time.perf_counter()
         reg.count()
         samples.append(time.perf_counter() - t0)
-    stamp["calibration_count_sec"] = round(statistics.median(samples), 4)
+    med = statistics.median(samples)
+    stamp["calibration_count_sec"] = round(med, 4)
+    stamp["calibration_mad_sec"] = round(
+        statistics.median(abs(s - med) for s in samples), 4
+    )
+    stamp["calibration_runs"] = CAL_RUNS
     return stamp
 
 

@@ -185,6 +185,12 @@ def survivors(
     CAN split. (min/max of a struct would do this in one pass but
     compiles to a keyed SortAggregate — struct buffers can't
     hash-aggregate — which the plan-shape suite forbids.)
+
+    NULL quality (ADVICE r10): ``max(q)`` ignores NULLs, so rows with
+    NULL quality never beat a scored sibling; a component whose
+    quality is NULL for EVERY member has ``best_quality`` NULL and the
+    filter uses null-safe equality so it still emits a survivor (the
+    min id) — the same row the old nulls-last rank window picked.
     """
     joined = components.join(attrs, on=components["node"] == attrs[node_col]).select(
         "component", F.col(node_col).alias("member"), F.col(quality_col).alias("q")
@@ -195,7 +201,7 @@ def survivors(
     )
     return (
         joined.join(best, "component")
-        .filter(F.col("q") == F.col("best_quality"))
+        .filter(F.col("q").eqNullSafe(F.col("best_quality")))
         .groupBy("component", "n_members", "best_quality")
         .agg(F.min("member").alias("survivor_id"))
         .select("component", "survivor_id", "n_members", "best_quality")

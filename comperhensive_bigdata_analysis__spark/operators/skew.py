@@ -83,17 +83,26 @@ def salted_top_k(
 
     ``order_cols`` must be a total order of each key's rows (end with a
     unique id) — the same determinism contract a bare rank window has.
-    The salt hashes the full row (deterministic, ~uniform within a key
-    for rows that differ anywhere).
+    The salt hashes the full row PLUS the map partition id (ADVICE
+    r10): a hot key whose mass is byte-identical duplicate rows — the
+    exact-duplicate case dedup pipelines target — would hash to ONE
+    (key, salt) bucket on row content alone, degrading the stage-1
+    bound back to the bare window's. Mixing in the partition id
+    spreads duplicate mass across salts (~uniform once map partitions
+    outnumber salts) while within-partition duplicates stay bounded by
+    the map partition size. The salt only affects GROUPING — the
+    output (global top-k + exact rank under a total order) is
+    identical for any salt assignment, so results stay deterministic.
     """
     out_cols = df.columns
     from pyspark.sql.window import Window
 
     salted = df.withColumn(
         SALT,
-        F.pmod(F.xxhash64(*[F.col(c) for c in out_cols]), F.lit(salts)).cast(
-            "int"
-        ),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in out_cols], F.spark_partition_id()),
+            F.lit(salts),
+        ).cast("int"),
     )
     w_local = Window.partitionBy(*keys, SALT).orderBy(*order_cols)
     pruned = (
@@ -112,7 +121,7 @@ def salted_top_k(
 def distributed_scan(
     df: DataFrame,
     keys: list[str],
-    order_cols: list[str],
+    order_cols: list,  # str names or Column sort expressions (e.g. .desc())
     rank_col: str | None = None,
     prior_sum_of: str | None = None,
     prior_col: str = "__prior",
@@ -155,12 +164,37 @@ def distributed_scan(
     """
     from pyspark.sql.window import Window
 
+    from ..cache import register_plan_cache
+
     out_cols = df.columns
+    # The temp/output columns this operator fabricates must not collide
+    # with input columns (ADVICE r10): a silent collision would join on
+    # or overwrite caller data.
+    reserved = {"__pid"} | {
+        c
+        for c in (
+            rank_col,
+            total_count_col,
+            prior_col if prior_sum_of is not None else None,
+        )
+        if c is not None
+    }
+    clash = reserved & set(out_cols)
+    if clash:
+        raise ValueError(
+            f"distributed_scan reserved column(s) {sorted(clash)} already "
+            f"present in input; rename them or pass different "
+            f"rank_col/prior_col/total_count_col names"
+        )
     val = prior_sum_of
     parts = df.repartitionByRange(*keys, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    parts = parts.persist()
+    # Lazy persist, lifecycle-registered (cache.py): the local-scan leg
+    # and the census leg must read ONE materialization (partition ids
+    # have to agree between them); the session owner releases it at
+    # phase boundaries via release_plan_caches().
+    parts = register_plan_cache(parts)
     w_local = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
     w_prev = w_local.rowsBetween(Window.unboundedPreceding, -1)
     local = parts

@@ -1016,7 +1016,11 @@ def _winnow_pair_counts(spark, sf_dir, max_df: int | None,
             # whole vocabulary and would force a full-mass shuffle
             # join (measured: semi-on-complement 38.3s vs anti 35.6s
             # vs anti+persist 18.9s on the planted-skew 8x corpus).
-            fp = fp.persist()
+            # Lifecycle-registered (cache.py): released by the session
+            # owner at phase boundaries via release_plan_caches().
+            from ..cache import register_plan_cache
+
+            fp = register_plan_cache(fp)
             blacklist = (
                 fp.groupBy("f")
                 .agg(F.count(F.lit(1)).alias("df"))
@@ -1211,7 +1215,13 @@ def domain_cap_census(spark, sf_dir):
         "doc_id",
         token_count(F.col("text")).cast("bigint").alias("nt"),
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("__pri"),
-    ).persist()
+    )
+    # Lazy persist, lifecycle-registered (cache.py): the raw leg and
+    # the capped leg both read this projection; release_plan_caches()
+    # frees it at phase boundaries.
+    from ..cache import register_plan_cache
+
+    pri = register_plan_cache(pri)
     raw = pri.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("nt").cast("bigint").alias("n_tokens"),

@@ -328,7 +328,11 @@ def window_value_functions(spark, sf_dir):
     # LAZY persist: the three top-k legs and the rank spine each
     # consume this projection; without the cache the pruned orders
     # scan runs four times (measured 64x: 13.2s -> 10.3s with it).
-    o = o.persist()
+    # Lifecycle-registered (cache.py): released by the session owner
+    # at phase boundaries via release_plan_caches().
+    from ..cache import register_plan_cache
+
+    o = register_plan_cache(o)
     # per-priority date-order endpoints, census-sized (5 rows each):
     # first and third from one salted exact top-3 in date order, last
     # from a salted top-1 in reverse date order (struct min/max would

@@ -173,3 +173,61 @@ def plant_skew_corpus(spark: SparkSession, base_dir: str, out_dir: str) -> str:
         f"{out_dir}/documents.parquet"
     )
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Doc-count-scaled planted skew (VERDICT r10 ask #2 + #4). The token-
+# mass corpus above makes the exact-substr window control's hot task
+# visible (one digest, ~47% of SHINGLE mass), but winnowing reads
+# balanced on it: array_distinct bounds the hot fingerprint at ONE ROW
+# PER DOC, so its window-task exposure grows with DOC COUNT, and the
+# char-gram md5 scan dominates when docs are long. This builder makes
+# that axis real: MULT x the documents (key-disjoint ids), each doc
+# reduced to a ~10-char unique md5 slug, with a fixed 12-char
+# boilerplate substring appended to HALF of them — every planted doc
+# emits the same interior winnowing fingerprint(s), so the hot
+# fingerprint's row count is ~half the (now large) doc count while
+# per-doc fingerprint sets stay tiny (the window stage, not the scan,
+# carries the run). The same corpus plants the ntile-window hot-key
+# case for the ccnet probe (ask #4): lang = 'en' on the boilerplate
+# half (one key, half the corpus) and 'l<id mod 499>' on the rest
+# (the many-cold-keys bed a p50 task statistic needs).
+# ---------------------------------------------------------------------------
+
+DOC_SKEW_MULT = 32
+DOC_SKEW_BOILER = "zqboilerwxjk"  # 12 chars >= winnow k+w-1 = 8
+DOC_SKEW_LANGS = 499  # cold-lang bed cardinality
+
+
+def plant_doc_skew_corpus(
+    spark: SparkSession, base_dir: str, out_dir: str, mult: int = DOC_SKEW_MULT
+) -> str:
+    d = load_table(spark, base_dir, "documents")
+    keep = [c for c in d.columns if c not in ("doc_id", "text", "lang")]
+    out = (
+        d.withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        .withColumn("doc_id", F.col("doc_id") * mult + F.col("__j"))
+        .withColumn(
+            "text",
+            F.concat(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10),
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.lit(DOC_SKEW_BOILER)
+                ).otherwise(F.lit("")),
+            ),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(
+                F.concat(
+                    F.lit("l"),
+                    (F.col("doc_id") % DOC_SKEW_LANGS).cast("string"),
+                )
+            ),
+        )
+        .select("doc_id", "text", "lang", *keep)
+    )
+    out.repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    return out_dir

@@ -59,6 +59,25 @@ def test_survivors_quality_then_id_tiebreak(spark):
     assert rows == [(1, 2, 3, 30), (7, 7, 2, 5)]
 
 
+def test_survivors_null_quality(spark):
+    """ADVICE r10: a component whose quality is NULL for every member
+    must still emit a survivor (min id, like the old nulls-last rank
+    window), while NULL members of a mixed component never beat a
+    scored sibling."""
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7)], "node: long, component: long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, None), (2, None), (7, None), (8, 5)],
+        "doc_id: long, n_chars: long",
+    )
+    out = survivors(comps, attrs, "doc_id", "n_chars").orderBy("component")
+    rows = [tuple(r) for r in out.collect()]
+    # component 1: all-NULL quality -> survivor is min id 1, quality NULL;
+    # component 7: doc 8 has the only score -> it wins over NULL doc 7.
+    assert rows == [(1, 1, 2, None), (7, 8, 2, 5)]
+
+
 def test_cc_plan_labels_every_document(spark, sf_dir):
     from comperhensive_bigdata_analysis__spark import plans
 

@@ -186,9 +186,11 @@ def test_pareto_frontier_has_no_self_join(spark, sf_dir):
     filter would sort ~20% of all orders in one task)."""
     ex = _explain(plans.QUERIES["pareto_frontier_orders"](spark, sf_dir))
     assert "SortMergeJoin" not in ex and "Cartesian" not in ex
-    # one broadcast join (formatted explain names each node twice: once
-    # in the tree, once in the detail section)
-    assert ex.count("BroadcastHashJoin") == 2
+    # the census joins back as a broadcast; assert PRESENCE, not an
+    # exact node count — a Spark version bump or AQE re-plan can
+    # legitimately change how many times the formatted explain names
+    # the node without any product regression (ADVICE r10)
+    assert "BroadcastHashJoin" in ex
     # the window input must be the day-grain census: an aggregate sits
     # BELOW the window (formatted-plan node ids number bottom-up, so
     # the aggregate's id must be smaller than the window's)
@@ -382,3 +384,151 @@ def test_salted_topk_plans_keep_group_limit(spark, sf_dir, name):
     WindowGroupLimit (the map-side prune is half the shape's bound)."""
     ex = _explain(plans.QUERIES[name](spark, sf_dir))
     assert "WindowGroupLimit" in ex, name
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint audit (VERDICT r10 ask #6). The r10 broadcast audit
+# removed three explicit hints on name/type-filtered subsets of part
+# (TPC-H Q8/Q9/Q20 shapes): a FIXED FRACTION of a data-scaling table
+# is not broadcast-able at 100 TB — the hint overrides AQE's runtime
+# size check and turns into a driver OOM exactly when the data grows.
+# The rule this test pins: an explicit F.broadcast() hint is allowed
+# ONLY on metadata-sized relations — dimension tables (nation/region),
+# centroid/codebook tables, censuses/offsets bounded by key
+# cardinality, single-row aggregates — never on a filtered subset of a
+# data-scaling table (part/lineitem/orders/documents/embeddings/
+# events), where AQE must decide at runtime. Enforcement is a source
+# audit by ENCLOSING FUNCTION: any new broadcast call site fails until
+# it is consciously added here with the bound that justifies it.
+# ---------------------------------------------------------------------------
+
+#: (module-relative path, enclosing function) for every broadcast hint
+#: in the package as of round 11 — each audited metadata-sized in the
+#: r10 sweep (BENCH_NOTES "Two sibling audits").
+_BROADCAST_ALLOWLIST = {
+    ("operators/curation.py", "dsir_score"),
+    ("operators/merge.py", "merge_upsert"),
+    ("operators/merge.py", "scd2_apply"),
+    ("operators/ml.py", "_assign"),
+    ("operators/ml.py", "kmeans_assign_np"),
+    ("operators/similarity.py", "brute_force_knn"),
+    ("operators/similarity.py", "brute_force_knn_np"),
+    ("operators/similarity.py", "cosine_pairs_above_np"),
+    ("operators/similarity.py", "ivf_knn_np"),
+    ("operators/similarity.py", "lsh_band_pairs_np"),
+    ("operators/similarity.py", "pq_adc_knn_np"),
+    ("operators/skew.py", "distributed_scan"),
+    ("plans/analytics.py", "_dow_offsets"),
+    ("plans/analytics.py", "forecast_mape"),
+    ("plans/analytics.py", "rolling_7d_active_users"),
+    ("plans/analytics.py", "seasonal_forecast"),
+    ("plans/analytics.py", "seasonal_forecast_mape"),
+    ("plans/analytics.py", "weighted_moving_average"),
+    ("plans/ann.py", "_sign_bits"),
+    ("plans/ann.py", "ann_recall_matrix"),
+    ("plans/ann.py", "ivf_knn"),
+    ("plans/ann.py", "pq_adc_knn"),
+    ("plans/ann.py", "random_projection_knn"),
+    ("plans/behavior.py", "audience_overlap_matrix"),
+    ("plans/behavior.py", "churn_hazard_table"),
+    ("plans/behavior.py", "cohort_ltv"),
+    ("plans/behavior.py", "markov_next_event_accuracy"),
+    ("plans/dedup.py", "bloom_filter_probe"),
+    ("plans/layout.py", "zorder_skipping_stats"),
+    ("plans/ml.py", "_assign_sub"),
+    ("plans/ml.py", "_assignment"),
+    ("plans/ml.py", "_dup_edges_union"),
+    ("plans/ml.py", "semdedup_salt_recall"),
+    ("plans/relational.py", "cheapest_part_supplier"),
+    ("plans/relational.py", "dominant_part_suppliers"),
+    ("plans/relational.py", "dormant_rich_customers"),
+    ("plans/relational.py", "group_by_expr_nation"),
+    ("plans/relational.py", "left_join_nation_region"),
+    ("plans/relational.py", "nation_market_share"),
+    ("plans/relational.py", "nation_trade_matrix"),
+    ("plans/relational.py", "nation_volume_shipping"),
+    ("plans/relational.py", "orders_profile"),
+    ("plans/relational.py", "part_revenue_concentration"),
+    ("plans/relational.py", "price_vs_global_avg"),
+    ("plans/relational.py", "product_profit_by_nation"),
+    ("plans/relational.py", "returned_item_ranking"),
+    ("plans/relational.py", "revenue_by_nation"),
+    ("plans/relational.py", "semi_join_region_customers"),
+    ("plans/relational.py", "top_revenue_supplier"),
+    ("plans/text.py", "corpus_similarity_matrix"),
+    ("plans/training.py", "bm25_top_docs"),
+    ("plans/training.py", "ccnet_bucket_by_thresholds"),
+    ("plans/training.py", "dense_month_status_grid"),
+    ("plans/training.py", "dsir_importance_weights"),
+    ("plans/training.py", "sigma_clip_outliers"),
+    ("plans/training.py", "source_temperature_weights"),
+    ("plans/training.py", "tfidf_top_terms"),
+    ("plans/training.py", "tokenizer_vocab_coverage"),
+    ("plans/training.py", "unigram_lm_surprisal"),
+    ("plans/training.py", "woe_priority_returns"),
+    ("plans/training.py", "zscore_order_prices"),
+    ("plans/vector.py", "hash_embed_topk"),
+    ("plans/vector.py", "int8_quant_error_census"),
+    ("plans/vector.py", "knn_bruteforce"),
+    ("plans/windows.py", "daily_value_locf"),
+    ("plans/windows.py", "mad_order_prices"),
+    ("plans/windows.py", "pareto_frontier_orders"),
+    ("plans/windows.py", "revenue_share_within_region"),
+    ("plans/windows.py", "window_value_functions"),
+    ("streaming/ops.py", "stream_static_enrich"),
+    ("streaming/ops.py", "streaming_bloom_dedup.apply_batch"),
+}
+
+
+def test_broadcast_hints_only_at_audited_sites():
+    import ast
+    import os
+
+    import comperhensive_bigdata_analysis__spark as pkg
+
+    pkg_dir = os.path.dirname(pkg.__file__)
+    found = set()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg_dir)
+            tree = ast.parse(open(path).read())
+
+            class _V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack = []
+
+                def visit_FunctionDef(self, n):
+                    self.stack.append(n.name)
+                    self.generic_visit(n)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, n):
+                    f = n.func
+                    name = (
+                        f.attr
+                        if isinstance(f, ast.Attribute)
+                        else getattr(f, "id", "")
+                    )
+                    if name == "broadcast":
+                        found.add((rel, ".".join(self.stack) or "<module>"))
+                    self.generic_visit(n)
+
+            _V().visit(tree)
+    new = found - _BROADCAST_ALLOWLIST
+    assert not new, (
+        f"new explicit broadcast hint site(s) {sorted(new)} — broadcast "
+        f"hints are allowed only on metadata-sized relations (never a "
+        f"filtered subset of a data-scaling table; let AQE decide). If "
+        f"the relation is genuinely bounded, add the site to "
+        f"_BROADCAST_ALLOWLIST with the audit note."
+    )
+    gone = _BROADCAST_ALLOWLIST - found
+    assert not gone, (
+        f"allowlisted broadcast site(s) {sorted(gone)} no longer exist — "
+        f"prune the allowlist so it stays an exact audit inventory"
+    )

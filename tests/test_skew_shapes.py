@@ -271,3 +271,126 @@ def test_distributed_scan_keeps_null_keys(spark):
         key=str,
     )
     assert got == want and len(got) == 4
+
+
+def test_salted_top_k_exact_on_byte_identical_duplicate_rows(spark):
+    """ADVICE r10: a hot key made of byte-identical duplicate rows —
+    the exact-duplicate case dedup pipelines target — used to collapse
+    into ONE (key, salt) bucket because the salt hashed row content
+    only. The salt now mixes in the map partition id, so duplicate
+    mass spreads across salts; the OUTPUT (global top-k + exact rank
+    under a total order) must stay identical either way. The frame
+    deliberately lacks a unique id inside the hot duplicates' order
+    columns tie range, so the top-k is the duplicate row repeated."""
+    from pyspark.sql.window import Window
+
+    from comperhensive_bigdata_analysis__spark.operators.skew import (
+        SALT,
+        salted_top_k,
+    )
+
+    # 9000 byte-identical rows of key 1 spread over 16 input partitions
+    # + a spine of distinct keys; order ends in v then doc so the dup
+    # rows tie — row_number breaks ties arbitrarily but the SELECTED
+    # ROW VALUES are identical, which is what the comparison pins.
+    rows = [(1, 0.5, "dup") for _ in range(9000)] + [
+        (k, float(k), f"d{k}") for k in range(2, 50)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, v double, payload string"
+    ).repartition(16)
+    got = (
+        salted_top_k(df, ["k"], ["v", "payload"], 3)
+        .orderBy("k", "__rk")
+        .collect()
+    )
+    w = Window.partitionBy("k").orderBy("v", "payload")
+    want = (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 3)
+        .orderBy("k", "__rk")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # and the mechanism: the duplicate rows now occupy MANY salt
+    # buckets (pre-fix: exactly one)
+    salted = df.filter(F.col("k") == 1).withColumn(
+        SALT,
+        F.pmod(
+            F.xxhash64("k", "v", "payload", F.spark_partition_id()),
+            F.lit(32),
+        ).cast("int"),
+    )
+    assert salted.select(SALT).distinct().count() > 4
+
+
+def test_distributed_scan_rejects_reserved_column_collision(spark):
+    """ADVICE r10: the operator fabricates __pid plus the caller-named
+    rank/prior/count columns; a collision with input columns must be a
+    loud error, not silent corruption."""
+    import pytest
+
+    from comperhensive_bigdata_analysis__spark.operators.skew import (
+        distributed_scan,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "k long, __pid long, v long")
+    with pytest.raises(ValueError, match="__pid"):
+        distributed_scan(df, ["k"], ["v"], rank_col="r")
+    df2 = spark.createDataFrame([(1, 2, 3)], "k long, r long, v long")
+    with pytest.raises(ValueError, match="'r'"):
+        distributed_scan(df2, ["k"], ["v"], rank_col="r")
+    # prior_col default name is only reserved when a prior sum is asked
+    df3 = spark.createDataFrame([(1, 2, 3)], "k long, __prior long, v long")
+    assert distributed_scan(df3, ["k"], ["v"], rank_col="rr").count() == 1
+    with pytest.raises(ValueError, match="__prior"):
+        distributed_scan(df3, ["k"], ["v"], prior_sum_of="v")
+
+
+def test_distributed_scan_accepts_column_sort_expressions(spark):
+    """ADVICE r10: callers pass Column sort expressions (e.g. .desc());
+    the operator must order — and range-partition — by them exactly as
+    the bare window would."""
+    from pyspark.sql.window import Window
+
+    from comperhensive_bigdata_analysis__spark.operators.skew import (
+        distributed_scan,
+    )
+
+    rows = [(i % 3, float(i), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v double, id long")
+    order = [F.col("v").desc(), F.col("id").desc()]
+    got = (
+        distributed_scan(df, ["k"], order, rank_col="r")
+        .orderBy("k", "r")
+        .collect()
+    )
+    w = Window.partitionBy("k").orderBy(*order)
+    want = (
+        df.withColumn("r", F.row_number().over(w)).orderBy("k", "r").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_plan_cache_registry_releases_census_persists(spark, sf_dir):
+    """VERDICT r10 'What's wrong #1': census persists are session-scoped
+    by design (warm reuse within a phase) and released in one call at
+    phase boundaries. The registry must (a) capture the persist, (b)
+    leave the frame cached after the consuming action, (c) drop it on
+    release_plan_caches()."""
+    from comperhensive_bigdata_analysis__spark import plans
+    from comperhensive_bigdata_analysis__spark.cache import (
+        _PLAN_CACHES,
+        release_plan_caches,
+    )
+
+    release_plan_caches()  # clean slate
+    assert not _PLAN_CACHES
+    plans.QUERIES["exact_substr_spans"](spark, sf_dir).collect()
+    assert _PLAN_CACHES, "census plan did not register its persist"
+    cached = list(_PLAN_CACHES)
+    assert any(df.storageLevel.useMemory for df in cached)
+    n = release_plan_caches()
+    assert n == len(cached)
+    assert not _PLAN_CACHES
+    assert all(not df.storageLevel.useMemory for df in cached)

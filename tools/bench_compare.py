@@ -22,6 +22,16 @@ and a per-row verdict:
   FLAG      >15% and OUTSIDE the correlated band — needs a written
             builder adjudication in the paragraph below the table
 
+Since r11 the deltas are CALIBRATION-NORMALIZED when both artifacts
+carry a stable env_END stamp (the r10 rule amendment, made usable):
+each new median is divided by the ratio of the two artifacts'
+post-workload calibration rows before the >15% trigger applies, so a
+pure host-speed move normalizes away mechanically. The env_end stamp
+is the normalizer because start-vs-end disagreement is structural JIT
+state (see bench.py CAL_WARM comment); a stamp whose own MAD/median
+exceeds CAL_MAD_MAX is declared unstable and the tool falls back to
+raw deltas, saying so in the section header.
+
 The section is idempotent per pair (re-running replaces it). Only the
 committed artifacts are read — never a local rerun — so the verdicts
 always refer to the driver's numbers of record.
@@ -82,6 +92,34 @@ def newest_pair() -> tuple[str, str]:
     return arts[-2], arts[-1]
 
 
+#: The normalizer is the env_END calibration — post-workload, the one
+#: JVM state two runs of the same bench share. Start-vs-end
+#: disagreement is STRUCTURAL (measured r11: repeat-warmed plateau
+#: ~75ms vs ~55ms after the bench's diverse task volume JITs the
+#: scheduler paths), so the stability gate is the stamp's own
+#: internal dispersion (MAD/median), not start==end agreement — the
+#: r10 amendment's expectation that start and end should match was
+#: the flaw that made the rule unusable.
+CAL_MAD_MAX = 0.15  # env_end MAD/median above this = unstable stamp
+
+
+def _calibration(env: dict) -> tuple[float | None, str]:
+    """(calibration seconds, reason-if-unusable) for one artifact:
+    the env_end post-workload calibration median, gated on its own
+    MAD when the artifact records one (bench.py r11+)."""
+    e = env.get("env_end") or {}
+    v = e.get("calibration_count_sec")
+    if v is None or v <= 0:
+        return None, "no env_end calibration stamp"
+    mad = e.get("calibration_mad_sec")
+    if mad is not None and mad / v > CAL_MAD_MAX:
+        return None, (
+            f"unstable env_end calibration (MAD {mad}s / median {v}s "
+            f"> {CAL_MAD_MAX})"
+        )
+    return v, ""
+
+
 def _env_line(name: str, env: dict) -> str:
     parts = []
     for tag in ("env_start", "env_end"):
@@ -101,7 +139,33 @@ def build_section(old_name: str, new_name: str) -> str:
     new = _queries(os.path.join(REPO, new_name))
     env_new = dict(getattr(_queries, "last_env", {}))
     common = sorted(set(old) & set(new), key=lambda q: (len(q), q))
-    deltas = {q: (new[q] - old[q]) / old[q] * 100 for q in common if old[q]}
+    # Calibration normalization (the r10 rule amendment, made usable by
+    # the r11 stamp fix): when BOTH artifacts carry a STABLE calibration
+    # stamp, the new medians are divided by the calibration ratio before
+    # the >15% trigger applies — an excursion that disappears under the
+    # host-overhead normalizer is environment by definition. Either
+    # stamp missing or internally unstable -> raw deltas, reason stated.
+    cal_old, why_old = _calibration(env_old)
+    cal_new, why_new = _calibration(env_new)
+    normalized = bool(cal_old and cal_new)
+    if normalized:
+        cal_ratio = cal_new / cal_old
+        cal_note = (
+            f"Deltas are calibration-NORMALIZED: both stamps stable, "
+            f"ratio {cal_ratio:.3f} ({cal_old:.4f}s -> {cal_new:.4f}s); "
+            f"each r-new median is divided by it before the trigger."
+        )
+    else:
+        cal_ratio = 1.0
+        reasons = "; ".join(
+            f"{n}: {w}" for n, w in ((old_name, why_old), (new_name, why_new)) if w
+        )
+        cal_note = f"Deltas are RAW — normalization unavailable ({reasons})."
+    deltas = {
+        q: (new[q] / cal_ratio - old[q]) / old[q] * 100
+        for q in common
+        if old[q]
+    }
     med = statistics.median(deltas.values()) if deltas else 0.0
     mad = (
         statistics.median(abs(d - med) for d in deltas.values())
@@ -124,11 +188,10 @@ def build_section(old_name: str, new_name: str) -> str:
         "",
         f"Host stamps (r9 ask #4 — present from BENCH_r10 on): "
         f"{_env_line(old_name, env_old)} {_env_line(new_name, env_new)}"
-        f" The calibration row (fixed trivial count) is the mechanical"
-        f" band-vs-real normalizer: if its ratio moves with the median"
-        f" drift, the drift is host state.",
+        f" {cal_note}",
         "",
-        f"| query | r{ro} (s) | r{rn} (s) | delta | verdict |",
+        f"| query | r{ro} (s) | r{rn} (s) | "
+        f"{'delta (calib-norm)' if normalized else 'delta'} | verdict |",
         "|---|---|---|---|---|",
     ]
     flags = []

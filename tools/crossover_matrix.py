@@ -1,0 +1,169 @@
+"""Window-vs-scan crossover matrices for ccnet and pack (VERDICT r10
+ask #5).
+
+Round 10 recorded the 1x/8x/64x cost matrix for the deepest
+window->distributed_scan conversion (window_value_functions: bare
+window 0.84/1.50/9.44s vs scan 1.45/—/10.31s) so the constants paid
+for structural 100 TB safety stay visible against a baseline. This
+tool produces the same honesty ledger for the other two deep
+conversions — ccnet_quality_buckets (per-lang NTILE terciles) and
+pack_context_windows (per-source prefix sum) — by writing doc_id-
+shifted replications of the sf corpus's documents table at 1x/8x/64x
+(key-CONSTANT growth: lang and source are untouched, so per-key mass
+grows with the data — exactly the case the scan shapes exist for) and
+timing the production scan shape against the bare-window shape it
+replaced, median-of-3 cold (spark.catalog.clearCache() before every
+timed run, so the production shapes' lazy persists are PAID, not
+reused — same discipline as tools/scale_probe.py).
+
+Run: python tools/crossover_matrix.py   (env: SPARK_GRAFT_SF_DIR)
+Prints the two matrices; paste into BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from comperhensive_bigdata_analysis__spark import plans  # noqa: E402
+from comperhensive_bigdata_analysis__spark.plans.training import (  # noqa: E402
+    PACK_BUDGET,
+    unigram_lm_surprisal,
+)
+from comperhensive_bigdata_analysis__spark.session import get_spark  # noqa: E402
+from comperhensive_bigdata_analysis__spark.sources.tables import load_table  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULTS = (1, 8, 64)
+STRIDE = 1_000_000_000
+N_FILES = 16
+RUNS = 3
+
+
+def _replicate_docs(spark, mult: int) -> str:
+    out = f"/tmp/crossover_docs_x{mult}"
+    marker = os.path.join(out, "_MARKER")
+    want = f"{BASE}|{mult}"
+    if os.path.exists(marker) and open(marker).read() == want:
+        return out
+    d = load_table(spark, BASE, "documents")
+    reps = d.withColumn(
+        "__j", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+    ).withColumn("doc_id", F.col("doc_id") + F.col("__j") * STRIDE).drop("__j")
+    reps.repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    with open(marker, "w") as f:
+        f.write(want)
+    return out
+
+
+def _ccnet_window(spark, sf_dir):
+    """The bare NTILE-window shape ccnet_quality_buckets replaced —
+    output-identical (pinned by the probe smoke and the oracle)."""
+    sur = unigram_lm_surprisal(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+    b = sur.join(docs, "doc_id").withColumn(
+        "bucket", F.ntile(3).over(w).cast("bigint")
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("avg_surprisal").cast("decimal(28,12)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _pack_window(spark, sf_dir):
+    """The bare prefix-sum-window shape pack_context_windows replaced."""
+    from comperhensive_bigdata_analysis__spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("window_id", F.expr(f"prior div {PACK_BUDGET}"))
+    return (
+        packed.groupBy(
+            "source", F.col("window_id").cast("bigint").alias("window_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("source", "window_id")
+    )
+
+
+def _median_cold(spark, fn, sf_dir) -> float:
+    fn(spark, sf_dir).collect()  # untimed codegen warm-up
+    samples = []
+    for _ in range(RUNS):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    spark = get_spark("cba-crossover", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {m: _replicate_docs(spark, m) for m in MULTS}
+
+    pairs = {
+        "ccnet_quality_buckets": (
+            plans.QUERIES["ccnet_quality_buckets"],
+            _ccnet_window,
+        ),
+        "pack_context_windows": (
+            plans.QUERIES["pack_context_windows"],
+            _pack_window,
+        ),
+    }
+    for name, (prod, ctrl) in pairs.items():
+        # sanity: shapes output-identical at 1x before timing anything
+        a = [tuple(r) for r in prod(spark, dirs[1]).collect()]
+        b = [tuple(r) for r in ctrl(spark, dirs[1]).collect()]
+        assert a == b, f"{name}: shapes disagree at 1x"
+        line_p, line_w = [], []
+        for m in MULTS:
+            line_w.append(_median_cold(spark, ctrl, dirs[m]))
+            line_p.append(_median_cold(spark, prod, dirs[m]))
+        print(f"{name} (median-of-{RUNS} cold, docs x{MULTS}):")
+        print("  bare window: " + " / ".join(f"{t:.2f}s" for t in line_w))
+        print("  scan shape : " + " / ".join(f"{t:.2f}s" for t in line_p))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

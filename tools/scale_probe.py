@@ -41,6 +41,8 @@ OUT_1X = "/tmp/scale_probe_data_1x"
 OUT_NX = "/tmp/scale_probe_data_nx"
 SKEW_1X = "/tmp/scale_probe_skew_1x"
 SKEW_NX = "/tmp/scale_probe_skew_nx"
+DOCSKEW_1X = "/tmp/scale_probe_docskew_1x"
+DOCSKEW_NX = "/tmp/scale_probe_docskew_nx"
 
 #: The three highest-exchange plans in SCALE_AUDIT.md and the one
 #: inflated table each one's hot path consumes.
@@ -305,6 +307,7 @@ def main() -> None:
         exact_substr_span_table,
     )
     from comperhensive_bigdata_analysis__spark.sources.inflate import (
+        plant_doc_skew_corpus,
         plant_skew_corpus,
     )
     from pyspark.sql import functions as F
@@ -314,6 +317,23 @@ def main() -> None:
         want = f"{base}|skew"
         if not (os.path.exists(marker) and open(marker).read() == want):
             plant_skew_corpus(spark, base, out)
+            with open(marker, "w") as f:
+                f.write(want)
+
+    # Doc-count-scaled planted corpus (VERDICT r10 ask #2 + #4):
+    # 32x the docs at ~10-22 chars each, a fixed boilerplate substring
+    # in HALF of them (four winnowing fingerprints at df = n/2 — ~40%
+    # of fingerprint rows, measured at build time), and lang planted
+    # 'en' on that half over a 499-cold-lang bed. On it the WINDOW
+    # controls' hot task is doc-count-proportional (the exposure the
+    # token-mass corpus cannot show: array_distinct bounds the hot
+    # fingerprint at one row per doc), while the production census /
+    # distributed_scan shapes stay balanced.
+    for base, out in ((OUT_1X, DOCSKEW_1X), (OUT_NX, DOCSKEW_NX)):
+        marker = os.path.join(out, "_MARKER")
+        want = f"{base}|docskew"
+        if not (os.path.exists(marker) and open(marker).read() == want):
+            plant_doc_skew_corpus(spark, base, out)
             with open(marker, "w") as f:
                 f.write(want)
 
@@ -336,15 +356,70 @@ def main() -> None:
 
         return q
 
+    # ccnet bare-window negative control (VERDICT r10 ask #4): the
+    # exact shape the production plan replaced — NTILE(3) OVER
+    # (PARTITION BY lang ...) with no rank filter, so no
+    # WindowGroupLimit prune and the hot language's entire census
+    # sorts in ONE task. Output identical to the production plan.
+    from comperhensive_bigdata_analysis__spark.plans.training import (
+        unigram_lm_surprisal,
+    )
+    from pyspark.sql.window import Window as _W
+
+    def _ccnet_window_control(s, d):
+        sur = unigram_lm_surprisal(s, d)
+        docs = load_table(s, d, "documents").select("doc_id", "lang")
+        w = _W.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+        b = sur.join(docs, "doc_id").withColumn(
+            "bucket", F.ntile(3).over(w).cast("bigint")
+        )
+        return (
+            b.groupBy("lang", "bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                (
+                    F.floor(
+                        F.sum(
+                            F.col("avg_surprisal").cast("decimal(28,12)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                        * 1e6
+                    )
+                    / 1e6
+                ).alias("mean_surprisal"),
+            )
+            .orderBy("lang", "bucket")
+        )
+
     skew_probes = [
-        ("exact_substr_spans[planted-skew]", _ess_at("census"), False),
+        ("exact_substr_spans[planted-skew]", _ess_at("census"), False,
+         SKEW_1X, SKEW_NX),
         ("exact_substr_spans[window-shape planted-skew]",
-         _ess_at("window"), True),
+         _ess_at("window"), True, SKEW_1X, SKEW_NX),
         ("winnowing_pairs[planted-skew]",
-         lambda s, d: winnowing_pairs_at(s, d, max_df=WINNOW_MAX_DF), False),
+         lambda s, d: winnowing_pairs_at(s, d, max_df=WINNOW_MAX_DF), False,
+         SKEW_1X, SKEW_NX),
         ("winnowing_pairs[window-shape planted-skew]",
          lambda s, d: winnowing_pairs_at(s, d, max_df=WINNOW_MAX_DF,
-                                         cap_shape="window"), True),
+                                         cap_shape="window"), True,
+         SKEW_1X, SKEW_NX),
+        # ask #2: the doc-count axis — same pair of shapes, corpus
+        # where the hot fingerprint's rows scale with DOC COUNT
+        ("winnowing_pairs[doc-skew]",
+         lambda s, d: winnowing_pairs_at(s, d, max_df=WINNOW_MAX_DF), False,
+         DOCSKEW_1X, DOCSKEW_NX),
+        ("winnowing_pairs[window-shape doc-skew]",
+         lambda s, d: winnowing_pairs_at(s, d, max_df=WINNOW_MAX_DF,
+                                         cap_shape="window"), True,
+         DOCSKEW_1X, DOCSKEW_NX),
+        # ask #4: the deepest r10 distributed_scan conversion vs the
+        # bare ntile window it replaced, on the planted hot-lang bed
+        ("ccnet_quality_buckets[lang-skew]",
+         plans.QUERIES["ccnet_quality_buckets"], False,
+         DOCSKEW_1X, DOCSKEW_NX),
+        ("ccnet_quality_buckets[window-shape lang-skew]",
+         _ccnet_window_control, True, DOCSKEW_1X, DOCSKEW_NX),
     ]
 
     def _task_skew(fn, sf_dir):
@@ -397,15 +472,15 @@ def main() -> None:
             return None
 
     skew_tasks = []
-    for name, fn, is_control in skew_probes:
-        fn(spark, SKEW_1X).collect()  # codegen warm-up
-        b = _time(fn, spark, SKEW_1X)
-        g = _time(fn, spark, SKEW_NX)
+    for name, fn, is_control, dir_1x, dir_nx in skew_probes:
+        fn(spark, dir_1x).collect()  # codegen warm-up
+        b = _time(fn, spark, dir_1x)
+        g = _time(fn, spark, dir_nx)
         r = g / b if b else float("inf")
         rows.append((name, b, g, r))
         if is_control:
             control_names.add(name)
-        ts = _task_skew(fn, SKEW_NX)
+        ts = _task_skew(fn, dir_nx)
         skew_tasks.append((name, ts))
         print(f"{name:44s} base={b:6.2f}s x{COPIES}={g:6.2f}s ratio={r:5.2f}"
               + (" (negative control)" if is_control else "")
@@ -470,13 +545,26 @@ def main() -> None:
                 "multiple grows with corpus scale), while the census\n"
                 "shape's significant stages stay near 1 (partial\n"
                 "aggregation + broadcast semi join never colocate the\n"
-                "key). The winnowing rows read near-balanced in BOTH\n"
-                "shapes at this scale: array_distinct bounds its hot\n"
+                "key). The winnowing TOKEN-MASS rows read near-balanced\n"
+                "in BOTH shapes: array_distinct bounds the hot\n"
                 "fingerprint at one row per doc and the char-gram md5\n"
-                "scan dominates the run — the window shape's exposure\n"
-                "there grows with DOC COUNT (structural at 100 TB even\n"
-                "though invisible here), which is why the census\n"
-                "default applies to that family too. The global-ntile\n"
+                "scan dominates that corpus — the window shape's\n"
+                "exposure there grows with DOC COUNT, which is what the\n"
+                "[doc-skew] rows measure (VERDICT r10 ask #2): 32x the\n"
+                "docs at ~10-22 chars each, the hot fingerprints in\n"
+                "half of them (~40% of fingerprint rows), so the\n"
+                "fingerprint-count window — not the scan — carries the\n"
+                "run. There the [window-shape doc-skew] control's hot\n"
+                "count-task shows directly in its max/p50 row while the\n"
+                "census stays ~1, completing the evidence for the\n"
+                "census default on that family. The ccnet [lang-skew]\n"
+                "pair (ask #4) makes the same measurement for the r10\n"
+                "distributed_scan conversions: lang planted 'en' on\n"
+                "half the docs over a 499-cold-lang bed — the bare\n"
+                "NTILE window control sorts the hot language's census\n"
+                "in ONE task (its max/p50 row), while the production\n"
+                "range-partition + census-offset shape bounds every\n"
+                "task by partition size. The global-ntile\n"
                 "shape pair in the MAIN table makes the same point\n"
                 "without planting anything: the [global-window]\n"
                 "control sorts the whole table in ONE task, so its 8x\n"
