@@ -95,6 +95,12 @@ def salted_top_k(
     identical for any salt assignment, so results stay deterministic.
     """
     out_cols = df.columns
+    clash = {SALT, rank_col} & set(out_cols)
+    if clash:
+        raise ValueError(
+            f"salted_top_k reserved column(s) {sorted(clash)} already "
+            f"present in input; rename them or pass a different rank_col"
+        )
     from pyspark.sql.window import Window
 
     salted = df.withColumn(

@@ -194,9 +194,23 @@ def plant_skew_corpus(spark: SparkSession, base_dir: str, out_dir: str) -> str:
 # (the many-cold-keys bed a p50 task statistic needs).
 # ---------------------------------------------------------------------------
 
-DOC_SKEW_MULT = 32
-DOC_SKEW_BOILER = "zqboilerwxjk"  # 12 chars >= winnow k+w-1 = 8
+#: 256x: the hot fingerprint/lang must carry MILLIONS of rows for its
+#: single-task cost to clear the ~0.5s per-task floor a 32-way local
+#: stage has (measured r11: the marginal window-count cost is ~0.5us/
+#: row, so an 80k-row hot key adds ~40ms — real colocation, invisible
+#: wall time; at 5M rows it is seconds).
+DOC_SKEW_MULT = 256
+#: 12 repeats of ONE character: every char 5-gram inside the run is
+#: identical, so every winnowing window that falls inside it takes the
+#: same min — the planted half of the corpus shares exactly ONE hot
+#: fingerprint value (v1 used a 12-char mixed string, which smeared
+#: the planted mass over FOUR hot values in four window tasks and
+#: halved the per-task signal).
+DOC_SKEW_BOILER = "z" * 12  # >= winnow k+w-1 = 8
 DOC_SKEW_LANGS = 499  # cold-lang bed cardinality
+#: Bump to invalidate the probe's marker-keyed corpus reuse whenever
+#: the construction above changes.
+DOC_SKEW_VERSION = 3
 
 
 def plant_doc_skew_corpus(
@@ -204,13 +218,18 @@ def plant_doc_skew_corpus(
 ) -> str:
     d = load_table(spark, base_dir, "documents")
     keep = [c for c in d.columns if c not in ("doc_id", "text", "lang")]
+    # 8-char unique slug: with winnow k=5/w=4 an unplanted doc emits
+    # exactly ONE fingerprint row (4 k-grams, one window), so the
+    # fingerprint-count window stage's per-task baseline is ~1 row per
+    # doc and the hot value's doc-count-proportional task stands out
+    # instead of drowning in per-doc fanout.
     out = (
         d.withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
         .withColumn("doc_id", F.col("doc_id") * mult + F.col("__j"))
         .withColumn(
             "text",
             F.concat(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                 F.when(
                     F.col("doc_id") % 2 == 0, F.lit(DOC_SKEW_BOILER)
                 ).otherwise(F.lit("")),

@@ -330,8 +330,12 @@ def main() -> None:
     # fingerprint at one row per doc), while the production census /
     # distributed_scan shapes stay balanced.
     for base, out in ((OUT_1X, DOCSKEW_1X), (OUT_NX, DOCSKEW_NX)):
+        from comperhensive_bigdata_analysis__spark.sources.inflate import (
+            DOC_SKEW_VERSION,
+        )
+
         marker = os.path.join(out, "_MARKER")
-        want = f"{base}|docskew"
+        want = f"{base}|docskew{DOC_SKEW_VERSION}"
         if not (os.path.exists(marker) and open(marker).read() == want):
             plant_doc_skew_corpus(spark, base, out)
             with open(marker, "w") as f:
@@ -392,6 +396,46 @@ def main() -> None:
             .orderBy("lang", "bucket")
         )
 
+    # The df-cap test ISOLATED from the pair stage (VERDICT r10 ask #2
+    # follow-through): in the full winnowing plan the pair explode
+    # (~45us/row, uniform) fuses into the same physical stage as the
+    # df window and swamps the hot key's cheap counting, so the full-
+    # plan per-task rows cannot show the colocation even when it is
+    # there. These probe the surviving-fingerprints-per-doc census —
+    # same fingerprint relation, same df test, but the downstream is a
+    # doc_id partial aggregate (~1us/row), so the stage's time IS the
+    # df test and the window shape's hot task is visible.
+    from comperhensive_bigdata_analysis__spark.plans.dedup import (
+        _winnow_fingerprints,
+    )
+    from pyspark.sql.window import Window as _WW
+
+    def _win_df_survivors(shape):
+        def q(s, d):
+            fp = _winnow_fingerprints(s, d)
+            if shape == "window":
+                kept = fp.withColumn(
+                    "df", F.count(F.lit(1)).over(_WW.partitionBy("f"))
+                ).filter(F.col("df") <= WINNOW_MAX_DF)
+            else:
+                fp = fp.persist()
+                bl = (
+                    fp.groupBy("f")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .filter(F.col("df") > WINNOW_MAX_DF)
+                    .select("f")
+                )
+                kept = fp.join(bl, "f", "left_anti")
+            per_doc = kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_kept")
+            )
+            return per_doc.groupBy().agg(
+                F.sum("n_kept").alias("kept_rows"),
+                F.count(F.lit(1)).alias("docs"),
+            )
+
+        return q
+
     skew_probes = [
         ("exact_substr_spans[planted-skew]", _ess_at("census"), False,
          SKEW_1X, SKEW_NX),
@@ -420,6 +464,11 @@ def main() -> None:
          DOCSKEW_1X, DOCSKEW_NX),
         ("ccnet_quality_buckets[window-shape lang-skew]",
          _ccnet_window_control, True, DOCSKEW_1X, DOCSKEW_NX),
+        # the isolated df-cap stage (see _win_df_survivors comment)
+        ("winnow_df_filter[doc-skew]", _win_df_survivors("census"), False,
+         DOCSKEW_1X, DOCSKEW_NX),
+        ("winnow_df_filter[window-shape doc-skew]",
+         _win_df_survivors("window"), True, DOCSKEW_1X, DOCSKEW_NX),
     ]
 
     def _task_skew(fn, sf_dir):
@@ -438,6 +487,23 @@ def main() -> None:
             ) as r:
                 return json.loads(r.read())
 
+        # AQE partition-coalescing neutralized for this instrument
+        # only (wall-clock rows keep production confs): a probe-scale
+        # shuffle is a few tens of MB, so AQE folds the reduce side
+        # into a handful of tasks — inflating the p50 baseline and
+        # hiding exactly the hot-task colocation this table exists to
+        # price. A 100 TB stage has no such luxury; keeping the
+        # configured partition count emulates the at-scale task
+        # layout. The lever is the ADVISORY partition size (1KB merges
+        # nothing) rather than coalescePartitions.enabled, because
+        # every plan entry point re-applies RUNTIME_CONFS (which pins
+        # that flag true) via apply_runtime_confs.
+        adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        minp = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+        adv_old = spark.conf.get(adv, "64MB")
+        minp_old = spark.conf.get(minp, "1MB")
+        spark.conf.set(adv, "1KB")
+        spark.conf.set(minp, "1B")  # parallelismFirst floors at this
         try:
             before = {s["stageId"] for s in _get("/stages?status=complete")}
             spark.catalog.clearCache()
@@ -446,7 +512,7 @@ def main() -> None:
                 s
                 for s in _get("/stages?status=complete")
                 if s["stageId"] not in before
-                and s.get("numCompleteTasks", 0) >= 8
+                and s.get("numCompleteTasks", 0) >= 4
             ]
             # Significance filter: a 100ms warm-up stage's max/p50 is
             # scheduler noise, not skew — only stages carrying >= 5% of
@@ -463,13 +529,30 @@ def main() -> None:
                 rt = q.get("executorRunTime") or q.get("duration")
                 if not rt or rt[0] <= 0:
                     continue
-                ratio = rt[1] / rt[0]
-                if worst is None or ratio > worst[0]:
-                    worst = (ratio, s.get("numCompleteTasks"),
-                             int(rt[0]), int(rt[1]))
-            return worst
+                # Shuffle-read RECORDS max/p50 is the mechanical
+                # colocation signal: one task holding Nx the median
+                # task's rows is what becomes memory/spill/straggler
+                # at 1e9 rows, even where its CPU ratio stays small
+                # (measured r11: counting-and-dropping a hot key's
+                # identical rows costs ~10x less per row than the
+                # keep path, so runtime ratios understate colocation
+                # at probe scale).
+                srm = q.get("shuffleReadMetrics") or {}
+                rec = srm.get("readRecords") or srm.get("recordsRead")
+                rec_ratio = (
+                    rec[1] / rec[0] if rec and rec[0] and rec[0] > 0 else None
+                )
+                rt_ratio = rt[1] / rt[0]
+                key = (rec_ratio if rec_ratio is not None else 0.0, rt_ratio)
+                if worst is None or key > worst[0]:
+                    worst = (key, rec_ratio, rt_ratio,
+                             s.get("numCompleteTasks"), int(rt[0]), int(rt[1]))
+            return worst[1:] if worst else None
         except Exception:  # noqa: BLE001 — metrics must not fail the probe
             return None
+        finally:
+            spark.conf.set(adv, adv_old)
+            spark.conf.set(minp, minp_old)
 
     skew_tasks = []
     for name, fn, is_control, dir_1x, dir_nx in skew_probes:
@@ -484,8 +567,10 @@ def main() -> None:
         skew_tasks.append((name, ts))
         print(f"{name:44s} base={b:6.2f}s x{COPIES}={g:6.2f}s ratio={r:5.2f}"
               + (" (negative control)" if is_control else "")
-              + (f"  task-skew max/p50={ts[0]:.2f} "
-                 f"({ts[3]}ms/{ts[2]}ms over {ts[1]} tasks)" if ts else ""))
+              + (f"  task-skew records max/p50="
+                 f"{(f'{ts[0]:.2f}' if ts[0] is not None else 'n/a')} "
+                 f"runtime max/p50={ts[1]:.2f} "
+                 f"({ts[4]}ms/{ts[3]}ms over {ts[2]} tasks)" if ts else ""))
 
     # (No task-skew row for the global-ntile pair: the control's sort
     # stage is ONE task, which the >= 8-tasks significance filter
@@ -520,22 +605,30 @@ def main() -> None:
                 "colocation — a hot key shifts constants, not 1x-vs-8x\n"
                 "ratios — so this table records the MECHANICAL signal:\n"
                 "the worst per-stage max/p50 task runtime over one cold\n"
-                "run (UI REST taskSummary; stages with < 8 tasks\n"
+                "run (UI REST taskSummary; stages with < 4 tasks\n"
                 "excluded). A balanced shape reads ~1.0; a hot-key\n"
                 "colocation reads the hot task's multiple directly, and\n"
                 "GROWS with corpus scale while balanced shapes stay\n"
                 "flat.\n\n"
                 "(Stages carrying < 5% of the run's total executor time\n"
                 "are excluded — a 100ms warm-up stage's max/p50 is\n"
-                "scheduler noise, not skew.)\n\n"
-                "| run | worst stage max/p50 | max task | p50 task | tasks |\n"
-                "|---|---|---|---|---|\n"
+                "scheduler noise, not skew. These task-metric runs pin\n"
+                "AQE partition-coalescing neutralized (1KB advisory\n"
+                "size): a probe-scale shuffle is\n"
+                "tens of MB and AQE folds its reduce side into a handful\n"
+                "of tasks, inflating the p50 baseline and hiding the\n"
+                "colocation — a luxury a 100 TB stage does not have.\n"
+                "Wall-clock rows keep production confs.)\n\n"
+                "| run | records max/p50 | runtime max/p50 "
+                "| max task | p50 task | tasks |\n"
+                "|---|---|---|---|---|---|\n"
             )
             for name, ts in skew_tasks:
                 if ts:
+                    rec = f"{ts[0]:.2f}" if ts[0] is not None else "n/a"
                     f.write(
-                        f"| {name} | {ts[0]:.2f} | {ts[3]}ms | {ts[2]}ms "
-                        f"| {ts[1]} |\n"
+                        f"| {name} | {rec} | {ts[1]:.2f} | {ts[4]}ms "
+                        f"| {ts[3]}ms | {ts[2]} |\n"
                     )
             f.write(
                 "\nReading: the exact-substr [window-shape] control is\n"
