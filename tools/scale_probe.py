@@ -184,6 +184,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _ensure_corpus(spark, BASE, OUT_1X, 1)
     _ensure_corpus(spark, BASE, OUT_NX, COPIES)
+    # Planted corpora are built HERE too (r11 fix): building the
+    # 10M-doc doc-skew corpus inside the TIMED session bloated its
+    # heap/GC state and taxed the first planted rows (exact_substr
+    # census read a bogus 9.06x on its first-build run) — the same
+    # effect the restart below exists to avoid for OUT_1X/OUT_NX.
+    from comperhensive_bigdata_analysis__spark.sources.inflate import (
+        DOC_SKEW_VERSION,
+        plant_doc_skew_corpus,
+        plant_skew_corpus,
+    )
+
+    for base, out in ((OUT_1X, SKEW_1X), (OUT_NX, SKEW_NX)):
+        marker = os.path.join(out, "_MARKER")
+        want = f"{base}|skew"
+        if not (os.path.exists(marker) and open(marker).read() == want):
+            plant_skew_corpus(spark, base, out)
+            with open(marker, "w") as f:
+                f.write(want)
+
+    # Doc-count-scaled planted corpus (VERDICT r10 ask #2 + #4): 256x
+    # the docs at ~8-20 chars each, a single-value boilerplate
+    # substring in HALF of them (ONE hot winnowing fingerprint at
+    # df = n/2), and lang planted 'en' on that half over a
+    # 499-cold-lang bed. On it the WINDOW controls' hot task is
+    # doc-count-proportional (the exposure the token-mass corpus
+    # cannot show: array_distinct bounds the hot fingerprint at one
+    # row per doc), while the production census / distributed_scan
+    # shapes stay balanced.
+    for base, out in ((OUT_1X, DOCSKEW_1X), (OUT_NX, DOCSKEW_NX)):
+        marker = os.path.join(out, "_MARKER")
+        want = f"{base}|docskew{DOC_SKEW_VERSION}"
+        if not (os.path.exists(marker) and open(marker).read() == want):
+            plant_doc_skew_corpus(spark, base, out)
+            with open(marker, "w") as f:
+                f.write(want)
     # Time in a FRESH JVM session: the one that just wrote the inflated
     # corpora carries bloated heap/GC state that taxed the first timed
     # row by ~2x (measured on copurchase_triangles: 58-77s in-sequence
@@ -306,40 +341,7 @@ def main() -> None:
     from comperhensive_bigdata_analysis__spark.operators.curation import (
         exact_substr_span_table,
     )
-    from comperhensive_bigdata_analysis__spark.sources.inflate import (
-        plant_doc_skew_corpus,
-        plant_skew_corpus,
-    )
     from pyspark.sql import functions as F
-
-    for base, out in ((OUT_1X, SKEW_1X), (OUT_NX, SKEW_NX)):
-        marker = os.path.join(out, "_MARKER")
-        want = f"{base}|skew"
-        if not (os.path.exists(marker) and open(marker).read() == want):
-            plant_skew_corpus(spark, base, out)
-            with open(marker, "w") as f:
-                f.write(want)
-
-    # Doc-count-scaled planted corpus (VERDICT r10 ask #2 + #4):
-    # 32x the docs at ~10-22 chars each, a fixed boilerplate substring
-    # in HALF of them (four winnowing fingerprints at df = n/2 — ~40%
-    # of fingerprint rows, measured at build time), and lang planted
-    # 'en' on that half over a 499-cold-lang bed. On it the WINDOW
-    # controls' hot task is doc-count-proportional (the exposure the
-    # token-mass corpus cannot show: array_distinct bounds the hot
-    # fingerprint at one row per doc), while the production census /
-    # distributed_scan shapes stay balanced.
-    for base, out in ((OUT_1X, DOCSKEW_1X), (OUT_NX, DOCSKEW_NX)):
-        from comperhensive_bigdata_analysis__spark.sources.inflate import (
-            DOC_SKEW_VERSION,
-        )
-
-        marker = os.path.join(out, "_MARKER")
-        want = f"{base}|docskew{DOC_SKEW_VERSION}"
-        if not (os.path.exists(marker) and open(marker).read() == want):
-            plant_doc_skew_corpus(spark, base, out)
-            with open(marker, "w") as f:
-                f.write(want)
 
     def _ess_at(shape):
         def q(s, d):
