@@ -614,13 +614,13 @@ def main() -> None:
                 "flat.\n\n"
                 "(Stages carrying < 5% of the run's total executor time\n"
                 "are excluded — a 100ms warm-up stage's max/p50 is\n"
-                "scheduler noise, not skew. These task-metric runs pin\n"
-                "AQE partition-coalescing neutralized (1KB advisory\n"
-                "size): a probe-scale shuffle is\n"
-                "tens of MB and AQE folds its reduce side into a handful\n"
-                "of tasks, inflating the p50 baseline and hiding the\n"
-                "colocation — a luxury a 100 TB stage does not have.\n"
-                "Wall-clock rows keep production confs.)\n\n"
+                "scheduler noise, not skew. These task-metric runs\n"
+                "NEUTRALIZE AQE partition coalescing (1KB advisory\n"
+                "partition size): a probe-scale shuffle is tens of MB\n"
+                "and AQE folds its reduce side into a handful of tasks,\n"
+                "inflating the p50 baseline and hiding the colocation —\n"
+                "a luxury a 100 TB stage does not have. Wall-clock rows\n"
+                "keep production confs.)\n\n"
                 "| run | records max/p50 | runtime max/p50 "
                 "| max task | p50 task | tasks |\n"
                 "|---|---|---|---|---|---|\n"
@@ -645,21 +645,28 @@ def main() -> None:
                 "fingerprint at one row per doc and the char-gram md5\n"
                 "scan dominates that corpus — the window shape's\n"
                 "exposure there grows with DOC COUNT, which is what the\n"
-                "[doc-skew] rows measure (VERDICT r10 ask #2): 32x the\n"
-                "docs at ~10-22 chars each, the hot fingerprints in\n"
-                "half of them (~40% of fingerprint rows), so the\n"
-                "fingerprint-count window — not the scan — carries the\n"
-                "run. There the [window-shape doc-skew] control's hot\n"
-                "count-task shows directly in its max/p50 row while the\n"
-                "census stays ~1, completing the evidence for the\n"
-                "census default on that family. The ccnet [lang-skew]\n"
-                "pair (ask #4) makes the same measurement for the r10\n"
-                "distributed_scan conversions: lang planted 'en' on\n"
-                "half the docs over a 499-cold-lang bed — the bare\n"
-                "NTILE window control sorts the hot language's census\n"
-                "in ONE task (its max/p50 row), while the production\n"
-                "range-partition + census-offset shape bounds every\n"
-                "task by partition size. The global-ntile\n"
+                "[doc-skew] rows measure (VERDICT r10 ask #2): 256x the\n"
+                "docs at ~8-20 chars each, ONE hot fingerprint in half\n"
+                "of them. In the FULL plan the pair explode fuses into\n"
+                "the same stage as the df window and dilutes the\n"
+                "signal, so the winnow_df_filter pair isolates the\n"
+                "stage whose shape actually differs (same fingerprint\n"
+                "relation, cheap doc_id downstream): the [window-shape]\n"
+                "control's hot count-task reads records 9.3x / runtime\n"
+                "4.7x (713ms p50 -> 3355ms hot) while the census shape\n"
+                "reads 1.0 — the doc-count exposure, now a number. The\n"
+                "ccnet [lang-skew] pair (ask #4) makes the same\n"
+                "measurement for the r10 distributed_scan conversions:\n"
+                "lang planted 'en' on half the docs over a\n"
+                "499-cold-lang bed — the bare NTILE window control\n"
+                "sorts the hot language's census in ONE task (records\n"
+                "34x / runtime 20x, 375ms p50 -> 7.6s hot), while the\n"
+                "production range-partition + census-offset shape\n"
+                "bounds every task by partition size (its residual\n"
+                "records 3.9x is range-boundary SAMPLING imbalance on a\n"
+                "50%-hot contiguous key — splittable by adding\n"
+                "partitions, unlike a window partition, and its hot\n"
+                "task is 1.7x p50, not 20x). The global-ntile\n"
                 "shape pair in the MAIN table makes the same point\n"
                 "without planting anything: the [global-window]\n"
                 "control sorts the whole table in ONE task, so its 8x\n"
