@@ -56,7 +56,10 @@ def _replicate_docs(spark, mult: int) -> str:
     d = load_table(spark, BASE, "documents")
     reps = d.withColumn(
         "__j", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
-    ).withColumn("doc_id", F.col("doc_id") + F.col("__j") * STRIDE).drop("__j")
+    ).withColumn(
+        "doc_id",
+        F.col("doc_id").cast("long") + F.col("__j").cast("long") * F.lit(STRIDE),
+    ).drop("__j")
     reps.repartition(N_FILES).write.mode("overwrite").parquet(
         f"{out}/documents.parquet"
     )
