@@ -12,9 +12,12 @@ shifted replications of the sf corpus's documents table at 1x/8x/64x
 (key-CONSTANT growth: lang and source are untouched, so per-key mass
 grows with the data — exactly the case the scan shapes exist for) and
 timing the production scan shape against the bare-window shape it
-replaced, median-of-3 cold (spark.catalog.clearCache() before every
-timed run, so the production shapes' lazy persists are PAID, not
-reused — same discipline as tools/scale_probe.py).
+replaced, INTERLEAVED median-of-5 cold (strictly alternating A/B
+runs — this host's intermittent contention phases moved identical
+code 2-4x between back-to-back runs, so only interleaving keeps the
+comparison valid; spark.catalog.clearCache() before every timed run,
+so the production shapes' lazy persists are PAID, not reused — same
+discipline as tools/scale_probe.py).
 
 Run: python tools/crossover_matrix.py   (env: SPARK_GRAFT_SF_DIR)
 Prints the two matrices; paste into BENCH_NOTES.md.
@@ -44,7 +47,7 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULTS = (1, 8, 64)
 STRIDE = 1_000_000_000
 N_FILES = 16
-RUNS = 3
+RUNS = 5
 
 
 def _replicate_docs(spark, mult: int) -> str:
@@ -127,15 +130,23 @@ def _pack_window(spark, sf_dir):
     )
 
 
-def _median_cold(spark, fn, sf_dir) -> float:
-    fn(spark, sf_dir).collect()  # untimed codegen warm-up
-    samples = []
-    for _ in range(RUNS):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+def _interleaved_cold(spark, fn_a, fn_b, sf_dir, runs=RUNS):
+    """Median-of-``runs`` cold for BOTH shapes, measured in strictly
+    alternating A/B order. This host shows intermittent multi-minute
+    contention phases that moved identical code 2-4x between
+    back-to-back runs (BENCH_NOTES r11); interleaving puts both
+    shapes inside the same phases so the COMPARISON stays valid even
+    when the absolutes drift."""
+    fn_a(spark, sf_dir).collect()  # untimed codegen warm-up
+    fn_b(spark, sf_dir).collect()
+    a_s, b_s = [], []
+    for _ in range(runs):
+        for fn, out in ((fn_a, a_s), (fn_b, b_s)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            out.append(time.perf_counter() - t0)
+    return statistics.median(a_s), statistics.median(b_s)
 
 
 def main() -> None:
@@ -160,9 +171,10 @@ def main() -> None:
         assert a == b, f"{name}: shapes disagree at 1x"
         line_p, line_w = [], []
         for m in MULTS:
-            line_w.append(_median_cold(spark, ctrl, dirs[m]))
-            line_p.append(_median_cold(spark, prod, dirs[m]))
-        print(f"{name} (median-of-{RUNS} cold, docs x{MULTS}):")
+            w, p = _interleaved_cold(spark, ctrl, prod, dirs[m])
+            line_w.append(w)
+            line_p.append(p)
+        print(f"{name} (interleaved median-of-{RUNS} cold, docs x{MULTS}):")
         print("  bare window: " + " / ".join(f"{t:.2f}s" for t in line_w))
         print("  scan shape : " + " / ".join(f"{t:.2f}s" for t in line_p))
     spark.stop()
