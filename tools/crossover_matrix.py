@@ -5,10 +5,12 @@ Round 10 recorded the 1x/8x/64x cost matrix for the deepest
 window->distributed_scan conversion (window_value_functions: bare
 window 0.84/1.50/9.44s vs scan 1.45/—/10.31s) so the constants paid
 for structural 100 TB safety stay visible against a baseline. This
-tool produces the same honesty ledger for the other two deep
-conversions — ccnet_quality_buckets (per-lang NTILE terciles) and
-pack_context_windows (per-source prefix sum) — by writing doc_id-
-shifted replications of the sf corpus's documents table at 1x/8x/64x
+tool produces the same honesty ledger for all three deep conversions
+— ccnet_quality_buckets (per-lang NTILE terciles),
+pack_context_windows (per-source prefix sum), and
+window_value_functions itself (re-measured under this protocol, since
+the r10 matrix was non-interleaved) — by writing key-shifted
+replications of the consumed table at 1x/8x/64x
 (key-CONSTANT growth: lang and source are untouched, so per-key mass
 grows with the data — exactly the case the scan shapes exist for) and
 timing the production scan shape against the bare-window shape it
@@ -69,6 +71,72 @@ def _replicate_docs(spark, mult: int) -> str:
     with open(marker, "w") as f:
         f.write(want)
     return out
+
+
+def _replicate_orders(spark, mult: int) -> str:
+    out = f"/tmp/crossover_orders_x{mult}"
+    marker = os.path.join(out, "_MARKER")
+    want = f"{BASE}|{mult}"
+    if os.path.exists(marker) and open(marker).read() == want:
+        return out
+    o = load_table(spark, BASE, "orders")
+    reps = o.withColumn(
+        "__j", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+    ).withColumn(
+        "o_orderkey",
+        F.col("o_orderkey").cast("long")
+        + F.col("__j").cast("long") * F.lit(STRIDE),
+    ).drop("__j")
+    reps.repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+    with open(marker, "w") as f:
+        f.write(want)
+    return out
+
+
+def _wvf_window(spark, sf_dir):
+    """The bare value-function window shape window_value_functions
+    replaced — output-identical (the ordering ends in o_orderkey, so
+    rank has no peers and percent_rank/cume_dist match the derived
+    integer formulas)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    w_date = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_price = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_totalprice").over(w_date).alias("first_price"),
+        F.last("o_totalprice").over(w_date).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(w_date).alias("third_price"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+        F.cume_dist().over(w_price).alias("price_cume_dist"),
+    ).orderBy("o_orderkey")
+
+
+def _consume(fn):
+    """Wrap a plan so the timed action is a 2-value aggregate of every
+    output column instead of a multi-million-row driver collect — at
+    64x the wvf output is 9.6M rows and pickling them would drown the
+    compute signal for BOTH shapes equally. The hash-sum consumes
+    every column, so no window can be pruned away."""
+
+    def q(spark, sf_dir):
+        df = fn(spark, sf_dir)
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash(*df.columns).cast("long")).alias("checksum"),
+        )
+
+    return q
 
 
 def _ccnet_window(spark, sf_dir):
@@ -154,24 +222,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     dirs = {m: _replicate_docs(spark, m) for m in MULTS}
 
+    odirs = {m: _replicate_orders(spark, m) for m in MULTS}
+
     pairs = {
         "ccnet_quality_buckets": (
             plans.QUERIES["ccnet_quality_buckets"],
             _ccnet_window,
+            dirs,
+            False,
         ),
         "pack_context_windows": (
             plans.QUERIES["pack_context_windows"],
             _pack_window,
+            dirs,
+            False,
+        ),
+        "window_value_functions": (
+            plans.QUERIES["window_value_functions"],
+            _wvf_window,
+            odirs,
+            True,  # 9.6M output rows at 64x: time the hash-consume
         ),
     }
-    for name, (prod, ctrl) in pairs.items():
+    for name, (prod, ctrl, pdirs, wrap) in pairs.items():
         # sanity: shapes output-identical at 1x before timing anything
-        a = [tuple(r) for r in prod(spark, dirs[1]).collect()]
-        b = [tuple(r) for r in ctrl(spark, dirs[1]).collect()]
+        a = [tuple(r) for r in prod(spark, pdirs[1]).collect()]
+        b = [tuple(r) for r in ctrl(spark, pdirs[1]).collect()]
         assert a == b, f"{name}: shapes disagree at 1x"
+        if wrap:
+            prod, ctrl = _consume(prod), _consume(ctrl)
         line_p, line_w = [], []
         for m in MULTS:
-            w, p = _interleaved_cold(spark, ctrl, prod, dirs[m])
+            w, p = _interleaved_cold(spark, ctrl, prod, pdirs[m])
             line_w.append(w)
             line_p.append(p)
         print(f"{name} (interleaved median-of-{RUNS} cold, docs x{MULTS}):")
