@@ -18,8 +18,12 @@ Layout
                  (spark, sf_dir) -> DataFrame callable with a DuckDB oracle
 - ``streaming``  Structured Streaming ports of the batch operators
 - ``forecast``   grouped time-series forecasting (SURVEY §2.9, Prophet-style)
+- ``cache``      plan-cache lifecycle: census-shaped plans lazily persist
+                 shared frames; session owners release them at phase
+                 boundaries via ``release_plan_caches`` (DEPLOY.md)
 """
 
 __version__ = "0.1.0"
 
+from .cache import release_plan_caches  # noqa: F401
 from .session import get_spark  # noqa: F401
