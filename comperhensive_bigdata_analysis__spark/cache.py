@@ -32,7 +32,11 @@ caches before every timed run already.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 #: Handles of every plan-internal persisted frame since the last
 #: release. Entries are tiny (DataFrame wrappers); duplicates of an
@@ -59,8 +63,20 @@ def release_plan_caches() -> int:
     while _PLAN_CACHES:
         df = _PLAN_CACHES.pop()
         try:
+            stopped = df.sparkSession.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            # session already stopped — the blocks are gone with the
+            # executors; the handle is popped but not counted as freed
+            continue
+        try:
             df.unpersist()
             n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
+        except Exception:
+            # a live-session unpersist failure is NOT the expected
+            # stopped-session case (r11 ADVICE): surface it rather than
+            # silently under-reporting, but keep draining — one bad
+            # handle must not leak the rest
+            _log.warning("release_plan_caches: unpersist failed", exc_info=True)
     return n

@@ -493,7 +493,9 @@ def test_broadcast_hints_only_at_audited_sites():
             if not fn.endswith(".py"):
                 continue
             path = os.path.join(root, fn)
-            rel = os.path.relpath(path, pkg_dir)
+            # allowlist keys hardcode '/' — normalize OS-native
+            # separators so the audit is byte-identical cross-platform
+            rel = os.path.relpath(path, pkg_dir).replace(os.sep, "/")
             tree = ast.parse(open(path).read())
 
             class _V(ast.NodeVisitor):
@@ -509,12 +511,24 @@ def test_broadcast_hints_only_at_audited_sites():
 
                 def visit_Call(self, n):
                     f = n.func
-                    name = (
-                        f.attr
-                        if isinstance(f, ast.Attribute)
-                        else getattr(f, "id", "")
-                    )
-                    if name == "broadcast":
+                    hit = False
+                    if isinstance(f, ast.Attribute) and f.attr == "broadcast":
+                        # only the two audited roots count (r11 ADVICE —
+                        # an unrelated .broadcast() method must not
+                        # trip the audit): the join hint F.broadcast /
+                        # functions.broadcast, and the SparkContext
+                        # broadcast-variable path *.sparkContext.broadcast
+                        v = f.value
+                        hit = (
+                            isinstance(v, ast.Name)
+                            and v.id in ("F", "functions")
+                        ) or (
+                            isinstance(v, ast.Attribute)
+                            and v.attr == "sparkContext"
+                        )
+                    elif isinstance(f, ast.Name) and f.id == "broadcast":
+                        hit = True
+                    if hit:
                         found.add((rel, ".".join(self.stack) or "<module>"))
                     self.generic_visit(n)
 

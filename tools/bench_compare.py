@@ -101,23 +101,32 @@ def newest_pair() -> tuple[str, str]:
 #: r10 amendment's expectation that start and end should match was
 #: the flaw that made the rule unusable.
 CAL_MAD_MAX = 0.15  # env_end MAD/median above this = unstable stamp
+#: A legacy stamp (pre-r11 bench.py, no calibration_mad_sec) carries no
+#: internal-dispersion evidence, so its ratio is accepted only inside a
+#: sane host-speed band — a single unvetted ~60ms count must never
+#: rescale multi-second medians by an outlandish factor (r11 ADVICE).
+CAL_RATIO_BAND = (0.7, 1.4)
 
 
-def _calibration(env: dict) -> tuple[float | None, str]:
-    """(calibration seconds, reason-if-unusable) for one artifact:
-    the env_end post-workload calibration median, gated on its own
-    MAD when the artifact records one (bench.py r11+)."""
+def _calibration(env: dict) -> tuple[float | None, bool, str]:
+    """(calibration seconds, MAD-vetted?, reason-if-unusable) for one
+    artifact: the env_end post-workload calibration median, gated on
+    its own MAD when the artifact records one (bench.py r11+). A stamp
+    without a MAD (legacy artifact) is returned un-vetted — the caller
+    must band-check the resulting ratio before trusting it."""
     e = env.get("env_end") or {}
     v = e.get("calibration_count_sec")
     if v is None or v <= 0:
-        return None, "no env_end calibration stamp"
+        return None, False, "no env_end calibration stamp"
     mad = e.get("calibration_mad_sec")
-    if mad is not None and mad / v > CAL_MAD_MAX:
-        return None, (
+    if mad is None:
+        return v, False, ""
+    if mad / v > CAL_MAD_MAX:
+        return None, False, (
             f"unstable env_end calibration (MAD {mad}s / median {v}s "
             f"> {CAL_MAD_MAX})"
         )
-    return v, ""
+    return v, True, ""
 
 
 def _env_line(name: str, env: dict) -> str:
@@ -145,13 +154,36 @@ def build_section(old_name: str, new_name: str) -> str:
     # the >15% trigger applies — an excursion that disappears under the
     # host-overhead normalizer is environment by definition. Either
     # stamp missing or internally unstable -> raw deltas, reason stated.
-    cal_old, why_old = _calibration(env_old)
-    cal_new, why_new = _calibration(env_new)
+    cal_old, vetted_old, why_old = _calibration(env_old)
+    cal_new, vetted_new, why_new = _calibration(env_new)
     normalized = bool(cal_old and cal_new)
+    if normalized and not (vetted_old and vetted_new):
+        # one or both stamps are legacy (no MAD): accept the ratio only
+        # inside the sane host-speed band, else fall back to raw deltas
+        ratio = cal_new / cal_old
+        lo, hi = CAL_RATIO_BAND
+        if not (lo <= ratio <= hi):
+            normalized = False
+            legacy = [
+                n
+                for n, vetted in ((old_name, vetted_old), (new_name, vetted_new))
+                if not vetted
+            ]
+            why_old = why_old or (
+                f"cal ratio {ratio:.3f} outside [{lo}, {hi}] with "
+                f"un-vetted legacy stamp(s) ({', '.join(legacy)} lack "
+                f"calibration_mad_sec)"
+            )
     if normalized:
         cal_ratio = cal_new / cal_old
+        vet_note = (
+            "both stamps MAD-stable"
+            if vetted_old and vetted_new
+            else f"legacy stamp(s) without MAD accepted — ratio inside "
+            f"the [{CAL_RATIO_BAND[0]}, {CAL_RATIO_BAND[1]}] sanity band"
+        )
         cal_note = (
-            f"Deltas are calibration-NORMALIZED: both stamps stable, "
+            f"Deltas are calibration-NORMALIZED ({vet_note}): "
             f"ratio {cal_ratio:.3f} ({cal_old:.4f}s -> {cal_new:.4f}s); "
             f"each r-new median is divided by it before the trigger."
         )
@@ -232,7 +264,13 @@ def build_section(old_name: str, new_name: str) -> str:
             f" required — write the verdict in its own '## Adjudication"
             f" ...' section below (NOT inside this generated section:"
             f" a rerun replaces everything up to the next '## '"
-            f" heading).**"
+            f" heading). Standing protocol (r11 verdict 'What's wrong"
+            f" #2'): adjudicate by INTERLEAVED RATIO, not absolute idle"
+            f" re-measurement — `python tools/adjudicate.py <query> ...`"
+            f" strictly alternates the FLAGged plan with a stable anchor"
+            f" (q7_exact_dedup) and reports plan/anchor ratios, which"
+            f" cancel host state that contaminates both committed"
+            f" absolutes in opposite directions.**"
         )
     else:
         lines.append("\nNo rows FLAGged outside the correlated band.")

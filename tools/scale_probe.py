@@ -504,9 +504,11 @@ def main() -> None:
         minp = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
         adv_old = spark.conf.get(adv, "64MB")
         minp_old = spark.conf.get(minp, "1MB")
-        spark.conf.set(adv, "1KB")
-        spark.conf.set(minp, "1B")  # parallelismFirst floors at this
         try:
+            # sets live INSIDE the try (r11 ADVICE): an exception between
+            # them and the probe must still restore production confs
+            spark.conf.set(adv, "1KB")
+            spark.conf.set(minp, "1B")  # parallelismFirst floors at this
             before = {s["stageId"] for s in _get("/stages?status=complete")}
             spark.catalog.clearCache()
             fn(spark, sf_dir).collect()
