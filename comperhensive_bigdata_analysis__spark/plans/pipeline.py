@@ -39,6 +39,38 @@ from . import plan
 
 QUALITY_CUTOFF = 0.5
 
+
+def run_phase(spark, sf_dir, plan_names, consume=None):
+    """Execute a batch of registered plans as ONE pipeline phase, then
+    drop every plan-internal cache at the boundary — the exercised form
+    of the DEPLOY.md "Long-lived sessions" contract (VERDICT r11 ask
+    #5): census-shaped plans lazily ``register_plan_cache`` frames that
+    no operator can unpersist itself; the phase runner is the session
+    owner that releases them after the consuming actions.
+
+    ``consume`` receives each plan's DataFrame and must run the action
+    (default: ``collect()``). Returns ``(results, n_released)`` with
+    ``results`` keyed by plan name. Within the phase, repeated
+    executions of one plan still hit the warm cache entries; the
+    release happens once, after ALL the phase's actions, so it is never
+    inside anyone's timed region. bench.py deliberately does NOT route
+    through this runner — its warm-median protocol requires caches to
+    survive across repeated runs of the same plan (cache.py docstring).
+    """
+    from ..cache import release_plan_caches
+    from . import QUERIES
+
+    consume = consume or (lambda df: df.collect())
+    results = {}
+    try:
+        for name in plan_names:
+            results[name] = consume(QUERIES[name](spark, sf_dir))
+    finally:
+        # released even when a plan raises: a half-run phase must not
+        # leak its census persists into the next phase
+        released = release_plan_caches()
+    return results, released
+
 # Stage spellings shared with plans/text.py oracles (keep in sync).
 _SQL_TOKENS = r"""CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""

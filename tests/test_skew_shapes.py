@@ -394,3 +394,32 @@ def test_plan_cache_registry_releases_census_persists(spark, sf_dir):
     assert n == len(cached)
     assert not _PLAN_CACHES
     assert all(not df.storageLevel.useMemory for df in cached)
+
+
+def test_run_phase_releases_caches_at_the_boundary(spark, sf_dir):
+    """VERDICT r11 ask #5: the pipeline runner is the lifecycle
+    contract's exercised call site — a phase mixing a cache-registering
+    census plan with a plain plan must (a) produce every plan's rows,
+    (b) leave ZERO registered handles behind, (c) report the release
+    count, and (d) release even when a plan raises mid-phase."""
+    from comperhensive_bigdata_analysis__spark.cache import (
+        _PLAN_CACHES,
+        release_plan_caches,
+    )
+    from comperhensive_bigdata_analysis__spark.plans.pipeline import run_phase
+
+    release_plan_caches()  # clean slate
+    results, released = run_phase(
+        spark, sf_dir, ["exact_substr_spans", "corpus_clean_pipeline"]
+    )
+    assert set(results) == {"exact_substr_spans", "corpus_clean_pipeline"}
+    assert results["corpus_clean_pipeline"]  # the phase really ran
+    assert released >= 1, "census persist was not registered/released"
+    assert not _PLAN_CACHES
+
+    # a raising plan must still hit the boundary release
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        run_phase(spark, sf_dir, ["exact_substr_spans", "no_such_plan"])
+    assert not _PLAN_CACHES
