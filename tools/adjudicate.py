@@ -81,6 +81,59 @@ def _committed_ratios(plan: str, anchor: str) -> list[tuple[str, float | None]]:
     return out
 
 
+def _verdict(
+    live_ratio: float,
+    committed: list[tuple[str, float | None]],
+    live_abs: float,
+    old_abs: float | None,
+) -> str:
+    """The mechanical verdict rule (module docstring), pure so the
+    protocol itself is testable. ``committed`` is [(old-art, ratio),
+    (new-art, ratio)]; a ratio is matched within RATIO_TOL. Anchor-
+    drift cross-check: the anchor's own speed moves with JIT depth
+    within a session, and a plan whose cost lives in Python workers
+    (mapInPandas decode, pandas UDFs) does not speed up proportionally
+    with JVM scheduler paths — so a ratio can match the regressed
+    round while the plan's ABSOLUTE sits at or below the good round's
+    committed median. Ratio and absolute must agree before a
+    regression verdict stands."""
+    matches = [
+        art
+        for art, cr in committed
+        if cr is not None and abs(live_ratio - cr) / cr <= RATIO_TOL
+    ]
+    old_art = committed[0][0]
+    abs_ok = old_abs is not None and live_abs <= old_abs * (1 + RATIO_TOL)
+    if len(matches) == 2:
+        return (
+            "committed ratios indistinguishable at this tolerance — the "
+            "FLAG was never a per-plan signal; exonerated"
+        )
+    if len(matches) == 1 and matches[0] == old_art:
+        return (
+            f"live ratio matches {old_art} only: "
+            "new committed absolute was environment — exonerated"
+        )
+    if len(matches) == 1:
+        if abs_ok:
+            return (
+                f"live ratio matches {matches[0]} but the live ABSOLUTE "
+                f"({live_abs:.3f}s) is within tolerance of {old_art}'s "
+                f"committed {old_abs}s — anchor-drift artifact, not a plan "
+                f"regression; exonerated on absolutes"
+            )
+        return (
+            f"live ratio matches {matches[0]} only and the live "
+            f"absolute ({live_abs:.3f}s vs {old_art} {old_abs}s) "
+            f"agrees: constant-factor change at HEAD is REAL — "
+            f"profile it"
+        )
+    return (
+        "live ratio matches neither committed ratio — both committed "
+        "rows are suspect; report the live ratio as the number of record"
+    )
+
+
 def _resolve(name: str):
     """bench row name -> (callable, needs_scale_dir)."""
     import bench
@@ -124,19 +177,6 @@ def adjudicate(
     med = statistics.median(ratios)
     mad = statistics.median(abs(r - med) for r in ratios)
     committed = _committed_ratios(plan_name, anchor_name)
-    verdicts = {}
-    for art, cr in committed:
-        verdicts[art] = (
-            None if cr is None else abs(med - cr) / cr <= RATIO_TOL
-        )
-    matches = [a for a, ok in verdicts.items() if ok]
-    # Anchor-drift cross-check: the anchor's own speed moves with JIT
-    # depth within a session, and a plan whose cost lives in Python
-    # workers (mapInPandas decode, pandas UDFs) does not speed up
-    # proportionally with JVM scheduler paths — so a ratio can match
-    # the regressed round while the plan's ABSOLUTE sits at or below
-    # the good round's committed median. Ratio and absolute must agree
-    # before a regression verdict stands.
     live_abs = statistics.median(plan_s)
     old_art = committed[0][0]
     old_abs = (
@@ -145,37 +185,7 @@ def adjudicate(
         .get("queries", {})
         .get(plan_name)
     )
-    abs_ok = old_abs is not None and live_abs <= old_abs * (1 + RATIO_TOL)
-    if len(matches) == 2:
-        verdict = (
-            "committed ratios indistinguishable at this tolerance — the "
-            "FLAG was never a per-plan signal; exonerated"
-        )
-    elif len(matches) == 1 and matches[0] == old_art:
-        verdict = (
-            f"live ratio matches {old_art} only: "
-            "new committed absolute was environment — exonerated"
-        )
-    elif len(matches) == 1:
-        if abs_ok:
-            verdict = (
-                f"live ratio matches {matches[0]} but the live ABSOLUTE "
-                f"({live_abs:.3f}s) is within tolerance of {old_art}'s "
-                f"committed {old_abs}s — anchor-drift artifact, not a plan "
-                f"regression; exonerated on absolutes"
-            )
-        else:
-            verdict = (
-                f"live ratio matches {matches[0]} only and the live "
-                f"absolute ({live_abs:.3f}s vs {old_art} {old_abs}s) "
-                f"agrees: constant-factor change at HEAD is REAL — "
-                f"profile it"
-            )
-    else:
-        verdict = (
-            "live ratio matches neither committed ratio — both committed "
-            "rows are suspect; report the live ratio as the number of record"
-        )
+    verdict = _verdict(med, committed, live_abs, old_abs)
     return {
         "plan": plan_name,
         "anchor": anchor_name,
