@@ -20,10 +20,24 @@ Layout
 - ``forecast``   grouped time-series forecasting (SURVEY §2.9, Prophet-style)
 - ``cache``      plan-cache lifecycle: census-shaped plans lazily persist
                  shared frames; session owners release them at phase
-                 boundaries via ``release_plan_caches`` (DEPLOY.md)
+                 boundaries via ``release_plan_caches`` (DEPLOY.md) —
+                 or run batches through ``run_phase``, which releases
+                 at the boundary itself
 """
 
 __version__ = "0.1.0"
 
 from .cache import release_plan_caches  # noqa: F401
 from .session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    # run_phase lives behind the full plan catalog (plans/__init__
+    # imports every plan module to build QUERIES); resolving it lazily
+    # keeps the bare package import light for callers that only want
+    # get_spark/release_plan_caches.
+    if name == "run_phase":
+        from .plans.pipeline import run_phase
+
+        return run_phase
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
