@@ -13,10 +13,16 @@ FLAG adjudication:
 
 - the FLAGged plan is timed STRICTLY ALTERNATED with a stable ANCHOR
   plan (default q7_exact_dedup: one uniform-key shuffle, never
-  FLAGged, benched 0.324/0.339s across r10/r11) under the bench's
-  own warm-median protocol (untimed warm-up passes, no cache
+  FLAGged, committed 0.241-0.352s in 10 of 11 rounds — the one
+  outlier, r9's 0.593, was the round-wide host event in which every
+  row doubled, which a ratio cancels by construction) under the
+  bench's own warm-median protocol (untimed warm-up passes, no cache
   clearing — the committed medians being adjudicated are warm
-  numbers);
+  numbers). For a plan whose cost is Python-worker-bound
+  (mapInPandas decode, pandas UDFs), prefer a matched anchor:
+  `--anchor q21_wav_stats_np` (committed 0.805-1.162s, same
+  stability profile) moves with the Python-worker dimension the JVM
+  count anchor cannot see;
 - the statistic of record is the per-cycle RATIO plan/anchor (median
   + MAD across cycles): any host state wide enough to move the plan
   moves the adjacent anchor run the same way and divides out;
