@@ -36,12 +36,15 @@ def exact_quantile_disc(
     buckets: int = 4096,
     max_refine: int = 4,
     final_k_cap: int = 2_000_000,
-) -> float:
+) -> float | None:
     """Exact q-th discrete percentile of ``df[col]`` (0 < q <= 1).
 
-    Raises ValueError on an empty input or if the final in-bucket rank
-    exceeds ``final_k_cap`` (pathological tie mass — raise ``buckets``
-    or the cap).
+    Returns ``None`` on an empty input (after NULL/NaN filtering) —
+    the discrete percentile of an empty set is undefined, and SQL's
+    ``percentile_disc`` returns NULL there; an empty upstream filter
+    result is routine in a pipeline and must not crash it. Raises
+    ValueError if the final in-bucket rank exceeds ``final_k_cap``
+    (pathological tie mass — raise ``buckets`` or the cap).
     """
     if not (0.0 < q <= 1.0):
         raise ValueError("q must be in (0, 1]")
@@ -57,7 +60,7 @@ def exact_quantile_disc(
     ).first()
     n, lo, hi = stats["n"], stats["lo"], stats["hi"]
     if not n:
-        raise ValueError("exact_quantile_disc: empty input")
+        return None
     target = max(1, math.ceil(q * n))  # rank among ascending values
     remaining = base
     offset = 0  # number of values strictly below the current range

@@ -1296,9 +1296,13 @@ def orders_above_exact_p99(spark, sf_dir):
     from ..operators.quantile import exact_quantile_disc
 
     o = load_table(spark, sf_dir, "orders")
+    # p99 is None on an empty table (NULL percentile_disc semantics):
+    # the >= NULL filter keeps no rows and the aggregate returns the
+    # same (NULL, 0, NULL) row the oracle produces; the cast keeps the
+    # output schema identical either way.
     p99 = exact_quantile_disc(o, "o_totalprice", 0.99)
-    return o.filter(F.col("o_totalprice") >= p99).agg(
-        F.lit(p99).alias("p99"),
+    return o.filter(F.col("o_totalprice") >= F.lit(p99)).agg(
+        F.lit(p99).cast("double").alias("p99"),
         F.count(F.lit(1)).cast("bigint").alias("n_tail"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
         .cast("double")
