@@ -146,8 +146,13 @@ def price_drift_buckets(spark, sf_dir):
         F.sum(1 - F.col("in_a")).cast("bigint").alias("n_b"),
     )
     w = Window.partitionBy()
-    p = F.col("n_a").cast("double") / F.sum("n_a").over(w).cast("double")
-    q = F.col("n_b").cast("double") / F.sum("n_b").over(w).cast("double")
+    # try_divide, not /: a period with zero orders (all-early or
+    # all-late data) zeroes a share denominator, and a bucket with no
+    # late-period rows zeroes q for p_over_q — ANSI `/` would crash the
+    # plan where DuckDB (and the oracle) return NULL (r12 null-corpus
+    # audit; the p_over_q case is reachable on ordinary skewed data).
+    p = F.try_divide(F.col("n_a").cast("double"), F.sum("n_a").over(w).cast("double"))
+    q = F.try_divide(F.col("n_b").cast("double"), F.sum("n_b").over(w).cast("double"))
     return agg.select(
         "bucket",
         "n_a",
@@ -155,7 +160,7 @@ def price_drift_buckets(spark, sf_dir):
         p.alias("p"),
         q.alias("q"),
         (p - q).alias("p_minus_q"),
-        (p / q).alias("p_over_q"),
+        F.try_divide(p, q).alias("p_over_q"),
     ).orderBy("bucket")
 
 
@@ -229,18 +234,27 @@ def ab_conversion_z(spark, sf_dir):
         .cast("bigint")
         .alias("c1"),
     )
-    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
-    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
-    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
-        F.col("n0") + F.col("n1")
-    ).cast("double")
-    z = (p0 - p1) / F.sqrt(
-        pooled
-        * (1 - pooled)
-        * (
-            F.lit(1) / F.col("n0").cast("double")
-            + F.lit(1) / F.col("n1").cast("double")
-        )
+    # try_divide throughout: an empty arm (n0 or n1 = 0) or a
+    # degenerate pooled rate (all/none converted -> sqrt term 0) would
+    # crash ANSI `/` where DuckDB — and the oracle — return NULL. Both
+    # states are reachable on real data, not just the null-corpus
+    # audit: a single-arm backfill or a zero-conversion window.
+    p0 = F.try_divide(F.col("c0").cast("double"), F.col("n0").cast("double"))
+    p1 = F.try_divide(F.col("c1").cast("double"), F.col("n1").cast("double"))
+    pooled = F.try_divide(
+        (F.col("c0") + F.col("c1")).cast("double"),
+        (F.col("n0") + F.col("n1")).cast("double"),
+    )
+    z = F.try_divide(
+        p0 - p1,
+        F.sqrt(
+            pooled
+            * (1 - pooled)
+            * (
+                F.try_divide(F.lit(1.0), F.col("n0").cast("double"))
+                + F.try_divide(F.lit(1.0), F.col("n1").cast("double"))
+            )
+        ),
     )
     return arms.select(
         "n0",

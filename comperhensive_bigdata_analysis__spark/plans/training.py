@@ -2302,8 +2302,11 @@ def woe_priority_returns(spark, sf_dir):
         F.sum("n_bad").cast("bigint").alias("tb"),
         F.sum("n_good").cast("bigint").alias("tg"),
     )
-    pb = (F.col("n_bad") + F.lit(0.5)) / F.col("tb")
-    pg = (F.col("n_good") + F.lit(0.5)) / F.col("tg")
+    # try_divide: a corpus with zero returned orders (tb = 0) — or the
+    # inverse — is ordinary data, not an error; ANSI `/` would crash
+    # where DuckDB and the oracle return NULL (r12 null-corpus audit).
+    pb = F.try_divide(F.col("n_bad") + F.lit(0.5), F.col("tb"))
+    pg = F.try_divide(F.col("n_good") + F.lit(0.5), F.col("tg"))
     woe = F.log(pb / pg)
     damp = lambda c: F.floor(  # noqa: E731
         c.cast("decimal(28,12)").cast("double") * 1e6

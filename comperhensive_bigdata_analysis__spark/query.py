@@ -564,9 +564,15 @@ _CALL_REWRITES = (
     (
         "map_agg",
         2,
+        # NULL keys are dropped up front (the filter() below): Presto's
+        # map_agg accumulator skips null keys, while Spark's
+        # map_from_entries throws NULL_MAP_KEY — without the filter a
+        # single null key crashes the whole aggregate (r12 null-corpus
+        # audit). collect_list skips null STRUCTS only, not structs
+        # with a null field, so the filter is load-bearing.
         lambda k, v: (
-            f"transform(array(reverse(collect_list(named_struct("
-            f"'k', {k}, 'v', {v})))), __ml -> "
+            f"transform(array(filter(reverse(collect_list(named_struct("
+            f"'k', {k}, 'v', {v}))), __mn -> __mn.k IS NOT NULL)), __ml -> "
             f"map_from_entries(transform(array_distinct(transform("
             f"__ml, __me -> __me.k)), __mk -> named_struct('k', __mk, "
             f"'v', filter(__ml, __mf -> __mf.k <=> __mk)[0].v))))[0]"

@@ -1,15 +1,25 @@
-"""Empty-input robustness (round-12 audit): a 100 TB pipeline hits
-empty inputs routinely — an upstream filter that matches nothing, a
-fresh partition, a dry incremental batch — and a plan that CRASHES on
-empty is a production bug the populated-corpus oracle gate cannot see.
+"""Degenerate-input robustness (round-12 audits): a 100 TB pipeline
+hits empty and null-riddled inputs routinely — an upstream filter that
+matches nothing, a fresh partition, a dry incremental batch, a source
+whose optional columns went dark — and a plan that CRASHES there is a
+production bug the populated-corpus oracle gate cannot see.
 
-The r12 audit ran all 234 registered plans against a schema-correct
-zero-row corpus: 232 survived; the two that did not are fixed and
-pinned here (exact_quantile_disc raised on empty instead of returning
-SQL percentile_disc's NULL; the JSONL roundtrip hit Spark's
-UNABLE_TO_INFER_SCHEMA because an empty write leaves no data files to
-infer from). A representative cross-family subset of plans stays
-under regression so new plan shapes keep the property.
+Two audits ran all 234 registered plans:
+
+- EMPTY corpus (schema-correct, zero rows): 232 survived; fixed and
+  pinned here: exact_quantile_disc raised on empty instead of
+  returning SQL percentile_disc's NULL, and the JSONL roundtrip hit
+  Spark's no-files-to-infer-from failure.
+- NULL corpus (every non-key column NULL, keys kept): 230 survived;
+  fixed and pinned here: three ANSI DIVIDE_BY_ZERO crashes where
+  DuckDB (and each plan's own oracle) return NULL — now try_divide
+  (ab_conversion_z, price_drift_buckets, woe_priority_returns; the
+  zero denominators are reachable on ordinary skewed data, not just
+  the audit corpus) — and NULL_MAP_KEY in the Presto map_agg rewrite,
+  which now drops null keys like Presto's own accumulator does.
+
+A representative cross-family subset stays under regression so new
+plan shapes keep both properties.
 """
 
 from __future__ import annotations
@@ -17,6 +27,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from comperhensive_bigdata_analysis__spark import plans
 from comperhensive_bigdata_analysis__spark.sources.tables import load_table
@@ -34,6 +45,24 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         load_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+@pytest.fixture(scope="session")
+def null_dir(spark, sf_dir, tmp_path_factory):
+    """Every non-key column NULLed; keys kept so joins still connect."""
+    out = str(tmp_path_factory.mktemp("null_sf"))
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        cols = [
+            F.col(c)
+            if (c.endswith("key") or c.endswith("_id"))
+            else F.lit(None).cast(dt).alias(c)
+            for c, dt in df.dtypes
+        ]
+        df.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
     return out
 
 
@@ -98,3 +127,45 @@ def test_jsonl_roundtrip_empty_matches_oracle_shape(spark, empty_dir):
     rows = plans.QUERIES["jsonl_roundtrip_stats"](spark, empty_dir).collect()
     assert len(rows) == 1
     assert rows[0]["n_docs"] == 0
+
+
+# The four r12 null-corpus catches, plus representatives whose paths
+# exercise Python workers / window shares / map aggregates on NULLs.
+NULL_REPRESENTATIVES = [
+    "ab_conversion_z",
+    "price_drift_buckets",
+    "woe_priority_returns",
+    "sql_presto_map_compat",
+    "pricing_summary",
+    "corpus_clean_pipeline",
+    "exact_substr_spans",
+    "dsir_importance_weights",
+    "knn_bruteforce",
+    "jpeg_pixel_stats_np",
+    "revenue_share_within_region",
+]
+
+
+@pytest.mark.parametrize("name", NULL_REPRESENTATIVES)
+def test_plan_survives_null_corpus(spark, null_dir, name):
+    rows = plans.QUERIES[name](spark, null_dir).collect()
+    assert isinstance(rows, list)
+
+
+def test_try_divide_semantics_match_oracle_on_nulls(spark, null_dir):
+    """The divide-by-zero fixes must return the oracle's NULLs, not
+    fabricate numbers: with every value column NULL, each share/ratio
+    column is NULL while the exact counts stay correct."""
+    rows = plans.QUERIES["price_drift_buckets"](spark, null_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # least(floor(NULL), 9) = 9: one bucket, all rows in period B
+    assert r["bucket"] == 9 and r["n_a"] == 0 and r["n_b"] > 0
+    assert r["p"] is None and r["p_over_q"] is None
+
+
+def test_map_agg_drops_null_keys_like_presto(spark, null_dir):
+    # nation names are NULL in this corpus: the rewritten map_agg must
+    # produce empty maps (NULL keys skipped), not NULL_MAP_KEY.
+    rows = plans.QUERIES["sql_presto_map_compat"](spark, null_dir).collect()
+    assert rows and all(r["n_nations"] == 0 for r in rows)
