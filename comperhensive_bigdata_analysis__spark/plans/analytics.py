@@ -68,8 +68,13 @@ def _reg_agg(xy):
 
 
 def _slope_intercept(df):
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: a series with ONE observed day (n=1, or all x equal)
+    # zeroes the OLS denominator — ordinary data for a rare event_type,
+    # not an error. DuckDB (the oracle's engine) returns NULL there;
+    # ANSI `/` would crash the whole forecast (r12 single-row audit).
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     df = df.withColumn("slope", slope)
     return df.withColumn(

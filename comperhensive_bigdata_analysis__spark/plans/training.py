@@ -265,8 +265,15 @@ def corr_stats_lineitem(spark, sf_dir):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    sd = F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0))))
+    # try_divide: a single-row group or a constant column zeroes the
+    # correlation denominator / the n-1 variance divisor — ordinary
+    # data; DuckDB (the oracle) returns NULL, ANSI `/` would crash
+    # the plan (r12 single-row audit).
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+    )
+    sd = F.sqrt(F.try_divide(n * syy - sy * sy, n * (n - F.lit(1.0))))
     return s.select(
         "l_returnflag",
         "n",
@@ -619,11 +626,15 @@ def zscore_order_prices(spark, sf_dir):
         F.max(x).cast("double").alias("mx"),
     )
     gn, gsx, gsxx = F.col("gn"), F.col("gsx"), F.col("gsxx")
-    sd = F.sqrt((gsxx - gsx * gsx / gn) / (gn - F.lit(1.0)))
+    # try_divide twice: one order total (gn=1) zeroes the n-1 divisor,
+    # and a CONSTANT price column makes sd exactly 0.0 — both ordinary
+    # data; the z-scores degrade to the oracle's NULLs instead of an
+    # ANSI crash (r12 single-row audit).
+    sd = F.sqrt(F.try_divide(gsxx - gsx * gsx / gn, gn - F.lit(1.0)))
     mu = gsx / gn
 
     def z(col):
-        return F.floor(((col - mu) / sd) * 1e6) / 1e6
+        return F.floor(F.try_divide(col - mu, sd) * 1e6) / 1e6
 
     return (
         p.crossJoin(F.broadcast(g))
@@ -780,7 +791,9 @@ def sigma_clip_outliers(spark, sf_dir):
         F.sum((x * x).cast("decimal(28,8)")).cast("double").alias("gsxx"),
     )
     gn, gsx, gsxx = F.col("gn"), F.col("gsx"), F.col("gsxx")
-    sd = F.sqrt((gsxx - gsx * gsx / gn) / (gn - F.lit(1.0)))
+    # try_divide: a one-order corpus zeroes the n-1 divisor (r12
+    # single-row audit); the clip bounds degrade to the oracle's NULLs.
+    sd = F.sqrt(F.try_divide(gsxx - gsx * gsx / gn, gn - F.lit(1.0)))
     f = g.select(
         (gsx / gn - F.lit(3.0) * sd).alias("lo"),
         (gsx / gn + F.lit(3.0) * sd).alias("hi"),

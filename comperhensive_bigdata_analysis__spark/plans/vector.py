@@ -190,7 +190,16 @@ def embedding_dim_moments(spark, sf_dir):
     return m.select(
         F.col("pos").cast("long").alias("pos"),
         (F.floor((sx / n) * 1e6) / 1e6).alias("dim_mean"),
-        (F.floor(((sxx - sx * sx / n) / (n - F.lit(1.0))) * 1e6) / 1e6).alias("dim_var"),
+        # try_divide: a one-vector corpus makes the sample-variance
+        # denominator 0; DuckDB returns NULL, ANSI `/` would crash
+        # (r12 single-row audit). n itself is never 0 (posexplode
+        # yields no rows for an empty corpus).
+        (
+            F.floor(
+                F.try_divide(sxx - sx * sx / n, n - F.lit(1.0)) * 1e6
+            )
+            / 1e6
+        ).alias("dim_var"),
     ).orderBy("pos")
 
 

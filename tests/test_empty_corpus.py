@@ -4,7 +4,7 @@ matches nothing, a fresh partition, a dry incremental batch, a source
 whose optional columns went dark — and a plan that CRASHES there is a
 production bug the populated-corpus oracle gate cannot see.
 
-Two audits ran all 234 registered plans:
+Three audits ran all 234 registered plans:
 
 - EMPTY corpus (schema-correct, zero rows): 232 survived; fixed and
   pinned here: exact_quantile_disc raised on empty instead of
@@ -17,9 +17,16 @@ Two audits ran all 234 registered plans:
   zero denominators are reachable on ordinary skewed data, not just
   the audit corpus) — and NULL_MAP_KEY in the Presto map_agg rewrite,
   which now drops null keys like Presto's own accumulator does.
+- SINGLE-ROW corpus (limit(1) of every table): 228 survived; fixed
+  and pinned here: six more ANSI DIVIDE_BY_ZERO crashes in the n=1 /
+  constant-column statistics (OLS slope denominator shared by all
+  four forecast plans; sample-variance n-1 divisors in
+  corr_stats_lineitem, embedding_dim_moments, sigma_clip_outliers,
+  zscore_order_prices; the z-score's sd=0 constant-column case) —
+  all now try_divide, degrading to the same NULLs DuckDB computes.
 
 A representative cross-family subset stays under regression so new
-plan shapes keep both properties.
+plan shapes keep all three properties.
 """
 
 from __future__ import annotations
@@ -169,3 +176,43 @@ def test_map_agg_drops_null_keys_like_presto(spark, null_dir):
     # produce empty maps (NULL keys skipped), not NULL_MAP_KEY.
     rows = plans.QUERIES["sql_presto_map_compat"](spark, null_dir).collect()
     assert rows and all(r["n_nations"] == 0 for r in rows)
+
+
+@pytest.fixture(scope="session")
+def one_dir(spark, sf_dir, tmp_path_factory):
+    """limit(1) of every table — the n=1 statistics edge."""
+    out = str(tmp_path_factory.mktemp("one_sf"))
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+# The six r12 single-row catches (the forecast pair covers the shared
+# _slope_intercept OLS denominator for all four forecast plans).
+ONE_ROW_REPRESENTATIVES = [
+    "corr_stats_lineitem",
+    "embedding_dim_moments",
+    "linear_forecast",
+    "seasonal_forecast",
+    "sigma_clip_outliers",
+    "zscore_order_prices",
+]
+
+
+@pytest.mark.parametrize("name", ONE_ROW_REPRESENTATIVES)
+def test_plan_survives_single_row_corpus(spark, one_dir, name):
+    rows = plans.QUERIES[name](spark, one_dir).collect()
+    assert isinstance(rows, list)
+
+
+def test_n1_statistics_degrade_to_oracle_nulls(spark, one_dir):
+    """At n=1 the sample variance and correlation are undefined: the
+    fixed plans must produce the oracle's NULLs, never fabricated
+    numbers, while exact counts stay correct."""
+    r = plans.QUERIES["corr_stats_lineitem"](spark, one_dir).collect()[0]
+    assert r["n"] == 1
+    assert r["corr_qty_price"] is None and r["stddev_price"] is None
+    z = plans.QUERIES["zscore_order_prices"](spark, one_dir).collect()[0]
+    assert z["n"] == 1 and z["mean_z"] is None
