@@ -37,7 +37,14 @@ def token_count(col) -> Column:
 
 
 def tokens(col) -> Column:
-    """Whitespace token array (lowercased)."""
+    """Whitespace token array (lowercased).
+
+    Cross-engine seam (r12, tests/test_engine_seams.py): ``lower`` here
+    is the JVM's FULL Unicode case mapping — Turkish İ (U+0130) becomes
+    "i"+U+0307 and word-final Greek Σ becomes ς — while DuckDB's
+    ``lower`` simple-maps both (plain "i", always σ). Oracles that hash
+    or length-count lowered text therefore hold on text without those
+    code points; the JVM behavior is the behavior of record."""
     return F.split(F.trim(F.lower(_c(col))), r"\s+")
 
 

@@ -269,9 +269,21 @@ def exact_substr_scrub(docs: DataFrame, id_col: str, text_col: str,
     )
     # NULL text stays NULL (missing != fully-duplicated, whose scrub IS
     # ''); without the guard concat_ws would collapse NULL to '' too.
+    # A doc with NO spans passes through VERBATIM (the __spans.isNull
+    # branch): rebuilding it from tokens would silently normalize its
+    # whitespace — and worse, a whitespace-only-but-not-space text
+    # ("\t\n": Spark's space-only trim keeps it, so the \s+ split
+    # yields empty-string tokens) would rebuild to a strictly smaller
+    # token count, making the scrub census disagree with the span
+    # arithmetic its oracle computes (r12 torture-corpus audit). At
+    # 100 TB the verbatim branch is also the cheap path: the
+    # overwhelming majority of docs carry no spans and skip the
+    # split/filter/rejoin entirely.
     scrubbed = F.when(
         F.col(text_col).isNull(), F.lit(None).cast("string")
-    ).when(F.length(F.trim(text_col)) == 0, F.lit("")).otherwise(
+    ).when(F.col("__spans").isNull(), F.col(text_col)).when(
+        F.length(F.trim(text_col)) == 0, F.lit("")
+    ).otherwise(
         F.concat_ws(
             " ",
             F.transform(kept, lambda i: F.element_at(orig, i)),

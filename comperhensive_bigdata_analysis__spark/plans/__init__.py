@@ -7,6 +7,24 @@ hash-compares values, so every computed column is aliased identically on
 both sides, and aggregates over doubles go through decimal casts so the
 sums are EXACT (order-insensitive) and bit-identical across engines.
 
+Two documented DOMAIN limits of that contract (r12 torture-corpus
+audit, tests/test_engine_seams.py):
+
+- The decimal-exact casts bound the value domain: DECIMAL(18,6) holds
+  |x| < 1e12, and a poisoned value like 1e308 makes BOTH engines raise
+  (Spark NUMERIC_VALUE_OUT_OF_RANGE, DuckDB Conversion Error) — an
+  agreed, loud error, never silent divergence. Pipelines carrying
+  unbounded magnitudes must range-filter before these aggregates.
+- Unicode case mapping differs BETWEEN the engines on two code-point
+  families: Turkish İ (U+0130) lowercases to "i"+U+0307 under the
+  JVM's full Unicode mapping but to plain "i" under DuckDB's simple
+  mapping, and word-final Greek Σ becomes ς on the JVM (context-
+  sensitive) but σ in DuckDB. Plans whose values pass lowered text
+  through hashes or length counts (simhash, quality scores) diverge
+  from their oracles on text containing those code points; the Spark
+  side implements the fuller Unicode semantics and is the behavior of
+  record.
+
 Import side effect: importing this package registers all plans.
 """
 

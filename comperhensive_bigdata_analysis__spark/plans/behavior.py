@@ -571,7 +571,7 @@ _PATH_ORACLE = """
     )
     SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
     FROM seq
-    WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+    WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
     GROUP BY 1
     ORDER BY n DESC, path
     LIMIT 20
@@ -593,8 +593,16 @@ def top_event_paths(spark, sf_dir):
         F.lag("event_type", 1).over(w).alias("e2"),
         F.col("event_type").alias("e3"),
     )
+    # all THREE steps must be known: a NULL event_type inside a trigram
+    # must drop the trigram on both engines — concat_ws silently SKIPS
+    # a NULL segment (yielding a 2-step path) while the oracle's ||
+    # propagates NULL into a NULL path group (r12 torture-corpus audit)
     return (
-        seq.filter(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+        seq.filter(
+            F.col("e1").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -97,7 +97,8 @@ def pivot_daily_values(spark, sf_dir):
 
 _ARGMAX_ORACLE = """
     SELECT user_id,
-           arg_max(event_id, value) AS top_event_id,
+           MAX(CASE WHEN value IS NOT NULL
+                    THEN {'v': value, 'e': event_id} END).e AS top_event_id,
            MAX(value) AS top_value
     FROM events
     GROUP BY user_id
@@ -107,15 +108,26 @@ _ARGMAX_ORACLE = """
 
 @plan("argmax_event_per_user", _ARGMAX_ORACLE)
 def argmax_event_per_user(spark, sf_dir):
-    """max_by/arg_max parity. Ties on value are broken identically in
-    both engines only if the (user_id, value) pair is unique — the
-    synthetic corpus's continuous values make collisions measure-zero;
-    a production plan would add an explicit tiebreak struct."""
+    """Deterministic argmax: MAX over a (value, event_id) struct, so a
+    VALUE TIE breaks on the highest event_id identically in both
+    engines — bare max_by/arg_max leave tie order engine- and
+    partition-dependent (measured diverging on a tied corpus, r12
+    torture audit; the old docstring's 'production plans would add a
+    tiebreak struct' is now this plan). The CASE/when keeps
+    arg_max's NULL semantics: rows with NULL value never win, and an
+    all-NULL user yields NULL. Struct comparison is field-lexicographic
+    in both engines; both order NaN above every double."""
     e = load_table(spark, sf_dir, "events")
+    best = F.max(
+        F.when(
+            F.col("value").isNotNull(),
+            F.struct(F.col("value").alias("v"), F.col("event_id").alias("e")),
+        )
+    )
     return (
         e.groupBy("user_id")
         .agg(
-            F.expr("max_by(event_id, value)").alias("top_event_id"),
+            best.getField("e").alias("top_event_id"),
             F.max("value").alias("top_value"),
         )
         .orderBy("user_id")

@@ -190,9 +190,14 @@ _SCRUB_ORACLE = rf"""
     scrubbed AS (
       SELECT doc_id,
              len(list_filter(t, x -> x IN ('a', 'the'))) AS n_stopwords,
-             array_to_string(
+             -- COALESCE: DuckDB's array_to_string([]) is NULL while
+             -- Spark's array_join([]) is '' — the intended semantic
+             -- for a fully-scrubbed doc is the empty string (same
+             -- contract as exact_substr_scrub), so the oracle states
+             -- it explicitly (r12 torture-corpus audit)
+             COALESCE(array_to_string(
                list_filter(t, x -> len(x) > 0 AND x NOT IN ('a', 'the')),
-               ' ') AS clean
+               ' '), '') AS clean
       FROM toks
     )
     SELECT doc_id, n_stopwords, length(clean) AS clean_chars,

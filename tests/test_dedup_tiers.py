@@ -209,6 +209,30 @@ def test_exact_substr_scrub_removes_planted_spans(spark, tmp_path):
     assert got[6] is None
 
 
+def test_exact_substr_scrub_spanless_docs_verbatim(spark):
+    """A doc with no duplicated span must come back BYTE-verbatim, not
+    whitespace-normalized: rebuilding span-less docs from tokens made a
+    whitespace-only-but-not-space text ("\\t\\n": space-only trim keeps
+    it, \\s+ split yields empty-string tokens) lose token count, so the
+    scrub census disagreed with its oracle's span arithmetic (r12
+    torture-corpus audit)."""
+    from comperhensive_bigdata_analysis__spark.operators.curation import (
+        exact_substr_scrub,
+    )
+
+    rows = [
+        (1, "oddly   spaced    unique text"),
+        (2, "\t\n  \t"),
+        (3, "tab\tseparated\tunique\twords"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_scrubbed"]
+        for r in exact_substr_scrub(docs, "doc_id", "text").collect()
+    }
+    assert got == {k: t for k, t in rows}
+
+
 def test_semdedup_salt_union_matches_recall_flags(spark, sf_dir):
     """The production 2-salt edge union (semdedup_dup_edges) must find
     exactly the truth pairs the recall plan flags as covered — and the
