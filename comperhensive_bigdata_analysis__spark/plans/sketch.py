@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from . import plan
@@ -108,27 +109,34 @@ _ARGMAX_ORACLE = """
 
 @plan("argmax_event_per_user", _ARGMAX_ORACLE)
 def argmax_event_per_user(spark, sf_dir):
-    """Deterministic argmax: MAX over a (value, event_id) struct, so a
-    VALUE TIE breaks on the highest event_id identically in both
-    engines — bare max_by/arg_max leave tie order engine- and
-    partition-dependent (measured diverging on a tied corpus, r12
-    torture audit; the old docstring's 'production plans would add a
-    tiebreak struct' is now this plan). The CASE/when keeps
-    arg_max's NULL semantics: rows with NULL value never win, and an
-    all-NULL user yields NULL. Struct comparison is field-lexicographic
-    in both engines; both order NaN above every double."""
+    """Deterministic argmax: top-1 row per user under the total order
+    (value DESC NULLS LAST, event_id DESC), so a VALUE TIE breaks on
+    the highest event_id identically in both engines — bare
+    max_by/arg_max leave tie order engine- and partition-dependent
+    (measured diverging on a tied corpus, r12 torture audit; the old
+    docstring's 'production plans would add a tiebreak struct' is now
+    this plan). Shape note: a MAX over a (value, event_id) struct
+    states the same thing in one aggregate, but a struct buffer can't
+    hash-aggregate and compiles to a keyed SortAggregate — the
+    per-partition sort the plan-shape suite forbids at 100 TB; the
+    rank-filtered window keeps WindowGroupLimit's map-side prune (the
+    r10 triage rule), so the hot user's reducer stays bounded. The
+    NULLS LAST order plus the when() keeps arg_max's NULL semantics:
+    a NULL value never wins, an all-NULL user yields a NULL argmax.
+    Both engines order NaN above every double."""
     e = load_table(spark, sf_dir, "events")
-    best = F.max(
-        F.when(
-            F.col("value").isNotNull(),
-            F.struct(F.col("value").alias("v"), F.col("event_id").alias("e")),
-        )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id").desc()
     )
     return (
-        e.groupBy("user_id")
-        .agg(
-            best.getField("e").alias("top_event_id"),
-            F.max("value").alias("top_value"),
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("value").isNotNull(), F.col("event_id")).alias(
+                "top_event_id"
+            ),
+            F.col("value").alias("top_value"),
         )
         .orderBy("user_id")
     )
