@@ -37,7 +37,16 @@ def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Tumbling-window event counts per type, late data bounded by the
-    watermark. State per (window, event_type) only."""
+    watermark. State per (window, event_type) only.
+
+    NULL-event-time contract (r12, tests/test_streaming_degenerate.py,
+    applies to every windowed op in this module): rows with a NULL
+    ``ts`` are EXCLUDED from windowed aggregates — Spark's window()
+    is generator-shaped and produces no bucket for a NULL input, in
+    batch and streaming alike (NULL grouping KEYS like event_type
+    group normally). A census that must account for every row counts
+    NULL-ts rows separately before windowing; ``streaming_dedup``
+    retains them (dropDuplicates needs no event time)."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
