@@ -11,9 +11,10 @@ data the populated oracle corpus never exercises"):
   dup     every row tripled (primary keys violated upstream)
 
 r12 results: empty 232/234 (2 fixed), null 230/234 (4 fixed), one
-228/234 (6 fixed), dup 234/234. All 12 fixes are pinned with their
-NULL-semantics contracts in tests/test_empty_corpus.py; this tool
-exists to re-audit the WHOLE catalog when new plans land.
+228/234 (6 fixed), dup 234/234 — and all four shapes re-audited
+234/234 at the round's final HEAD. The 12 fixes are pinned with
+their NULL-semantics contracts in tests/test_empty_corpus.py; this
+tool exists to re-audit the WHOLE catalog when new plans land.
 
 Usage: python tools/degenerate_audit.py [empty|null|one|dup ...]
        (default: all four; env SPARK_GRAFT_SF_DIR, default sf0.001)
