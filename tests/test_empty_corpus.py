@@ -143,6 +143,9 @@ NULL_REPRESENTATIVES = [
     "price_drift_buckets",
     "woe_priority_returns",
     "sql_presto_map_compat",
+    # r12 adversarial-values fixes with NULL-sensitive semantics:
+    "argmax_event_per_user",
+    "top_event_paths",
     "pricing_summary",
     "corpus_clean_pipeline",
     "exact_substr_spans",
