@@ -52,17 +52,20 @@ def _roundtrip(spark, sf_dir, fmt: str):
     # An EMPTY source writes a dataset with zero data rows, leaving
     # schema inference nothing to read — depending on the layout Spark
     # either raises UNABLE_TO_INFER_SCHEMA or returns a zero-column
-    # relation whose projection would fail later. Fall back to the
-    # writer's schema so the roundtrip degrades to the oracle's
-    # empty-input answer instead of crashing. A populated-but-corrupt
-    # dataset is unaffected: it still infers its columns, and the hash
-    # check catches the corruption.
+    # relation whose projection would fail later. Retry with the
+    # writer's own schema so the roundtrip degrades to the oracle's
+    # empty-input answer instead of crashing; a read the explicit
+    # schema ALSO can't satisfy (path gone, files unreadable) is a
+    # genuine failure and propagates instead of masquerading as
+    # n_docs=0. A populated-but-corrupt dataset is unaffected: it
+    # still infers its columns, and the hash check catches the
+    # corruption.
     try:
         back = read_table(spark, out, fmt)
+        if not {"doc_id", "lang", "text"} <= set(back.columns):
+            back = read_table(spark, out, fmt, schema=d.schema)
     except AnalysisException:
-        back = None
-    if back is None or not {"doc_id", "lang", "text"} <= set(back.columns):
-        back = spark.createDataFrame([], d.schema)
+        back = read_table(spark, out, fmt, schema=d.schema)
     if fmt == "json":
         # JSONL carries no schema; inference reads doc_id as long and
         # keeps strings — pin the projection order and types explicitly

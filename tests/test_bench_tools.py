@@ -112,3 +112,14 @@ def test_verdict_matches_neither():
 def test_verdict_missing_committed_ratio_is_not_a_match():
     v = _v(3.0, None, None, 1.0, None)
     assert "neither" in v
+
+
+def test_verdict_no_old_absolute_is_insufficient_baseline():
+    # the FLAGged row is absent from the old artifact: a ratio match to
+    # the new round must NOT escalate to "REAL regression" when there
+    # is no baseline absolute to corroborate it (r12 ADVICE #2), and
+    # the message must not interpolate None
+    v = _v(7.2, None, 7.55, 2.49, None)
+    assert "insufficient" in v
+    assert "REAL" not in v
+    assert "None" not in v

@@ -121,6 +121,16 @@ def _verdict(
             "new committed absolute was environment — exonerated"
         )
     if len(matches) == 1:
+        if old_abs is None:
+            # the FLAGged row is absent from the old artifact: there is
+            # no baseline absolute to corroborate a regression, so a
+            # "REAL change at HEAD" verdict cannot stand (r12 ADVICE #2)
+            return (
+                f"live ratio matches {matches[0]} but {old_art} carries "
+                f"no committed median for this plan — insufficient "
+                f"baseline for a regression verdict; report the live "
+                f"ratio ({live_ratio:.3f}) as the number of record"
+            )
         if abs_ok:
             return (
                 f"live ratio matches {matches[0]} but the live ABSOLUTE "

@@ -169,11 +169,18 @@ def build_section(old_name: str, new_name: str) -> str:
                 for n, vetted in ((old_name, vetted_old), (new_name, vetted_new))
                 if not vetted
             ]
-            why_old = why_old or (
+            band_fail = (
                 f"cal ratio {ratio:.3f} outside [{lo}, {hi}] with "
                 f"un-vetted legacy stamp(s) ({', '.join(legacy)} lack "
                 f"calibration_mad_sec)"
             )
+            # attribute the failure to the artifact(s) whose stamp is
+            # actually un-vetted, not unconditionally to the old one
+            # (r12 ADVICE #3)
+            if not vetted_old:
+                why_old = why_old or band_fail
+            if not vetted_new:
+                why_new = why_new or band_fail
     if normalized:
         cal_ratio = cal_new / cal_old
         vet_note = (
@@ -189,9 +196,16 @@ def build_section(old_name: str, new_name: str) -> str:
         )
     else:
         cal_ratio = 1.0
-        reasons = "; ".join(
-            f"{n}: {w}" for n, w in ((old_name, why_old), (new_name, why_new)) if w
-        )
+        if why_old and why_old == why_new:
+            # one shared failure (e.g. the band check when both stamps
+            # are legacy) — the message already names the artifacts
+            reasons = why_old
+        else:
+            reasons = "; ".join(
+                f"{n}: {w}"
+                for n, w in ((old_name, why_old), (new_name, why_new))
+                if w
+            )
         cal_note = f"Deltas are RAW — normalization unavailable ({reasons})."
     deltas = {
         q: (new[q] / cal_ratio - old[q]) / old[q] * 100

@@ -214,6 +214,18 @@ def main() -> None:
 
     all_names = list(_plans.QUERIES)
     if args.plans:
+        # Validate the whole subset BEFORE spinning up Spark: a typo'd
+        # name used to KeyError mid-sweep and lose the partial run
+        # (r12 verdict ask #6). Reject up front with close matches.
+        unknown = [n for n in args.plans if n not in _plans.QUERIES]
+        if unknown:
+            import difflib
+
+            for n in unknown:
+                close = difflib.get_close_matches(n, all_names, n=3, cutoff=0.5)
+                hint = f" — did you mean: {', '.join(close)}?" if close else ""
+                print(f"unknown plan {n!r}{hint}", file=sys.stderr)
+            sys.exit(2)
         only = args.plans
     elif args.chunk is not None:
         per = -(-len(all_names) // args.of)
