@@ -363,11 +363,12 @@ def hash_embed_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _INT8_QUANT_ORACLE = """
-    WITH v AS (
+    WITH v0 AS (
       SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
              generate_subscripts(embedding, 1) AS pos
       FROM embeddings
     ),
+    v AS (SELECT * FROM v0 WHERE isfinite(x)),
     sc AS (SELECT pos, MAX(ABS(x)) / 127.0 AS s FROM v GROUP BY pos),
     e AS (
       SELECT v.pos,
@@ -389,30 +390,44 @@ _INT8_QUANT_ORACLE = """
 def int8_quant_error_census(spark, sf_dir):
     """Per-dimension int8 quantization error (see section comment)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # 1-based component index to match SQL array subscript convention
-    v = _exploded(emb).select(
-        (F.col("pos") + 1).cast("long").alias("pos"), "x"
+    # 1-based component index to match SQL array subscript convention.
+    # Non-finite components are EXCLUDED in both engines (oracle:
+    # isfinite): a single NaN would otherwise poison the dimension's
+    # max-abs scale — Spark orders NaN above every double — and turn
+    # the whole census row into noise; a census over the finite
+    # components is the number a quantization decision actually needs.
+    v = (
+        _exploded(emb)
+        .select((F.col("pos") + 1).cast("long").alias("pos"), "x")
+        .filter(~F.isnan("x") & (F.abs("x") < float("inf")))
     )
     sc = v.groupBy("pos").agg((F.max(F.abs("x")) / 127.0).alias("s"))
     err = F.when(F.col("s") == 0, F.col("x")).otherwise(
         F.col("x") - F.floor(F.col("x") / F.col("s") + 0.5) * F.col("s")
     )
     e = v.join(F.broadcast(sc), "pos").select("pos", "s", err.alias("err"))
+    def trunc(col, k):
+        # floor-to-k-decimals that survives huge doubles: Spark's
+        # floor(DOUBLE) returns BIGINT and clamps ~2.4e36 to Long.MAX
+        # (torture-corpus finding) where DuckDB's floor stays double.
+        # x - x % 1 is IEEE remainder in both engines: equal to floor
+        # for these non-negative values, and an exact passthrough once
+        # the double has no fractional part.
+        v = col * k
+        return (v - v % F.lit(1.0)) / k
+
     return (
         e.groupBy("pos")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            (F.floor(F.first("s") * 1e6) / 1e6).alias("scale"),
-            (
-                F.floor(
-                    F.sum((F.col("err") * F.col("err")).cast(PDEC))
-                    .cast("double")
-                    / F.count(F.lit(1))
-                    * 1e12
-                )
-                / 1e12
+            trunc(F.first("s"), 1e6).alias("scale"),
+            trunc(
+                F.sum((F.col("err") * F.col("err")).cast(PDEC))
+                .cast("double")
+                / F.count(F.lit(1)),
+                1e12,
             ).alias("mse"),
-            (F.floor(F.max(F.abs("err")) * 1e6) / 1e6).alias("max_abs_err"),
+            trunc(F.max(F.abs("err")), 1e6).alias("max_abs_err"),
         )
         .orderBy("pos")
     )

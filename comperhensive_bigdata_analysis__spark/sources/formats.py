@@ -34,6 +34,16 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> No
     w = df.write.mode("overwrite").format(fmt)
     if fmt == "csv":
         w = w.option("header", "true")
+        # NULL must stay distinguishable from '' through a roundtrip:
+        # the default writes both as an empty field. The Hive-style \N
+        # sentinel keeps NULL explicit; read_table reverses it.
+        w = w.option("nullValue", "\\N")
+        # Spark's CSV WRITER (unlike its reader) defaults to Java-trim
+        # on every field, stripping leading/trailing chars <= U+0020 —
+        # spaces, tabs, \x01-style control bytes (torture-corpus
+        # finding). Emit fields verbatim.
+        w = w.option("ignoreLeadingWhiteSpace", "false")
+        w = w.option("ignoreTrailingWhiteSpace", "false")
     for k, v in options.items():
         w = w.option(k, v)
     w.save(path)
@@ -51,6 +61,22 @@ def read_table(
         # header consumption is independent of schema source — without
         # this, an explicit-schema read parses the header line as a row
         r = r.option("header", "true")
+        # the writer quotes embedded newlines (RFC 4180); without
+        # multiLine the reader treats every physical line as a record
+        # and a quoted field spanning lines misparses into the wrong
+        # columns (caught by the torture corpus: 'line\nbreak\ttab'
+        # put 'break\ttab' in doc_id). Scale note: multiLine parses
+        # whole files, sacrificing intra-file split parallelism — fine
+        # for CSV's role here as an edge interchange format; bulk
+        # splittable ingestion that guarantees newline-free fields can
+        # override with multiLine="false" via **options.
+        r = r.option("multiLine", "true")
+        # lossless text fields (torture-corpus findings): the default
+        # nullValue conflates '' with NULL (the writer's \N sentinel
+        # reverses it); maxCharsPerColumn bounds giant single tokens.
+        r = r.option("nullValue", "\\N")
+        r = r.option("emptyValue", "")
+        r = r.option("maxCharsPerColumn", "-1")
     if schema is not None:
         r = r.schema(schema)
     elif fmt == "csv":
