@@ -2,7 +2,10 @@
 adjudication, BENCH_NOTES '## Adjudication r10 vs r11').
 
 q24_dsir_weights and q25_exact_substr carry re-based bands (q24 warm
-1.9-2.6s / ratio 6.6±0.5 vs q7; q25 warm 0.75-1.05s / ratio ~2.9)
+1.8-2.6s / ratio 6.6±0.5 vs q7; q25 warm 0.70-1.05s / ratio ~2.9 —
+both floors widened to cover measured favorable phases: q25 in
+7eebd1f after the r12 end-bench 0.730, q24 in round 13 after the
+committed r10 1.851 / r12 1.844)
 whose enforcement clause is "outside that, profile again". This tool
 IS that profile, committed so the re-check is one command instead of
 an ephemeral script:
