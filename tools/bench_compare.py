@@ -255,6 +255,14 @@ def build_section(old_name: str, new_name: str) -> str:
             verdict = "band"
         else:
             verdict = "**FLAG**"
+            # triage hint (r13): a FLAG whose RAW delta is inside the
+            # trigger is the stamp pricing a host-state move the plan
+            # didn't share — 4 of the 5 r11-vs-r12 FLAGs were this
+            # shape and all adjudicated to exoneration. Say so in the
+            # table so the adjudicator starts from the likely verdict.
+            raw_d = (new[q] - old[q]) / old[q] * 100
+            if normalized and abs(raw_d) <= FLAG_PCT:
+                verdict = f"**FLAG** (norm-only; raw {raw_d:+.1f}%)"
             flags.append(q)
         lines.append(
             f"| {q} | {old[q]:.3f} | {new[q]:.3f} | {d:+.1f}% | {verdict} |"
