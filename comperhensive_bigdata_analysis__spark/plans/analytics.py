@@ -661,6 +661,9 @@ _GRAIN_MAU_ORACLE = """
            COUNT(*) AS n_events
     FROM e2
     GROUP BY GROUPING SETS ((event_type), (month), ())
+    -- Spark omits the ()-grouping-set row on EMPTY input (engine seam,
+    -- test_engine_seams.py); real groups always have >= 1 row
+    HAVING COUNT(*) > 0
     ORDER BY etype, month
 """
 

@@ -35,22 +35,36 @@ def _dec(c):
 
 def disc_price_sum(price_col: str, disc_col: str, alias: str):
     """Exact SUM(price * (1 - discount)) as double — the decimal widths
-    keep both Spark and DuckDB on integer (decimal) arithmetic."""
+    keep both Spark and DuckDB on integer (decimal) arithmetic. The
+    final conversion hops through STRING: DuckDB's direct
+    decimal->double cast DOUBLE-ROUNDS once the unscaled value exceeds
+    2^53 (hugeint->double rounds, then the scale division rounds
+    again) where Spark/Java round correctly — decimal->string is exact
+    and string->double correctly rounded in BOTH engines at any
+    magnitude (engine seam 4, test_engine_seams.py; found by the r13
+    dup-corpus value sweep at 3x sums, and the guard that matters at
+    100 TB where sums always exceed 2^53)."""
     prod = F.col(price_col).cast(PRICE_DEC) * (
         F.lit(1).cast(RATE_DEC) - F.col(disc_col).cast(RATE_DEC)
     )
-    return F.sum(prod).cast("double").alias(alias)
+    return F.sum(prod).cast("string").cast("double").alias(alias)
 
 
-#: The oracle-side spelling of disc_price_sum.
+#: The oracle-side spelling of disc_price_sum (via-string: seam 4).
 DISC_PRICE_SQL = (
-    "CAST(SUM(CAST({p} AS DECIMAL(12,4))"
-    " * (CAST(1 AS DECIMAL(6,4)) - CAST({d} AS DECIMAL(6,4)))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST({p} AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(6,4)) - CAST({d} AS DECIMAL(6,4)))) AS VARCHAR)"
+    " AS DOUBLE)"
 )
 
 
 def _dsum(c, alias):
-    """Exact sum of a double column, returned as double."""
+    """Exact sum of a double column, returned as double. Plain cast on
+    BOTH sides (the paired oracles spell CAST(SUM(...) AS DOUBLE)):
+    symmetric, and the DECIMAL(18,6) sums stay under the 2^53 unscaled
+    bound in every gate corpus, so seam 4 can't bite here — the
+    via-string hop is reserved for the scale-8 revenue products whose
+    dup-corpus sums already cross it (see disc_price_sum)."""
     return F.sum(_dec(c)).cast("double").alias(alias)
 
 
@@ -106,8 +120,15 @@ def pricing_summary(spark, sf_dir):
     "revenue_by_nation",
     """
     SELECT n_name AS nation,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+           -- decimal -> VARCHAR -> DOUBLE, not a direct double cast:
+           -- DuckDB double-rounds decimal->double once the unscaled
+           -- value exceeds 2^53 (hugeint->double rounds, then the
+           -- scale division rounds again) where Spark/Java round
+           -- correctly; the string hop is exact then correctly
+           -- rounded in BOTH engines at any magnitude (engine seam 4,
+           -- test_engine_seams.py)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE)
                AS revenue,
            COUNT(*) AS n_items
     FROM customer
@@ -146,7 +167,9 @@ def revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum("__rev_dec").cast("double").alias("revenue"),
+            # via-string: exact then correctly rounded in both engines
+            # (seam 4 — DuckDB decimal->double double-rounds past 2^53)
+            F.sum("__rev_dec").cast("string").cast("double").alias("revenue"),
             F.sum("__items").alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), "nation")
@@ -379,6 +402,11 @@ def window_top_orders(spark, sf_dir):
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- engine contract (r13, pinned in test_engine_seams.py): Spark
+    -- omits the ()-grouping-set row on EMPTY input where ANSI/DuckDB
+    -- emit one zero-count row; every real group has >= 1 row, so this
+    -- HAVING drops exactly that row and nothing else
+    HAVING COUNT(*) > 0
     ORDER BY returnflag, linestatus
     """,
 )
@@ -721,7 +749,13 @@ def orders_profile(spark, sf_dir):
     def render(col, typ, agg):
         inner = agg(F.col(col))
         if typ == "double":
-            return F.format_string("%.6f", inner)
+            # format_string is Java printf: a NULL aggregate (empty or
+            # all-NULL column) renders as the 4-char STRING 'null'
+            # where DuckDB's printf yields SQL NULL — guard it (the
+            # duplicated agg expression dedups in the aggregate)
+            return F.when(
+                inner.isNull(), F.lit(None).cast("string")
+            ).otherwise(F.format_string("%.6f", inner))
         if typ == "timestamp":
             return F.date_format(inner, "yyyy-MM-dd HH:mm:ss")
         return inner.cast("string")
@@ -894,9 +928,11 @@ _TRADE_ORACLE = """
     SELECT cn.n_name AS cust_nation,
            sn.n_name AS supp_nation,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           -- via-string cast: seam 4 (DuckDB decimal->double
+           -- double-rounds past 2^53), see revenue_by_nation
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
                     * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
-                AS DOUBLE) AS revenue
+                AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -934,7 +970,9 @@ def nation_trade_matrix(spark, sf_dir):
         .groupBy("cust_nation", "supp_nation")
         .agg(
             F.sum("__lines").alias("n_lines"),
-            F.sum("__rev_dec").cast("double").alias("revenue"),
+            # via-string: exact then correctly rounded in both engines
+            # (seam 4 — DuckDB decimal->double double-rounds past 2^53)
+            F.sum("__rev_dec").cast("string").cast("double").alias("revenue"),
         )
         .orderBy("cust_nation", "supp_nation")
     )
@@ -1671,7 +1709,9 @@ def returned_item_ranking(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
-        .agg(F.sum("__rev_dec").cast("double").alias("revenue"))
+        # via-string: exact then correctly rounded in both engines
+        # (seam 4 — DuckDB decimal->double double-rounds past 2^53)
+        .agg(F.sum("__rev_dec").cast("string").cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)

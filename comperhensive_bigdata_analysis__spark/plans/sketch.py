@@ -548,7 +548,11 @@ def hll_mergeable_distinct_tol(spark, sf_dir):
         F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
     )
     merged_sk = per_type.agg(
-        F.sum("n_events").alias("n_events"),
+        # SUM over zero per-type partials (empty corpus) is NULL where
+        # the oracle's COUNT(*) is 0 — state the 0 explicitly
+        F.coalesce(F.sum("n_events"), F.lit(0).cast("long")).alias(
+            "n_events"
+        ),
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
         .cast("bigint")
         .alias("approx_users"),
@@ -600,13 +604,21 @@ def approx_percentile_calibration_tol(spark, sf_dir):
         ).alias("approx"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    # On an EMPTY corpus both percentile aggregates return NULL (not an
+    # empty array): arrays_zip(literal, NULL, NULL) is NULL and
+    # explode(NULL) emits nothing, silently dropping the report's three
+    # rows where the oracle keeps them. Coalesce each to an
+    # all-NULL-element array so the calibration report always has one
+    # row per quantile, vacuously within tolerance when there is
+    # nothing to measure (the oracle's constant 1).
+    null_arr = F.array(*[F.lit(None).cast("double") for _ in ps])
     pairs = agg.select(
         "n_orders",
         F.explode(
             F.arrays_zip(
                 F.array(*[F.lit(int(p * 100)) for p in ps]).alias("p_pct"),
-                F.col("exact").alias("exact"),
-                F.col("approx").alias("approx"),
+                F.coalesce(F.col("exact"), null_arr).alias("exact"),
+                F.coalesce(F.col("approx"), null_arr).alias("approx"),
             )
         ).alias("z"),
     )
@@ -616,7 +628,7 @@ def approx_percentile_calibration_tol(spark, sf_dir):
     return pairs.select(
         F.col("z.p_pct").cast("bigint").alias("p_pct"),
         "n_orders",
-        ok.cast("bigint").alias("within_tol"),
+        F.coalesce(ok, F.lit(True)).cast("bigint").alias("within_tol"),
     ).orderBy("p_pct")
 
 

@@ -416,6 +416,9 @@ _GSETS_ORACLE = """
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    -- Spark omits the ()-grouping-set row on EMPTY input (engine seam,
+    -- test_engine_seams.py); real groups always have >= 1 row
+    HAVING COUNT(*) > 0
     ORDER BY rflag, lstatus
 """
 
@@ -809,8 +812,13 @@ def sigma_clip_outliers(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((x > hi).cast("bigint")).alias("n_high"),
-            F.sum((x < lo).cast("bigint")).alias("n_low"),
+            # CASE-shaped, not a bool cast: when the fences are NULL
+            # (n=1 corpus) or the value is NULL (dark column), the
+            # comparison is NULL and a cast would propagate it into
+            # the SUM — the oracle's CASE counts 0 (r13 one/null-corpus
+            # value sweep)
+            F.sum(F.when(x > hi, F.lit(1)).otherwise(F.lit(0))).alias("n_high"),
+            F.sum(F.when(x < lo, F.lit(1)).otherwise(F.lit(0))).alias("n_low"),
             F.sum(F.when(x.between(lo, hi), x.cast(DEC)).otherwise(F.lit(0).cast(DEC)))
             .cast("double")
             .alias("inlier_revenue"),

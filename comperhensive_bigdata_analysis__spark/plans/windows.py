@@ -247,6 +247,9 @@ _CUBE_ORACLE = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- Spark omits the ()-grouping-set row on EMPTY input (engine seam,
+    -- test_engine_seams.py); real groups always have >= 1 row
+    HAVING COUNT(*) > 0
     ORDER BY status, priority
 """
 

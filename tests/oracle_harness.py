@@ -27,9 +27,13 @@ TABLES = (
 def duck_con(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t)}.parquet'"
-        )
+        path = f"{os.path.join(sf_dir, t)}.parquet"
+        # Spark writes a table as a DIRECTORY of part files (the
+        # degenerate/torture corpora); the driver testdata is single
+        # files. DuckDB needs the glob spelled for the dir case.
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

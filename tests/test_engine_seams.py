@@ -63,3 +63,75 @@ def test_duckdb_double_divide_by_zero_is_null_like_try_divide(spark):
         F.try_divide(F.lit(0.0), F.lit(0.0)).alias("b"),
     ).first()
     assert r["a"] is None and r["b"] is None
+
+
+# --- seam 3: grouping sets on EMPTY input (r13 empty-value sweep) ----
+
+
+def test_spark_grouping_sets_omit_grand_total_row_on_empty(spark):
+    """ANSI (and DuckDB) emit ONE zero-count row for the () grouping
+    set over empty input; Spark emits NOTHING, in every spelling
+    (DataFrame rollup/cube and SQL GROUPING SETS) — because grouping
+    sets compile to Expand + a KEYED aggregate on the grouping id, and
+    a keyed aggregate over no rows has no groups. The grouping-sets
+    oracles state this engine contract with HAVING COUNT(*) > 0,
+    which drops exactly that row (every real group has >= 1 row)."""
+    e = spark.createDataFrame([], "a string, x long")
+    e.createOrReplaceTempView("__seam3_e")
+    assert e.rollup("a").agg(F.count(F.lit(1))).collect() == []
+    assert e.cube("a").agg(F.count(F.lit(1))).collect() == []
+    assert (
+        spark.sql(
+            "SELECT a, count(*) FROM __seam3_e GROUP BY GROUPING SETS ((a), ())"
+        ).collect()
+        == []
+    )
+    # the keyless global aggregate is NOT part of the seam: 1 row
+    assert e.agg(F.count(F.lit(1))).collect()[0][0] == 0
+
+
+def test_duckdb_grouping_sets_emit_grand_total_row_on_empty():
+    rows = duckdb.sql(
+        "SELECT a, count(*) FROM (SELECT 'x' AS a WHERE false) "
+        "GROUP BY ROLLUP (a) ORDER BY a"
+    ).fetchall()
+    assert rows == [(None, 0)]
+    # and HAVING count(*) > 0 drops exactly that row
+    rows = duckdb.sql(
+        "SELECT a, count(*) FROM (SELECT 'x' AS a WHERE false) "
+        "GROUP BY ROLLUP (a) HAVING count(*) > 0"
+    ).fetchall()
+    assert rows == []
+
+
+# --- seam 4: decimal->double conversion rounding (r13 dup sweep) ------
+
+# The exact decimal the r13 dup-corpus sweep caught revenue_by_nation
+# on: unscaled 149574383635230000 > 2^53, correctly-rounded double is
+# float('1495743836.3523').
+_SEAM4_DEC = "1495743836.35230000"
+
+
+def test_duckdb_decimal_to_double_double_rounds_past_2_53():
+    """DuckDB's direct decimal->double cast converts the hugeint
+    unscaled value to double (rounds once when it exceeds 2^53), then
+    divides by the scale (rounds again) — one ulp off the correctly
+    rounded value for this input. The via-VARCHAR hop is exact then
+    correctly rounded. This is why disc_price_sum / DISC_PRICE_SQL
+    spell their final cast through a string."""
+    direct, via_str = duckdb.sql(
+        f"SELECT CAST(CAST('{_SEAM4_DEC}' AS DECIMAL(38,8)) AS DOUBLE), "
+        f"CAST(CAST(CAST('{_SEAM4_DEC}' AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()
+    correct = float(_SEAM4_DEC)
+    assert via_str == correct
+    assert direct != correct  # the seam: one ulp high
+
+
+def test_spark_decimal_to_double_rounds_correctly(spark):
+    r = spark.sql(
+        f"SELECT CAST(CAST('{_SEAM4_DEC}' AS DECIMAL(38,8)) AS DOUBLE) AS d, "
+        f"CAST(CAST(CAST('{_SEAM4_DEC}' AS DECIMAL(38,8)) AS STRING) AS DOUBLE) AS s"
+    ).first()
+    correct = float(_SEAM4_DEC)
+    assert r["d"] == correct and r["s"] == correct
