@@ -84,15 +84,22 @@ def word_shingles(col, n: int = 3) -> Column:
     Built with sequence+transform over the token array — no explode here;
     callers explode exactly once into the inverted-index shape they need.
     Documents shorter than n words yield a single whole-doc shingle so
-    they still participate in dedup.
+    they still participate in dedup. NULL text yields NULL (standard
+    NULL-propagation, matching DuckDB's regexp_split_to_array) — the
+    bare transform would emit a single '' shingle via concat_ws over a
+    NULL slice, silently making every NULL-text doc a jaccard-1.0
+    near-dup of every other AND creating one hot '' key that all-pairs
+    them (quadratic at 100 TB). Found by the r13 null-corpus value
+    sweep (124,750 fabricated pairs at 500 NULL docs).
     """
-    toks = tokens(col)
+    t = _c(col)
+    toks = tokens(t)
     k = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(t.isNotNull(), F.array_distinct(grams))
 
 
 def char_shingles(col, n: int = 5) -> Column:
@@ -110,4 +117,7 @@ def char_shingles(col, n: int = 5) -> Column:
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
         lambda i: t.substr(i, F.lit(n)),
     )
-    return F.array_distinct(grams)
+    # NULL text -> NULL shingle set (see word_shingles): the bare
+    # transform emits [NULL] here, which happens not to equi-join, but
+    # the stated contract is NULL-propagation, not an accident.
+    return F.when(t.isNotNull(), F.array_distinct(grams))

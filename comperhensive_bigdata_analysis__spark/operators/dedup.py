@@ -71,10 +71,19 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     projection BEFORE the shingle transform. Referencing the tokenizer
     expression directly inside the transform lambda re-evaluates the
     regex split once PER ARRAY ELEMENT (HOF lambdas are interpreted,
-    no CSE) — measured ~4x slower at sf0.1."""
+    no CSE) — measured ~4x slower at sf0.1.
+
+    NULL-text docs are filtered BEFORE the projection (r13 null-corpus
+    sweep): they have no shingle set — the previous behavior gave them
+    a single '' shingle via concat_ws over a NULL slice, fabricating
+    jaccard-1.0 pairs between unrelated docs and concentrating every
+    such doc on one hot join key (quadratic at 100 TB). A filter
+    (vs a NULL-out) keeps the predicate pushable to the parquet scan."""
     from ..functions.text import tokens
 
-    with_toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
+    with_toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
     t = F.col("__toks")
     k = F.size(t) - (n - 1)
     grams = F.transform(
@@ -88,10 +97,11 @@ def char_shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:
     """(id, shingle) rows over character n-grams — lowercases in its own
-    projection first (see char_shingles perf note)."""
+    projection first (see char_shingles perf note). NULL-text docs are
+    filtered at the scan, same contract as _shingle_rows."""
     from ..functions.text import char_shingles
 
-    lowered = df.select(
+    lowered = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("__low")
     )
     return lowered.select(

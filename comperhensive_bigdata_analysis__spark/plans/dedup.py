@@ -257,7 +257,10 @@ def segment_dedup_stats(spark, sf_dir):
     from ..functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    with_toks = d.select(
+    # NULL text has no segments (same contract as _shingle_rows; the
+    # oracle's regexp_split_to_array(NULL) -> unnest emits no rows) —
+    # the filter pushes to the scan
+    with_toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id", "source", tokens(F.col("text")).alias("__toks")
     )
     t = F.col("__toks")
@@ -381,7 +384,19 @@ _BLOOM_M = _BLOOM_SLOTS * _BLOOM_SLOT_BITS
 
 _BLOOM_ORACLE = f"""
     WITH base AS (
-      SELECT doc_id, md5(text) AS digest FROM documents
+      -- NULL text has no digest and cannot be built into or probed
+      -- against the filter (r13 null-corpus sweep); the Spark side
+      -- states the same filter, pushed to the scan. cp: physical-row
+      -- copy index — the probe is per candidate ROW (each physical
+      -- row is a presented candidate), so the per-(doc,digest)
+      -- grouping below must not collapse duplicated keys (r13
+      -- dup-corpus sweep; the filter-build side is immune — bit_or
+      -- and DISTINCT digest dedup by construction)
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY doc_id) AS cp,
+             md5(text) AS digest
+      FROM documents
+      WHERE text IS NOT NULL
     ),
     seeds AS (SELECT unnest(generate_series(0, {_BLOOM_SEEDS - 1})) AS s),
     seen_pos AS (
@@ -398,20 +413,20 @@ _BLOOM_ORACLE = f"""
       SELECT DISTINCT digest FROM base WHERE doc_id % 2 = 0
     ),
     cand_pos AS (
-      SELECT doc_id, digest,
+      SELECT doc_id, cp, digest,
              CAST('0x' || substr(md5('bf' || CAST(s AS VARCHAR) || ':' || digest), 1, 8)
                   AS BIGINT) % {_BLOOM_M} AS bitpos
       FROM base CROSS JOIN seeds WHERE doc_id % 2 = 1
     ),
     probe AS (
-      SELECT p.doc_id, p.digest,
+      SELECT p.doc_id, p.cp, p.digest,
              SUM(CASE WHEN (COALESCE(f.bits, 0)
                             & (CAST(1 AS BIGINT) << (p.bitpos % {_BLOOM_SLOT_BITS})))
                            <> 0
                       THEN 1 ELSE 0 END) AS n_hits
       FROM cand_pos p
       LEFT JOIN filt f ON p.bitpos // {_BLOOM_SLOT_BITS} = f.slot
-      GROUP BY p.doc_id, p.digest
+      GROUP BY p.doc_id, p.cp, p.digest
     ),
     flagged AS (
       SELECT probe.doc_id,
@@ -445,7 +460,12 @@ def bloom_filter_probe(spark, sf_dir):
     streaming/ops.py:streaming_bloom_dedup).
     """
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("digest"))
+    # NULL text -> no digest -> neither buildable nor probeable (the
+    # bare pipeline would instead silently drop candidates at the
+    # membership equi-join while the oracle counted them)
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
     seen = base.filter(F.col("doc_id") % 2 == 0)
     cand = base.filter(F.col("doc_id") % 2 == 1)
 
@@ -715,7 +735,12 @@ _SCRUB_CENSUS_ORACLE = (
            CAST(SUM(CASE WHEN p.removed IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_scrubbed_docs,
            CAST(SUM(t.n) AS BIGINT) AS n_tokens,
-           CAST(SUM(COALESCE(p.removed, 0)) AS BIGINT) AS removed_tokens,
+           -- a doc with UNKNOWN token count (NULL text) contributes
+           -- unknown removed mass, not 0 — mirrors the plan's
+           -- SUM(nt - res) NULL propagation (r13 null-corpus sweep)
+           CAST(SUM(CASE WHEN t.n IS NOT NULL
+                         THEN COALESCE(p.removed, 0) END) AS BIGINT)
+             AS removed_tokens,
            CAST(SUM(t.n - COALESCE(p.removed, 0)) AS BIGINT)
              AS residual_tokens
     FROM nt t LEFT JOIN per_doc p USING (doc_id)
@@ -1196,7 +1221,10 @@ _DOMAIN_CAP_ORACLE = rf"""
            CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
                 AS BIGINT) AS kept_docs,
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN nt ELSE 0 END)
+           -- no ELSE 0: kept token mass sums the KEPT docs' nt only,
+           -- so an all-NULL nt column reads NULL like the plan's
+           -- kept-leg SUM, instead of an ELSE-0-fabricated 0
+           CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN nt END)
                 AS BIGINT) AS kept_tokens
     FROM pri GROUP BY source ORDER BY source
 """
@@ -1233,8 +1261,14 @@ def domain_cap_census(spark, sf_dir):
         F.sum("nt").cast("bigint").alias("kept_tokens"),
     )
     return (
-        # inner join: every non-empty source keeps >= 1 doc (CAP >= 1)
-        raw.join(kept, "source")
+        # inner join: every non-empty source keeps >= 1 doc (CAP >= 1).
+        # NULL-SAFE on the group key: a NULL source is a legitimate
+        # group in both engines' GROUP BY, and a plain equi-join would
+        # silently drop it (r13 null-corpus sweep)
+        raw.join(
+            kept.withColumnRenamed("source", "__ks"),
+            F.col("source").eqNullSafe(F.col("__ks")),
+        )
         .select(
             "source", "n_docs", "kept_docs", "n_tokens", "kept_tokens"
         )

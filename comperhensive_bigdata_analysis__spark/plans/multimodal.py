@@ -302,28 +302,43 @@ def media_resize_roundtrip(spark, sf_dir):
     (integer round-half-up — see multimodal._fit_dims; every source
     image here exceeds max_dim, so all really resample).
 
-    100 TB: two chained narrow mapInPandas stages plus one hash join on
-    the unique id, no shuffle of bytes until the tiny census aggregate.
-    This is the standard image-corpus normalization pass
-    (downscale-for-training) end to end.
+    100 TB: two chained NARROW mapInPandas stages — the second decode
+    carries the source dims through the Python stage itself, so there
+    is no row-identity join at all (the previous id equi-join both
+    added an exchange and multiplied rows 9x under duplicated ids —
+    r13 dup-corpus sweep); bytes never shuffle, and the only exchange
+    is the tiny census aggregate. This is the standard image-corpus
+    normalization pass (downscale-for-training) end to end.
     """
-    from ..multimodal import decode_media, pixel_decoder, resize_media
+    import pandas as pd
+
+    from ..multimodal import pixel_decoder, resize_media
 
     media = _gradient_media(spark, sf_dir)
     resized = resize_media(media, max_dim=12)
-    redecoded = decode_media(
-        resized.select("id", "content", "media_type"), decoder=pixel_decoder
-    ).select(
-        "id",
-        F.col("width").alias("target_width"),
-        F.col("height").alias("target_height"),
-    )
-    src = resized.select(
-        "id", F.col("width").alias("src_w"), F.col("height").alias("src_h")
+
+    def redecode(batches):
+        # per-row passthrough: (resized bytes, src dims in) ->
+        # (measured target dims, src dims out)
+        for pdf in batches:
+            out = {"target_width": [], "target_height": [],
+                   "src_w": [], "src_h": []}
+            for c, t, sw, sh in zip(
+                pdf["content"], pdf["media_type"], pdf["width"], pdf["height"]
+            ):
+                m = pixel_decoder(bytes(c), t)
+                out["target_width"].append(int(m["width"]))
+                out["target_height"].append(int(m["height"]))
+                out["src_w"].append(int(sw))
+                out["src_h"].append(int(sh))
+            yield pd.DataFrame(out)
+
+    redecoded = resized.select("content", "media_type", "width", "height").mapInPandas(
+        redecode,
+        schema="target_width int, target_height int, src_w int, src_h int",
     )
     return (
-        redecoded.join(src, "id")
-        .groupBy("target_width", "target_height")
+        redecoded.groupBy("target_width", "target_height")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_images"),
             F.sum("src_w").cast("bigint").alias("sum_src_w"),
@@ -444,17 +459,22 @@ _WAV_B = "doc_id % 64"
     "wav_audio_stats",
     f"""
     WITH p AS (
+      -- cp: physical-row copy index. The plan is a per-ROW map (one
+      -- stats row per input row, whatever the doc_id multiplicity);
+      -- grouping by doc_id alone would collapse duplicated keys and
+      -- triple-count the sums (r13 dup-corpus sweep)
       SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY doc_id) AS cp,
              CAST({_WAV_N} AS BIGINT) AS n,
              CAST({_WAV_B} AS BIGINT) AS b
       FROM documents
     ),
     s AS (
-      SELECT doc_id, n, b, unnest(generate_series(0, n - 1)) AS k
+      SELECT doc_id, cp, n, b, unnest(generate_series(0, n - 1)) AS k
       FROM p
     ),
     v AS (
-      SELECT doc_id, n, ((b * 37 + k * 17) % 2048) - 1024 AS amp
+      SELECT doc_id, cp, n, ((b * 37 + k * 17) % 2048) - 1024 AS amp
       FROM s
     )
     SELECT doc_id,
@@ -464,7 +484,7 @@ _WAV_B = "doc_id % 64"
            CAST(SUM(amp * amp) AS BIGINT) AS sum_sq,
            CAST(MAX(amp) AS BIGINT) AS peak
     FROM v
-    GROUP BY doc_id
+    GROUP BY doc_id, cp
     ORDER BY doc_id
     """,
 )
@@ -582,19 +602,22 @@ _JPG_B = "doc_id % 64"
     "jpeg_pixel_stats",
     f"""
     WITH p AS (
+      -- cp: physical-row copy index (per-ROW map contract; see the
+      -- wav_audio_stats oracle — r13 dup-corpus sweep)
       SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY doc_id) AS cp,
              CAST({_JPG_BW} AS BIGINT) AS bw,
              CAST({_JPG_BH} AS BIGINT) AS bh,
              CAST({_JPG_B} AS BIGINT) AS b
       FROM documents
     ),
     g AS (
-      SELECT doc_id, bw, bh, b,
+      SELECT doc_id, cp, bw, bh, b,
              unnest(generate_series(0, bw * bh - 1)) AS i
       FROM p
     ),
     v AS (
-      SELECT doc_id, bw, bh,
+      SELECT doc_id, cp, bw, bh,
              (b + 7 * (i % bw) + 11 * (i // bw)) % 256 AS val
       FROM g
     )
@@ -603,7 +626,7 @@ _JPG_B = "doc_id % 64"
            CAST(MAX(bh) * 8 AS INT) AS height,
            CAST(SUM(val) * 64 AS BIGINT) AS sum_lum
     FROM v
-    GROUP BY doc_id
+    GROUP BY doc_id, cp
     ORDER BY doc_id
     """,
 )

@@ -819,7 +819,15 @@ def nations_per_region_list(spark, sf_dir):
         r.join(n, r.r_regionkey == n.n_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            # string_agg semantics: NULL when the aggregate saw no
+            # non-NULL name (collect_list drops NULLs, so an empty
+            # array means exactly that); bare concat_ws would render
+            # '' where DuckDB says NULL (r13 null-corpus sweep).
+            # '' NAMES still join as empty elements in both engines.
+            F.when(
+                F.size(F.array_sort(F.collect_list("n_name"))) > 0,
+                F.concat_ws(",", F.array_sort(F.collect_list("n_name"))),
+            ).alias("nations"),
             F.count(F.lit(1)).alias("n_nations"),
         )
         .orderBy("region")
@@ -999,9 +1007,13 @@ _DIFF_ORACLE = """
       SELECT 10000000 + r AS o_orderkey, CAST(50.25 * r AS DOUBLE) AS o_totalprice
       FROM (SELECT unnest(generate_series(1, 50)) AS r)
     ), d AS (
+      -- IS DISTINCT FROM, not <>: 'changed' means the VALUES differ
+      -- null-safely (NULL->NULL is unchanged, NULL->value is changed);
+      -- plain <> silently classifies any NULL-involved change as
+      -- 'unchanged' (r13 null-corpus sweep)
       SELECT CASE WHEN n.o_orderkey IS NULL THEN 'removed'
                   WHEN o.o_orderkey IS NULL THEN 'added'
-                  WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM orders o FULL OUTER JOIN new_snap n USING (o_orderkey)
     )
@@ -1028,13 +1040,26 @@ def snapshot_diff_orders(spark, sf_dir):
             )
         )
     )
-    old = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("vo"))
-    new = new_snap.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("vn"))
+    # explicit presence markers: key presence must be judged by the
+    # KEY side of the outer join, not by value-column nullness — a
+    # legitimately-NULL price on a matched key is 'unchanged'/'changed',
+    # never 'removed' (r13 null-corpus sweep)
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("vo"),
+        F.lit(1).alias("__po"),
+    )
+    new = new_snap.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("vn"),
+        F.lit(1).alias("__pn"),
+    )
     joined = old.join(new, "k", "full_outer")
     status = (
-        F.when(F.col("vn").isNull(), "removed")
-        .when(F.col("vo").isNull(), "added")
-        .when(F.col("vo") != F.col("vn"), "changed")
+        F.when(F.col("__pn").isNull(), "removed")
+        .when(F.col("__po").isNull(), "added")
+        # null-safe inequality: 'changed' = values DISTINCT
+        .when(~F.col("vo").eqNullSafe(F.col("vn")), "changed")
         .otherwise("unchanged")
     )
     return (
@@ -1153,7 +1178,11 @@ _CHECKSUM_ORACLE = """
                  COALESCE(o_orderstatus, '~null~'),
                  COALESCE(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
                                AS VARCHAR), '~null~'),
-                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                 -- every column carries the sentinel (row_sig
+                 -- coalesces ALL of them): an unsentineled NULL date
+                 -- is SKIPPED by concat_ws — separator and all — so
+                 -- the canonical strings diverge (r13 null-corpus)
+                 COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '~null~'),
                  COALESCE(o_orderpriority, '~null~'))) AS d
       FROM orders
     ), s AS (
@@ -1358,11 +1387,18 @@ def orders_above_exact_p99(spark, sf_dir):
 
 _GROUPED_MEDIAN_ORACLE = """
     WITH ranked AS (
+      -- NULLs excluded from the rank spine (percentile_disc
+      -- semantics): a bare COUNT(*)/ROW_NUMBER over NULL values
+      -- shifts the pick and invents a NULL-median row for an all-NULL
+      -- group the refinement operator correctly omits (r13
+      -- null-corpus sweep). Contract: groups with zero non-NULL
+      -- values are ABSENT from the report.
       SELECT o_orderpriority, o_totalprice AS v,
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice) AS rn,
              COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority, CAST(v AS DOUBLE) AS value
     FROM ranked

@@ -369,13 +369,18 @@ def sql_presto_unnest_compat(spark, sf_dir):
 # -- Presto map_agg / histogram through the front door -----------------------
 
 _MAP_COMPAT_ORACLE = """
+    -- grouped like the plan (name AND key: names are unique per
+    -- region on any sane corpus, but the oracle must not ASSUME the
+    -- 1:1 — r13 null-corpus sweep), and n_nations counts DISTINCT
+    -- non-NULL names: that IS the cardinality of a keep-last-deduped
+    -- name->key map whose accumulator skips NULL keys
     SELECT r.r_name AS region,
            CAST(MAX(CASE WHEN n.n_name = 'ALGERIA'
                          THEN n.n_nationkey END) AS BIGINT) AS algeria_key,
-           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(COUNT(DISTINCT n.n_name) AS BIGINT) AS n_nations,
            CAST(COUNT(*) AS BIGINT) AS hist_self
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
+    GROUP BY r.r_name, r.r_regionkey
     ORDER BY region
 """
 

@@ -28,10 +28,15 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 # ---------------------------------------------------------------------------
 
 _TUMBLING_ORACLE = f"""
+    -- WHERE ts IS NOT NULL states the engine contract the plan runs
+    -- under: Spark's F.window DROPS NULL-event-time rows (pinned in
+    -- tests/test_streaming_degenerate.py) where a bare GROUP BY
+    -- time_bucket would keep a NULL-window group (r13 null-corpus)
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
            event_type,
            COUNT(*) AS n_events
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
@@ -58,11 +63,14 @@ def tumbling_hourly_counts(spark, sf_dir):
 
 _SLIDING_ORACLE = f"""
     WITH expanded AS (
-      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+      -- ts IS NOT NULL: F.window drops NULL event times (pinned
+      -- streaming contract; see _TUMBLING_ORACLE)
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
              event_type, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start, event_type,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
@@ -97,11 +105,14 @@ def sliding_value_sums_30m(spark, sf_dir):
 
 _SESSION_WINDOW_ORACLE = f"""
     WITH flagged AS (
+      -- ts IS NOT NULL: F.session_window drops NULL event times
+      -- (pinned streaming contract; see _TUMBLING_ORACLE)
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (

@@ -133,7 +133,11 @@ _LANGID_ORACLE = r"""
 @plan("lang_id_stats", _LANGID_ORACLE)
 def lang_id_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    pred_en = (stopword_count(F.col("text")) >= 3).cast("int")
+    # CASE-shaped, not a bool cast: a NULL-text doc is NOT predicted
+    # English (counts 0, like the oracle's CASE); the cast would
+    # propagate the NULL comparison into the SUM (r13 null-corpus
+    # value sweep)
+    pred_en = F.when(stopword_count(F.col("text")) >= 3, 1).otherwise(0)
     return (
         d.groupBy("lang")
         .agg(
@@ -318,7 +322,12 @@ def blocklist_redact_stats(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("len1") < F.col("len0")).cast("bigint")).alias("n_docs_hit"),
+            # CASE-shaped: a NULL-text doc is not HIT (counts 0, like
+            # the oracle's CASE); chars_removed stays a plain sum —
+            # its NULL deltas propagate identically in both engines
+            F.sum(
+                F.when(F.col("len1") < F.col("len0"), 1).otherwise(0)
+            ).cast("bigint").alias("n_docs_hit"),
             F.sum(F.col("len0") - F.col("len1")).alias("chars_removed"),
         )
         .orderBy("source")

@@ -194,10 +194,14 @@ _SCRUB_ORACLE = rf"""
              -- Spark's array_join([]) is '' — the intended semantic
              -- for a fully-scrubbed doc is the empty string (same
              -- contract as exact_substr_scrub), so the oracle states
-             -- it explicitly (r12 torture-corpus audit)
-             COALESCE(array_to_string(
-               list_filter(t, x -> len(x) > 0 AND x NOT IN ('a', 'the')),
-               ' '), '') AS clean
+             -- it explicitly (r12 torture-corpus audit). The CASE
+             -- keeps that coalesce from ALSO swallowing NULL text:
+             -- a NULL doc scrubs to NULL, not to md5('') (r13
+             -- null-corpus sweep)
+             CASE WHEN t IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string(
+                    list_filter(t, x -> len(x) > 0 AND x NOT IN ('a', 'the')),
+                    ' '), '') END AS clean
       FROM toks
     )
     SELECT doc_id, n_stopwords, length(clean) AS clean_chars,
@@ -439,8 +443,12 @@ CHUNK_STRIDE = 40
 
 _CHUNK_ORACLE = rf"""
     WITH toks AS (
+      -- NULL text chunks to NOTHING (you cannot window unknown
+      -- content); without the filter both engines emit one phantom
+      -- 50-token chunk whose sig they then disagree on (r13
+      -- null-corpus sweep)
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     starts AS (
       SELECT doc_id, t,
@@ -461,7 +469,10 @@ def doc_chunks(spark, sf_dir):
     from ..functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    with_toks = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    # NULL text chunks to nothing (see oracle) — pushed to the scan
+    with_toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
     n = F.size("__toks")
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
     exploded = with_toks.select(
@@ -838,14 +849,22 @@ def sigma_clip_outliers(spark, sf_dir):
 
 _BIGRAM_ORACLE = r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      -- cp: physical-row copy index — the pos+1 self-join must pair
+      -- tokens of the SAME physical row; joining on doc_id alone
+      -- squares the multiplicity when keys are duplicated while the
+      -- plan's in-row zip_with stays linear (r13 dup-corpus sweep)
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY doc_id) AS cp,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       FROM documents
     ), u AS (
-      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      SELECT doc_id, cp, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
       FROM t
     ), b AS (
       SELECT a.tok || ' ' || c.tok AS bigram
-      FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+      FROM u a JOIN u c ON a.doc_id = c.doc_id AND a.cp = c.cp
+                       AND c.pos = a.pos + 1
     )
     SELECT bigram, COUNT(*) AS n
     FROM b GROUP BY bigram
@@ -1002,7 +1021,12 @@ def benchmark_contamination(spark, sf_dir):
     from ..functions.text import word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
+    # NULL text has no grams (word_shingles NULL-propagates since r13;
+    # explode would drop the rows anyway — the explicit filter lets
+    # the scan skip them). The census leg below stays UNfiltered:
+    # NULL-text train docs are still train docs, just never
+    # contaminated.
+    grams = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
         F.explode(word_shingles(F.col("text"), 8)).alias("g"),

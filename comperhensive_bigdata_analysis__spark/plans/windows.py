@@ -365,10 +365,25 @@ def window_value_functions(spark, sf_dir):
         total_count_col="__c",
     )
     r, c = F.col("__r"), F.col("__c")
+    # NULL-SAFE joins back on the partition key: a NULL
+    # o_orderpriority is a legitimate window partition in both
+    # engines; plain equi-joins would silently drop its rows (r13
+    # null-corpus sweep). Each leg renames its key so the null-safe
+    # condition needs no aliases.
+    def nsjoin(left, right, rk, how="inner"):
+        return left.join(
+            F.broadcast(right.withColumnRenamed("o_orderpriority", rk)),
+            F.col("o_orderpriority").eqNullSafe(F.col(rk)),
+            how,
+        ).drop(rk)
+
     return (
-        ranked.join(F.broadcast(firsts), "o_orderpriority")
-        .join(F.broadcast(lasts), "o_orderpriority")
-        .join(F.broadcast(third), "o_orderpriority", "left")
+        nsjoin(
+            nsjoin(nsjoin(ranked, firsts, "__kf"), lasts, "__kl"),
+            third,
+            "__kt",
+            "left",
+        )
         .select(
             "o_orderkey",
             "o_orderpriority",
@@ -466,10 +481,14 @@ _IVL_US = 300_000_000  # 5 minutes in microseconds
 
 _INTERVALS_ORACLE = f"""
     WITH iv AS (
+      -- NULL event times open no interval (the pinned streaming
+      -- NULL-event-time contract, tests/test_streaming_degenerate.py;
+      -- r13 null-corpus sweep) — an unknown time cannot be ordered,
+      -- merged, or measured
       SELECT user_id, event_id,
              epoch_us(ts) AS s_us,
              epoch_us(ts) + {_IVL_US} AS e_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, s_us, e_us,
              CASE WHEN s_us > COALESCE(
@@ -505,7 +524,9 @@ def merge_event_intervals(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     s_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    iv = e.select(
+    # NULL event times open no interval (pinned streaming contract;
+    # see the oracle comment) — pushed to the scan
+    iv = e.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         s_us.alias("s_us"),
@@ -645,10 +666,15 @@ def mad_order_prices(spark, sf_dir):
 
 _PARETO_ORACLE = """
     WITH d AS (
+      -- an order with UNKNOWN date cannot sit on a date-ordered
+      -- frontier: NULL dates are excluded on BOTH sides (r13
+      -- null-corpus sweep — the bare spelling put every NULL-date row
+      -- on the frontier here while the plan's day equi-join dropped
+      -- them all)
       SELECT o_orderpriority, o_orderkey, o_totalprice,
              date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                AS epoch_day
-      FROM orders
+      FROM orders WHERE o_orderdate IS NOT NULL
     ),
     m AS (
       SELECT *,
@@ -683,7 +709,8 @@ def pareto_frontier_orders(spark, sf_dir):
     exchangeable arrivals.
     """
     o = load_table(spark, sf_dir, "orders")
-    d = o.select(
+    # NULL dates excluded (see oracle comment) — pushed to the scan
+    d = o.filter(F.col("o_orderdate").isNotNull()).select(
         "o_orderpriority",
         "o_orderkey",
         "o_totalprice",
@@ -700,11 +727,17 @@ def pareto_frontier_orders(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = day_max.select(
-        "o_orderpriority",
-        "epoch_day",
+        F.col("o_orderpriority").alias("__pp"),
+        F.col("epoch_day").alias("__pd"),
         F.max("__dmax").over(w_prev).alias("prev_max"),
     )
-    m = d.join(F.broadcast(prev), ["o_orderpriority", "epoch_day"])
+    # null-safe on the priority key: a NULL priority is a legitimate
+    # window partition (epoch_day is non-NULL by the filter above)
+    m = d.join(
+        F.broadcast(prev),
+        F.col("o_orderpriority").eqNullSafe(F.col("__pp"))
+        & (F.col("epoch_day") == F.col("__pd")),
+    ).drop("__pp", "__pd")
     return (
         m.filter(
             F.col("prev_max").isNull() | (F.col("o_totalprice") > F.col("prev_max"))

@@ -474,7 +474,10 @@ _BROADCAST_ALLOWLIST = {
     ("plans/windows.py", "mad_order_prices"),
     ("plans/windows.py", "pareto_frontier_orders"),
     ("plans/windows.py", "revenue_share_within_region"),
-    ("plans/windows.py", "window_value_functions"),
+    # the null-safe join helper carries the same census-sized
+    # first/last/third legs (<= |priorities| rows each) the bare
+    # site was audited for
+    ("plans/windows.py", "window_value_functions.nsjoin"),
     ("streaming/ops.py", "stream_static_enrich"),
     ("streaming/ops.py", "streaming_bloom_dedup.apply_batch"),
 }
