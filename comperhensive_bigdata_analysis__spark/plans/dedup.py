@@ -585,6 +585,12 @@ def _calibration_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
 
 @plan("minhash_calibration", _calibration_oracle())
 def minhash_calibration(spark, sf_dir):
+    """PRECONDITION (pinned in tools/roundend_gate.py, r13 dup sweep):
+    doc_id unique — pair semantics are keyed by doc_id, and the
+    count-based exact-jaccard arithmetic (|A∩B| from the shingle
+    self-join) double-counts sets when ids repeat. Dedup upstream
+    (exact_dedup) is the production answer, not a defensive distinct
+    here."""
     d = load_table(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(d, "doc_id", "text", n=3, min_est=0.0)
     exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.0).select(
@@ -937,7 +943,11 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
     """Top-20 document pairs by shared winnowing fingerprints (see
     module comment). Pairs need >= 3 shared fingerprints to rank;
     fingerprints in more than WINNOW_MAX_DF documents are boilerplate
-    and excluded before pairing (the linearity cap — section comment)."""
+    and excluded before pairing (the linearity cap — section comment).
+
+    PRECONDITION: doc_id unique (see minhash_calibration — same
+    doc_id-keyed pair contract; this plan and winnowing_cap_recall
+    are pinned in tools/roundend_gate.py)."""
     return winnowing_pairs_at(spark, sf_dir, max_df=WINNOW_MAX_DF)
 
 

@@ -1608,6 +1608,13 @@ def shipping_priority_topk(spark, sf_dir):
     per order before touching orders/customer), the segment filter
     prunes customer at the scan, and the final top-10 is
     TakeOrderedAndProject — per-partition heaps, never a global sort.
+
+    PRECONDITION (pinned in tools/roundend_gate.py, r13 dup sweep):
+    l_orderkey/o_orderkey are unique per entity — the partial-agg
+    pushdown is exactly the flat join-then-aggregate ONLY then.
+    Violated keys are an upstream data bug the integrity audit plan
+    (orders_dup_orderkey check) counts; re-aggregating defensively
+    here would charge every clean run an extra shuffle.
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -1884,6 +1891,9 @@ def large_volume_customers(spark, sf_dir):
     big fact is scanned twice but shuffled as per-order partials only;
     customer/orders join the surviving handful of orders and the
     top-20 is TakeOrderedAndProject on (totalprice, orderkey).
+
+    PRECONDITION: unique order keys (see shipping_priority_topk —
+    same partial-agg-pushdown contract, pinned in roundend_gate).
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -2058,6 +2068,9 @@ def sole_blame_suppliers(spark, sf_dir):
     partitioning, orders joins column-pruned on the same key, and the
     supplier dimension joins AFTER the fact collapses to per-supplier
     counts. Top-20 is TakeOrderedAndProject.
+
+    PRECONDITION: unique order keys (see shipping_priority_topk —
+    same partial-agg-pushdown contract, pinned in roundend_gate).
     """
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").filter(

@@ -303,6 +303,11 @@ _PCT_ORACLE = """
 # operators/skew.distributed_scan (the ordering ends in o_orderkey,
 # so ranks have no peers and rank == row_number). Rank ratios stay
 # integer arithmetic -> engine-independent doubles.
+# PRECONDITION (pinned in tools/roundend_gate.py, r13 dup sweep):
+# o_orderkey unique — the rank==row_number identity needs the ORDER BY
+# to end in a unique tiebreak; duplicated keys create true peers,
+# where ANSI percent_rank/cume_dist take peer-group values the rank
+# spine deliberately does not compute.
 # ---------------------------------------------------------------------------
 
 _VALUE_FN_ORACLE = """

@@ -10,19 +10,24 @@ What it runs:
 1. ``tools/degenerate_audit.py`` — every registered plan against all
    four dirty-production corpus shapes (empty / all-NULL / single-row
    / duplicated-keys), crash-only. Gate: zero crashes on every shape.
-2. ``tools/torture_corpus.py`` then the full cross-engine oracle sweep
+2. (r13) The full ORACLE-PARITY sweep over those same four corpora —
+   not just "doesn't crash" but "agrees with DuckDB on the values".
+   Gate: empty/null/one fully green; on dup, every non-OK row is one
+   of the pinned PK-uniqueness PRECONDITION rows below.
+3. ``tools/torture_corpus.py`` then the full cross-engine oracle sweep
    (``tests/oracle_harness.py``) over the adversarial-values corpus.
    Gate: every non-OK row is one of the DOCUMENTED engine seams below
    — anything else is a NEW silent cross-engine divergence and fails
    the gate (root-cause it like the four the r12 audit found).
 
-Exit 0 prints the two tally lines (paste them into the round's
+Exit 0 prints the three tally lines (paste them into the round's
 BENCH_NOTES section verbatim); exit 1 lists what regressed.
 
-Usage: python tools/roundend_gate.py   (~10-15 min: two full-catalog
-       sweeps; env SPARK_GRAFT_SF_DIR for the degenerate base corpus,
-       default sf0.001 — the torture corpus is always built from
-       sf0.001 by its own tool)
+Usage: python tools/roundend_gate.py   (~35-45 min: six full-catalog
+       sweeps — crash audit, four value sweeps, torture; env
+       SPARK_GRAFT_SF_DIR for the degenerate base corpus, default
+       sf0.001 — the torture corpus is always built from sf0.001 by
+       its own tool)
 """
 
 from __future__ import annotations
@@ -104,6 +109,86 @@ EXPECTED_TORTURE_SEAMS: dict[str, str] = {
 }
 
 
+#: Degenerate-corpus VALUE-PARITY pin (r13: the degenerate audit grew
+#: an oracle-parity tier on top of crash-only). empty/null/one sweep
+#: fully green; the dup shape (every row tripled — primary keys
+#: violated upstream) has exactly these documented PRECONDITION rows:
+#: plans whose CONTRACT requires key uniqueness, where "fixing" the
+#: divergence would buy robustness-to-garbage with an extra shuffle or
+#: re-aggregation every clean run pays for. Each is a FAIL (both
+#: engines compute, on different garbage); anything else — or one of
+#: these healing — is a change worth a look.
+EXPECTED_DUP_PRECONDITIONS: dict[str, str] = {
+    # Partial-aggregate pushdown is 1:1 only under PK uniqueness
+    # (re-aggregating would add a shuffle for nothing on clean data):
+    "shipping_priority_topk": "FAIL",    # TPC-H Q3 shape
+    "large_volume_customers": "FAIL",    # TPC-H Q18 shape
+    "sole_blame_suppliers": "FAIL",      # TPC-H Q21 shape
+    # rank == row_number requires the ORDER BY to end in a UNIQUE
+    # tiebreak key; duplicated o_orderkey creates true peers, and
+    # percent_rank/cume_dist disagree with the rank-spine formulas:
+    "window_value_functions": "FAIL",
+    # pair semantics are KEYED BY doc_id — with duplicated ids,
+    # "pair (a,b)" no longer identifies a document pair, and the
+    # count-based exact-jaccard arithmetic double-counts sets:
+    "minhash_calibration": "FAIL",
+    "winnowing_fingerprint_pairs": "FAIL",
+    "winnowing_cap_recall": "FAIL",
+}
+
+DEGEN_SHAPES = ("empty", "null", "one", "dup")
+
+
+def run_degenerate_values() -> tuple[list[str], list[str]]:
+    """Oracle-parity sweep of every plan over the four degenerate
+    corpora (built by the crash audit that runs first). Returns
+    (per-shape tally strings, problems)."""
+    tallies, problems = [], []
+    for shape in DEGEN_SHAPES:
+        expected = (
+            EXPECTED_DUP_PRECONDITIONS if shape == "dup" else {}
+        )
+        s = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "oracle_harness.py"),
+                f"/tmp/cba_degen_{shape}",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        rows = re.findall(
+            r"^(OK|FAIL|ERROR|rows-only)\s+(\S+)", s.stdout, flags=re.M
+        )
+        if not rows:
+            problems.append(f"degenerate value sweep ({shape}) did not run")
+            tallies.append(f"{shape}: no rows")
+            continue
+        non_ok = {n: st for st, n in rows if st in ("FAIL", "ERROR")}
+        new = {n: st for n, st in non_ok.items() if expected.get(n) != st}
+        healed = sorted(set(expected) - set(non_ok))
+        if new:
+            problems.append(
+                f"NEW degenerate value divergence(s) on {shape} — not a "
+                "pinned precondition: "
+                + ", ".join(f"{n} ({st})" for n, st in sorted(new.items()))
+            )
+        if healed:
+            problems.append(
+                f"pinned {shape} precondition row(s) now pass — prune "
+                f"the pin: {', '.join(healed)}"
+            )
+        tallies.append(
+            f"{shape}: {len(rows) - len(non_ok)}/{len(rows)} OK"
+            + (
+                f" + {len(non_ok)} pinned PK-precondition rows"
+                if non_ok and not new
+                else (f", {len(non_ok)} non-OK" if non_ok else "")
+            )
+        )
+    return tallies, problems
+
+
 def run_degenerate() -> tuple[list[str], bool]:
     """Run all four shapes; return (per-shape tally strings, ok)."""
     p = subprocess.run(
@@ -151,6 +236,9 @@ def main() -> None:
             "degenerate audit regressed: " + ("; ".join(tallies) or "no tally")
         )
 
+    value_tallies, value_problems = run_degenerate_values()
+    problems.extend(value_problems)
+
     non_ok, total, swept = run_torture()
     if not swept:
         problems.append("torture corpus build/sweep did not run")
@@ -170,6 +258,9 @@ def main() -> None:
         "Round-end gate: degenerate audit "
         + "; ".join(t for t in tallies)
         + "."
+    )
+    print(
+        "Degenerate value sweep: " + "; ".join(value_tallies) + "."
     )
     print(
         f"Torture sweep: {total - len(non_ok)}/{total} OK; "
