@@ -387,18 +387,22 @@ _RRF_K = 60
 _RRF_TOPK = 100
 
 _RRF_ORACLE = f"""
+    -- each retriever ranks only documents it can SCORE: a NULL score
+    -- has no rank (the bare spelling re-exposed Spark NULLS FIRST vs
+    -- DuckDB NULLS LAST on the ASC hash leg, handing Spark's whole
+    -- top-100 to dark docs — r13 mixed-corpus sweep)
     WITH a AS (
       SELECT doc_id, r FROM (
         SELECT doc_id,
                ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
-        FROM documents
+        FROM documents WHERE n_chars IS NOT NULL
       ) WHERE r <= {_RRF_TOPK}
     ),
     b AS (
       SELECT doc_id, r FROM (
         SELECT doc_id,
                ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS r
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
       ) WHERE r <= {_RRF_TOPK}
     )
     SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
@@ -419,8 +423,11 @@ def rrf_rank_fusion(spark, sf_dir):
     fusion join run on <=100 rows per leg.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # a retriever only ranks documents it can score (see oracle) —
+    # both filters push to the scan
     a = (
-        docs.select("doc_id", "n_chars")
+        docs.filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
         .orderBy(F.col("n_chars").desc(), "doc_id")
         .limit(_RRF_TOPK)
         .withColumn(
@@ -430,7 +437,8 @@ def rrf_rank_fusion(spark, sf_dir):
         .select("doc_id", "rank_len")
     )
     b = (
-        docs.select("doc_id", F.md5("text").alias("h"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("h"))
         .orderBy("h", "doc_id")
         .limit(_RRF_TOPK)
         .withColumn("rank_hash", F.row_number().over(Window.orderBy("h", "doc_id")))

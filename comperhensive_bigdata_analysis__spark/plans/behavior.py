@@ -124,14 +124,22 @@ def funnel_view_click_purchase(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _TRANSITION_ORACLE = """
+    -- ts IS NOT NULL: unsequenceable events are excluded (pinned
+    -- streaming contract). "has a predecessor" is judged by the
+    -- predecessor's KEY (event_id, never NULL for a real row), not
+    -- its type — filtering on prev_type conflated "stream start"
+    -- with "predecessor of unknown type" and silently dropped those
+    -- transitions (r13 mixed-corpus sweep)
     WITH s AS (
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
-      FROM events
+                                   ORDER BY ts, event_id) AS prev_type,
+             LAG(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_id
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type, COUNT(*) AS n
-    FROM s WHERE prev_type IS NOT NULL
+    FROM s WHERE prev_id IS NOT NULL
     GROUP BY prev_type, event_type
     ORDER BY prev_type, next_type
 """
@@ -142,11 +150,15 @@ def event_transition_matrix(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        e.select(
+        # predecessor presence by KEY; NULL event times excluded —
+        # see the oracle comment
+        e.filter(F.col("ts").isNotNull())
+        .select(
             F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("event_id").over(w).alias("__prev_id"),
             F.col("event_type").alias("next_type"),
         )
-        .filter(F.col("prev_type").isNotNull())
+        .filter(F.col("__prev_id").isNotNull())
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")

@@ -1341,10 +1341,15 @@ def prorate_order_cents(spark, sf_dir):
 
 _P99_ORACLE = """
     WITH ranked AS (
+      -- NULLs excluded from the rank spine (percentile semantics;
+      -- same contract as grouped_exact_median): a bare COUNT(*) over
+      -- NULL values shifts the pick into the NULLS LAST region and
+      -- NULLs the threshold (r13 mixed-corpus sweep)
       SELECT o_totalprice AS v,
              ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
              COUNT(*) OVER () AS n
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     ),
     thr AS (
       SELECT v FROM ranked WHERE rn = CAST(CEIL(0.99 * n) AS BIGINT)
@@ -1941,8 +1946,12 @@ _Q12_ORACLE = """
     SELECT l_returnflag AS returnflag,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           -- low = NOT high, exhaustively: a NULL priority is "not
+           -- high", so it counts LOW like the plan's otherwise()
+           -- branch — the NOT IN spelling made NULL count NEITHER
+           -- (r13 mixed-corpus sweep)
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -2029,6 +2038,10 @@ def part_revenue_concentration(spark, sf_dir):
 
 
 _Q21_ORACLE = """
+    -- grouped by the supplier ENTITY (key + name), not name alone:
+    -- two suppliers sharing a name (e.g. both NULL on a dark column)
+    -- are different suppliers, and the plan counts them separately
+    -- (r13 mixed-corpus sweep); 1:1 on any sane dimension
     SELECT s_name, COUNT(*) AS numwait
     FROM supplier
     JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -2042,7 +2055,7 @@ _Q21_ORACLE = """
                       WHERE l3.l_orderkey = l1.l_orderkey
                         AND l3.l_suppkey <> l1.l_suppkey
                         AND l3.l_returnflag = 'R')
-    GROUP BY s_name
+    GROUP BY s_suppkey, s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
 """

@@ -372,9 +372,14 @@ def lag_delta_events(spark, sf_dir):
 
 _NTILE_ORACLE = """
     WITH q AS (
+      -- quartiles over KNOWN prices only (percentile-family
+      -- semantics): ranking NULLs would just re-expose the engines'
+      -- opposite NULL-ordering defaults — Spark NULLS FIRST on ASC,
+      -- DuckDB NULLS LAST (r13 mixed-corpus sweep)
       SELECT o_totalprice,
              NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT quartile, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
@@ -387,8 +392,11 @@ def ntile_price_quartiles(spark, sf_dir):
     from ..operators.skew import distributed_scan, ntile_from_rank
 
     o = load_table(spark, sf_dir, "orders")
+    # known prices only (see oracle) — pushed to the scan
     ranked = distributed_scan(
-        o.select("o_totalprice", "o_orderkey"),
+        o.filter(F.col("o_totalprice").isNotNull()).select(
+            "o_totalprice", "o_orderkey"
+        ),
         [],
         ["o_totalprice", "o_orderkey"],
         rank_col="__r",
@@ -1270,9 +1278,13 @@ def unimax_language_budget(spark, sf_dir):
         .collect()  # |languages| rows — metadata-sized by construction
     )
     e = UNIMAX_EPOCH_CAP
+    # NULL-lang-safe walk order, matching the oracle's ROW_NUMBER
+    # (ORDER BY cap_tokens, lang) under DuckDB's NULLS LAST default —
+    # a bare tuple sort TypeErrors on (str, None) (r13 mixed-corpus
+    # crash audit; a NULL lang is a legitimate language group)
     rows = sorted(
         ((r["lang"], int(r["c"] or 0)) for r in cap),
-        key=lambda t: (t[1] * e, t[0]),
+        key=lambda t: (t[1] * e, t[0] is None, t[0] or ""),
     )
     total = sum(c for _, c in rows)
     remaining = (total * 3) // 2
@@ -1284,7 +1296,7 @@ def unimax_language_budget(spark, sf_dir):
         epochs = 0.0 if c == 0 else math.floor(alloc / c * 1e6) / 1e6
         out.append((lang, c, c * e, alloc, epochs))
     return spark.createDataFrame(
-        sorted(out),
+        sorted(out, key=lambda t: (t[0] is None, t[0] or "")),
         "lang string, capacity_tokens long, cap_tokens long, "
         "alloc_tokens long, epochs double",
     )

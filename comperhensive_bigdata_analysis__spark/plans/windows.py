@@ -29,11 +29,16 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 _SESSION_ORACLE = f"""
     WITH flagged AS (
+      -- ts IS NOT NULL: an event with unknown time cannot be placed
+      -- in a session (the pinned streaming NULL-event-time contract;
+      -- without it the engines' opposite NULL-ordering defaults also
+      -- renumber every session — r13 mixed-corpus sweep)
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -56,7 +61,11 @@ _SESSION_ORACLE = f"""
 @plan("sessionize_events", _SESSION_ORACLE)
 def sessionize_events(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    s = sessionize(e, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id")
+    # NULL event times open no session (see oracle) — scan-pushed
+    s = sessionize(
+        e.filter(F.col("ts").isNotNull()),
+        "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id",
+    )
     us = F.unix_micros(F.col("ts").cast("timestamp"))  # ntz->ltz is UTC-pinned
     return (
         s.withColumn("__us", us)
@@ -77,19 +86,26 @@ def sessionize_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _RUNNING_ORACLE = """
+    -- ts IS NOT NULL: a running-by-time total cannot sequence an
+    -- event with unknown time (pinned streaming contract; the bare
+    -- spelling re-exposed Spark-NULLS-FIRST vs DuckDB-NULLS-LAST in
+    -- both the sequence and the cumulative sums — r13 mixed sweep)
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,6)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
     FROM events
+    WHERE ts IS NOT NULL
     ORDER BY user_id, event_seq
 """
 
 
 @plan("running_user_totals", _RUNNING_ORACLE)
 def running_user_totals_batch(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # see oracle — scan-pushed
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -764,9 +780,12 @@ def pareto_frontier_orders(spark, sf_dir):
 
 _ROLLZ_ORACLE = """
     WITH daily AS (
+      -- ts IS NOT NULL: a daily series has no NULL day; the phantom
+      -- NULL-day row otherwise shifts every trailing frame by the
+      -- engines' opposite NULL-ordering defaults (r13 mixed sweep)
       SELECT CAST(ts AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(18,6))) AS y
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     fr AS (
       SELECT day, y,
@@ -798,7 +817,10 @@ def rolling_zscore_days(spark, sf_dir):
     are exact regardless of the engine's accumulation order.
     """
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+    # no NULL day in a daily series (see oracle) — scan-pushed
+    daily = e.filter(F.col("ts").isNotNull()).groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(
         F.sum(F.col("value").cast("decimal(18,6)")).alias("y")
     )
     w = Window.orderBy("day").rowsBetween(-29, 0)

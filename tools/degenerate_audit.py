@@ -9,6 +9,12 @@ data the populated oracle corpus never exercises"):
   null    every non-key column NULL, keys kept (optional columns dark)
   one     limit(1) of every table (n=1 statistics edges)
   dup     every row tripled (primary keys violated upstream)
+  mixed   (r13) every non-key column NULL on a deterministic HALF of
+          rows, keys kept — the shape that exercises NULL ORDERING
+          (Spark defaults NULLS FIRST on ASC where DuckDB defaults
+          NULLS LAST), rank spines, first/last aggregates, and
+          quantile picks over partially-dark columns, which the
+          all-NULL shape turns into indistinguishable ties
 
 r12 results: empty 232/234 (2 fixed), null 230/234 (4 fixed), one
 228/234 (6 fixed), dup 234/234 — and all four shapes re-audited
@@ -16,8 +22,8 @@ r12 results: empty 232/234 (2 fixed), null 230/234 (4 fixed), one
 their NULL-semantics contracts in tests/test_empty_corpus.py; this
 tool exists to re-audit the WHOLE catalog when new plans land.
 
-Usage: python tools/degenerate_audit.py [empty|null|one|dup ...]
-       (default: all four; env SPARK_GRAFT_SF_DIR, default sf0.001)
+Usage: python tools/degenerate_audit.py [empty|null|one|dup|mixed ...]
+       (default: all five; env SPARK_GRAFT_SF_DIR, default sf0.001)
 """
 
 from __future__ import annotations
@@ -62,6 +68,25 @@ def _derive(spark, src: str, out: str, shape: str) -> str:
             df = df.withColumn(
                 "__j", F.explode(F.array(*[F.lit(i) for i in range(3)]))
             ).drop("__j")
+        elif shape == "mixed":
+            keys = [
+                c for c, _ in df.dtypes
+                if c.endswith("key") or c.endswith("_id")
+            ]
+            basis = [F.col(k) for k in keys] or [
+                F.col(c) for c, _ in df.dtypes
+            ]
+            dark = F.pmod(F.xxhash64(*basis), F.lit(2)) == 0
+            df = df.select(
+                *[
+                    F.col(c)
+                    if (c.endswith("key") or c.endswith("_id"))
+                    else F.when(~dark, F.col(c))
+                    .otherwise(F.lit(None).cast(dt))
+                    .alias(c)
+                    for c, dt in df.dtypes
+                ]
+            )
         else:
             raise SystemExit(f"unknown shape {shape!r}")
         df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
@@ -93,7 +118,7 @@ def audit(spark, data_dir: str, shape: str) -> list[tuple[str, str]]:
 def main() -> None:
     from comperhensive_bigdata_analysis__spark.session import get_spark
 
-    shapes = sys.argv[1:] or ["empty", "null", "one", "dup"]
+    shapes = sys.argv[1:] or ["empty", "null", "one", "dup", "mixed"]
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark("cba-degenerate-audit", master="local[8]",
                       shuffle_partitions=8)

@@ -3,17 +3,18 @@
 The r12 degenerate-input and adversarial-values audits started life as
 one-off programs; this tool makes them a per-round gate: one command,
 run once at the round's final HEAD, that re-executes both sweeps and
-emits the exact two-line tally BENCH_NOTES records (the r12 format).
+emits the exact tally lines BENCH_NOTES records.
 
 What it runs:
 
 1. ``tools/degenerate_audit.py`` — every registered plan against all
-   four dirty-production corpus shapes (empty / all-NULL / single-row
-   / duplicated-keys), crash-only. Gate: zero crashes on every shape.
-2. (r13) The full ORACLE-PARITY sweep over those same four corpora —
+   five dirty-production corpus shapes (empty / all-NULL / single-row
+   / duplicated-keys / half-NULL mixed), crash-only. Gate: zero
+   crashes on every shape.
+2. (r13) The full ORACLE-PARITY sweep over those same corpora —
    not just "doesn't crash" but "agrees with DuckDB on the values".
-   Gate: empty/null/one fully green; on dup, every non-OK row is one
-   of the pinned PK-uniqueness PRECONDITION rows below.
+   Gate: empty/null/one/mixed fully green; on dup, every non-OK row
+   is one of the pinned PK-uniqueness PRECONDITION rows below.
 3. ``tools/torture_corpus.py`` then the full cross-engine oracle sweep
    (``tests/oracle_harness.py``) over the adversarial-values corpus.
    Gate: every non-OK row is one of the DOCUMENTED engine seams below
@@ -23,8 +24,8 @@ What it runs:
 Exit 0 prints the three tally lines (paste them into the round's
 BENCH_NOTES section verbatim); exit 1 lists what regressed.
 
-Usage: python tools/roundend_gate.py   (~35-45 min: six full-catalog
-       sweeps — crash audit, four value sweeps, torture; env
+Usage: python tools/roundend_gate.py   (~45-55 min: seven full-catalog
+       sweeps — crash audit, five value sweeps, torture; env
        SPARK_GRAFT_SF_DIR for the degenerate base corpus, default
        sf0.001 — the torture corpus is always built from sf0.001 by
        its own tool)
@@ -136,12 +137,17 @@ EXPECTED_DUP_PRECONDITIONS: dict[str, str] = {
     "winnowing_cap_recall": "FAIL",
 }
 
-DEGEN_SHAPES = ("empty", "null", "one", "dup")
+#: "mixed" (r13): every non-key column NULL on a deterministic half
+#: of rows — the shape that exercises NULL ORDERING (Spark NULLS
+#: FIRST on ASC vs DuckDB NULLS LAST), rank spines, and quantile
+#: picks over partially-dark columns. Its first sweep found 9 real
+#: divergences plus 1 driver-side crash, all fixed; fully green since.
+DEGEN_SHAPES = ("empty", "null", "one", "dup", "mixed")
 
 
 def run_degenerate_values() -> tuple[list[str], list[str]]:
-    """Oracle-parity sweep of every plan over the four degenerate
-    corpora (built by the crash audit that runs first). Returns
+    """Oracle-parity sweep of every plan over the degenerate corpora
+    (built by the crash audit that runs first). Returns
     (per-shape tally strings, problems)."""
     tallies, problems = [], []
     for shape in DEGEN_SHAPES:
@@ -190,16 +196,16 @@ def run_degenerate_values() -> tuple[list[str], list[str]]:
 
 
 def run_degenerate() -> tuple[list[str], bool]:
-    """Run all four shapes; return (per-shape tally strings, ok)."""
+    """Run all shapes; return (per-shape tally strings, ok)."""
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "degenerate_audit.py")],
         capture_output=True,
         text=True,
     )
     tallies = re.findall(
-        r"^(?:empty|null|one|dup): .*$", p.stdout, flags=re.M
+        r"^(?:empty|null|one|dup|mixed): .*$", p.stdout, flags=re.M
     )
-    return tallies, p.returncode == 0 and len(tallies) == 4
+    return tallies, p.returncode == 0 and len(tallies) == len(DEGEN_SHAPES)
 
 
 def run_torture() -> tuple[dict[str, str], int, bool]:
