@@ -135,3 +135,33 @@ def test_spark_decimal_to_double_rounds_correctly(spark):
     ).first()
     correct = float(_SEAM4_DEC)
     assert r["d"] == correct and r["s"] == correct
+
+
+# --- seam 5: default NULL ordering (r13 mixed-corpus sweep) ----------
+
+
+def test_spark_default_null_ordering_is_nulls_first_on_asc(spark):
+    """Spark sorts NULLs FIRST on ascending order (and LAST on
+    descending); DuckDB defaults NULLS LAST in both directions. Any
+    plan that ranks/sequences a nullable column therefore cannot rely
+    on either engine's default: the repo's contract (r13) is to state
+    which rows participate — quantile-family ops rank KNOWN values
+    only, time-ordered ops exclude NULL event times (the streaming
+    contract), retrievers rank only documents they can score — so no
+    oracle ever depends on where an engine parks its NULLs."""
+    df = spark.createDataFrame([(2,), (None,), (1,)], "x int")
+    asc = [r["x"] for r in df.orderBy("x").collect()]
+    desc = [r["x"] for r in df.orderBy(F.col("x").desc()).collect()]
+    assert asc == [None, 1, 2]   # NULLS FIRST on ASC
+    assert desc == [2, 1, None]  # NULLS LAST on DESC
+
+
+def test_duckdb_default_null_ordering_is_nulls_last_both_ways():
+    asc = [r[0] for r in duckdb.sql(
+        "SELECT x FROM (VALUES (2), (NULL), (1)) v(x) ORDER BY x"
+    ).fetchall()]
+    desc = [r[0] for r in duckdb.sql(
+        "SELECT x FROM (VALUES (2), (NULL), (1)) v(x) ORDER BY x DESC"
+    ).fetchall()]
+    assert asc == [1, 2, None]
+    assert desc == [2, 1, None]
