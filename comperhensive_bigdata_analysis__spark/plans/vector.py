@@ -294,6 +294,22 @@ def hash_embed_topk(spark, sf_dir):
     final ranking is a top-k (TakeOrderedAndProject), never a global
     sort. Cosine ranking compares dot^2/norm, so no sqrt and no float
     accumulation anywhere.
+
+    r13: dot and norm come from ONE aggregation pass. The previous
+    shape computed them as separate groupBy legs joined on doc_id;
+    because each leg pushed a different doc_id predicate into its
+    scan, the subtrees were not ReuseExchange-identical and the
+    corpus was scanned+tokenized THREE times (measured: 3 parquet
+    scans, 0 reused exchanges in the final adaptive plan). Fusing
+    norms into the dot aggregation via a LEFT join against the
+    broadcast query vector leaves the full-corpus tokenize pass
+    running ONCE (the query-vector leg's scan survives but its
+    doc_id = {_HE_QUERY_DOC} predicate prunes it to a single
+    document). Equivalence with the two-leg oracle: SUM skips NULL
+    qv from the left join, so dot over matched buckets is unchanged;
+    a candidate sharing no bucket with the query has all-NULL
+    products, SUM returns NULL, and the isNotNull filter drops it —
+    exactly the rows the oracle's inner joins drop.
     """
     from ..functions.text import tokens
 
@@ -316,16 +332,18 @@ def hash_embed_topk(spark, sf_dir):
         emb.filter(F.col("doc_id") == _HE_QUERY_DOC)
         .select("bucket", F.col("v").alias("qv"))
     )
-    norms = emb.groupBy("doc_id").agg(F.sum(F.col("v") * F.col("v")).alias("nd"))
-    dots = (
+    fused = (
         emb.filter(F.col("doc_id") != _HE_QUERY_DOC)
-        .join(F.broadcast(q), "bucket")
+        .join(F.broadcast(q), "bucket", "left")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nd"),
+        )
+        .filter(F.col("dot").isNotNull())
     )
     ranked = (
-        dots.join(norms, "doc_id")
-        .select(
+        fused.select(
             "doc_id",
             F.col("dot").alias("dot"),
             F.col("nd").alias("norm_sq"),
