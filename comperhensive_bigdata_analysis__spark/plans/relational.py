@@ -93,7 +93,15 @@ def _dsum(c, alias):
     """,
 )
 def pricing_summary(spark, sf_dir):
-    l = load_table(spark, sf_dir, "lineitem")
+    # fan_out: the five decimal partial-aggregates are the plan's cost,
+    # and on a one-row-group input they run as ONE task (guide §2.5);
+    # the round-robin exchange is a no-op on split-capable layouts and
+    # the date predicate still pushes through it into the scan
+    # (pinned by test_pricing_summary_pushdown_and_partial_agg).
+    # Decimal sums are exact, so partial-agg order cannot move values.
+    from ..sources.tables import fan_out
+
+    l = fan_out(load_table(spark, sf_dir, "lineitem"))
     cnt = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz"))

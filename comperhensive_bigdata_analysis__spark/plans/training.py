@@ -2023,8 +2023,15 @@ def dsir_importance_weights(spark, sf_dir):
     """
     from ..functions.text import tokens
     from ..operators.curation import BIGRAMS_EXPR, dsir_bucket_col
+    from ..sources.tables import fan_out
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: tokenize + bigram concat + per-feature md5 is the
+    # heaviest single-scan stage in the bench set, and a one-row-group
+    # input runs it as ONE task (guide §2.5). No-op on split-capable
+    # layouts; the shared tf3 subtree keeps its ReuseExchange dedup
+    # (the fan-out exchange sits below it, identically in both legs).
+    # Measured 1.36x interleaved at sf0.1.
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     docs = d.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", "lang", tokens(F.col("text")).alias("t")
     )

@@ -60,6 +60,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin fan-out for compute-heavy work over an UNSPLITTABLE
+    scan (optimization guide §2.5, input skew): a parquet file is
+    splittable only at row-group boundaries, so a one-file/one-row-group
+    table — the 1x test corpus's layout — runs its entire scan stage
+    (filter, tokenize, explode, hashing, partial aggregation, Python
+    batch functions) as ONE task while the rest of the cluster idles.
+
+    Scale-adaptive by construction, derived from the input layout
+    rather than tuned to any core count: when the input already splits
+    into at least half as many files as the session has slots (the
+    production layout — inflated bench corpora, any Spark-written
+    dataset), this is a NO-OP and no exchange is added. Only callers
+    whose per-row work is heavy enough to amortize one round-robin
+    shuffle of the input rows should use it (measured per plan —
+    OPTIMIZATION_r13.md); results are unaffected because every such
+    caller aggregates order-insensitively (exact decimal/integer sums)
+    or re-sorts its output.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        return df  # non-file-backed relation — nothing to adapt
+    if nfiles == 0 or nfiles * 2 >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
