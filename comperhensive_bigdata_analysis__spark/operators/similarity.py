@@ -234,6 +234,10 @@ def lsh_band_pairs_fast(
         F.col(id_col).alias("id"),
         F.posexplode(band_keys).alias("band", "bucket"),
     )
+    # Shared exchange below both join legs (see lsh_band_pairs_np):
+    # without it each alias re-evaluates the nbits fold dot-products
+    # over its own scan; with it the sign-bit pass runs once.
+    buckets = buckets.repartition(F.col("band"), F.col("bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -364,6 +368,16 @@ def lsh_band_pairs_np(
             yield pd.DataFrame(out)
 
     buckets = vectors.mapInPandas(bucketize, schema="id long, band int, bucket long")
+    # Pin ONE exchange below both sides of the self-join: without it
+    # each alias plans its own scan+matmul subtree and the Python
+    # bucketize stage executes TWICE (measured: 2 MapInPandas scans, 0
+    # reused exchanges in the final adaptive plan). An explicit hash
+    # repartition on the join key makes the two legs canonically
+    # identical shuffle stages, which AQE deduplicates — the matmul
+    # runs once and the join reads the same shuffle output from both
+    # sides. The exchange itself adds nothing: the equality join needs
+    # (band, bucket) clustering anyway.
+    buckets = buckets.repartition(F.col("band"), F.col("bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
