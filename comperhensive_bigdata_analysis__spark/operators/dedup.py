@@ -277,15 +277,6 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    # Pin ONE exchange below both sides of the band self-join: without
-    # it each alias plans its own explode-from-cache subtree and its
-    # own shuffle (measured at the K=64/8x tier: two 640k-row
-    # exchanges, zero reused). The explicit hash repartition on the
-    # join key makes the legs canonically identical, so AQE executes
-    # the band-explode + shuffle once and feeds both sort legs from
-    # the same output; the clustering is exactly what the equality
-    # join requires, so no exchange is added.
-    band_rows = band_rows.repartition(F.col("band"), F.col("bucket"))
     x, y = band_rows.alias("x"), band_rows.alias("y")
     cand = (
         x.join(
