@@ -1418,42 +1418,70 @@ _BM25_ORACLE = r"""
 
 @plan("bm25_top_docs", _BM25_ORACLE)
 def bm25_top_docs(spark, sf_dir):
+    """r13 fused shape: ONE tokenize pass. The previous four-relation
+    spelling (tok -> dl / stats / tf / dfreq) pushed the query-term
+    filter into the tf leg's scan, so the legs were not
+    ReuseExchange-identical and the corpus was scanned+tokenized 4
+    times (wide scan audit, sf0.001 executed plans). Here one
+    groupBy(doc_id) produces the document length AND the per-query-term
+    tf as conditional sums; the corpus scalars (n_docs, sum_dl) and the
+    per-term document frequencies fall out of ONE single-row aggregate
+    over that doc-level relation, broadcast back. Value identity with
+    the unchanged oracle: each term's score expression is the same
+    float tree over the same integer inputs (a zero tf contributes
+    nothing, matching the oracle's absent (doc, term) row, and docs
+    matching no query term are filtered, matching the oracle's inner
+    join), and the per-term DECIMAL(28,12) casts are summed exactly,
+    so term order cannot move the total."""
     from ..functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
     )
-    tf = (
-        tok.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    glob = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
     avgdl = F.col("sum_dl") / F.col("n_docs")
-    score_t = idf * (
-        (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
+
+    def score_term(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        s = idf * (
+            (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
+        )
+        # zero-tf terms have no (doc, term) row in the oracle: add an
+        # exact decimal zero, never a cast of the zero-tf score
+        return F.when(tf > 0, s.cast("decimal(28,12)")).otherwise(
+            F.lit(0).cast("decimal(28,12)")
+        )
+
+    total = score_term(0)
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + score_term(i)
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(_BM25_TERMS))
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.floor(
-                    F.sum(score_t.cast("decimal(28,12)")).cast("double") * 1e6
-                )
-                / 1e6
-            ).alias("bm25")
+        per_doc.crossJoin(F.broadcast(glob))
+        .filter(matched > 0)
+        .select(
+            "doc_id",
+            (F.floor(total.cast("double") * 1e6) / 1e6).alias("bm25"),
         )
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
