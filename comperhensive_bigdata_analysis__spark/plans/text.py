@@ -808,6 +808,7 @@ _REPORT_CARD_ORACLE = r"""
 
 @plan("corpus_report_card", _REPORT_CARD_ORACLE)
 def corpus_report_card(spark, sf_dir):
+    from ..cache import register_plan_cache
     from ..functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -817,6 +818,14 @@ def corpus_report_card(spark, sf_dir):
         .groupBy("doc_id", "source", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Lazy plan-cache (cache.py lifecycle): the doc-stats leg consumes
+    # tc at (doc_id, source) granularity while the vocabulary leg's
+    # count_distinct is rewritten by Catalyst to a (source, term)
+    # distinct that bypasses the doc_id grouping — the subtrees stop
+    # being ReuseExchange-identical and the tokenize pass (the
+    # dominant stage) executed twice (r13 wide scan audit). One
+    # materialization serves both granularities.
+    tc = register_plan_cache(tc)
     doc = tc.groupBy("doc_id", "source").agg(
         F.sum("cnt").alias("n_tokens"),
         F.sum(F.col("cnt") * F.length("term")).alias("sum_len"),
@@ -848,7 +857,12 @@ def corpus_report_card(spark, sf_dir):
         .groupBy("source")
         .agg(F.sum("__n_src").alias("n_dup_docs"))
     )
-    base = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # n_docs from the digest census, not a third raw scan: the census
+    # groups EVERY row (NULL text hashes to a NULL digest group), so
+    # the per-source sum of group counts IS the row count — and the
+    # census subtree is shared with the dup leg, so ReuseExchange
+    # executes it once (r13: executed documents scans 3 -> 2).
+    base = per_src.groupBy("source").agg(F.sum("__n_src").alias("n_docs"))
     return (
         base.join(src_tok, "source")
         .join(src_vocab, "source")
