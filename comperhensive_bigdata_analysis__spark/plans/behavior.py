@@ -919,12 +919,26 @@ def churn_hazard_table(spark, sf_dir):
     each user's ROW (not events) out over observed lifetime days —
     bounded by the corpus day span — with map-side combined counts.
     """
+    from ..cache import register_plan_cache
+
     e = load_table(spark, sf_dir, "events")
-    span = e.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("first_day"),
-        F.max(F.to_date("ts")).alias("last_day"),
+    # Lazy plan-cache (cache.py lifecycle): three legs consume the
+    # per-user span census (the observation bound, the lifetime rows,
+    # and the distinct lifetime-day grid) with different column needs,
+    # so Catalyst prunes each leg's partial aggregate differently and
+    # no two subtrees stay ReuseExchange-identical — the events corpus
+    # was scanned three times (r13 wide scan audit). One |users|-sized
+    # materialization serves all three; executed events scans 3 -> 1.
+    span = register_plan_cache(
+        e.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
     )
-    bounds = e.agg(F.max(F.to_date("ts")).alias("max_day"))
+    # corpus max day = max of the per-user maxes (MAX skips NULLs on
+    # both paths, so all-NULL users drop out identically) — derived
+    # from the cached span census instead of a second raw scan
+    bounds = span.agg(F.max("last_day").alias("max_day"))
     lives = span.crossJoin(F.broadcast(bounds)).select(
         F.datediff("last_day", "first_day").cast("bigint").alias("lifetime"),
         F.when(F.col("last_day") < F.col("max_day"), 1).otherwise(0).alias(
