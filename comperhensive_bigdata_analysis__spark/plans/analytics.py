@@ -314,7 +314,17 @@ _SEASONAL_MAPE_ORACLE = f"""
 
 @plan("seasonal_forecast_mape", _SEASONAL_MAPE_ORACLE)
 def seasonal_forecast_mape(spark, sf_dir):
-    xy = _daily_xy(spark, sf_dir)
+    from ..cache import register_plan_cache
+
+    # Lazy plan-cache (cache.py lifecycle): the train fit, the
+    # day-of-week offsets, and the test scoring all consume the daily
+    # (event_type, day) census through different filters/aggregates,
+    # so their pruned subtrees are never ReuseExchange-identical and
+    # the events corpus was scanned three times (r13 wide scan
+    # audit; 3 -> 1 with the cache). Call-site cache only: benched
+    # linear_forecast shares _daily_xy and must keep timing the
+    # uncached pass.
+    xy = register_plan_cache(_daily_xy(spark, sf_dir))
     cutoff_x = F.datediff(F.lit(_CUTOFF).cast("date"), F.lit("1970-01-01").cast("date"))
     train = xy.filter(F.col("x") < cutoff_x)
     fitted = _slope_intercept(_reg_agg(train)).select(
