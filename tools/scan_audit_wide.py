@@ -70,9 +70,12 @@ def main() -> None:
                 df.explain()
             if buf.getvalue().count("Scan parquet") >= MIN_STATIC:
                 candidates.append(name)
-        except Exception:  # pragma: no cover - audit robustness
-            continue
-        release_plan_caches()
+        except Exception as ex:  # pragma: no cover - audit robustness
+            print(f"{name:34s} SKIPPED ({type(ex).__name__})")
+        finally:
+            # always release: a failing plan must not leak its
+            # registered caches into later iterations (ADVICE r13)
+            release_plan_caches()
 
     n_flags = 0
     for name in sorted(candidates):
