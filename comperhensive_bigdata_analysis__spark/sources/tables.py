@@ -51,12 +51,63 @@ def _nanos_to_ntz(col_name: str):
     )
 
 
+#: In-process PLAN cache (guide §1.2 step 2 / §7.3 — driver planning
+#: overhead). Measured r14: every ``load_table`` call paid ~70-90 ms of
+#: parquet footer/schema inference, ~30-50 ms of repeated conf.set
+#: round trips, and ~50 ms of DataSource resolution — 0.1-0.4 s of
+#: DRIVER time per query BUILD (a 4-table join pays it 4x), pure
+#: planning overhead at any scale. The cache holds the analyzed base
+#: DataFrame handle per (SparkContext, absolute path, mtime_ns, size)
+#: — the exact semantics of registering each table as a temp view once
+#: (``register_all``, the reference's shared-copy contract), just
+#: keyed automatically. A DataFrame handle is an immutable logical
+#: plan, NOT data: every action still scans the parquet files, results
+#: are recomputed on every invocation, and nothing persists across
+#: processes. A rewritten table (new mtime/size) or a new session
+#: (new applicationId) misses the cache and re-resolves.
+_TABLE_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+_CONFS_APPLIED: set[str] = set()
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """apply_runtime_confs once per underlying SparkContext — the confs
+    are engine invariants (UTC, nanosAsLong, AQE) that nothing in the
+    engine unsets; callers that deliberately mutate them mid-session
+    can call session.apply_runtime_confs directly."""
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        key = None
+    if key is None or key not in _CONFS_APPLIED:
+        apply_runtime_confs(spark)
+        if key is not None:
+            _CONFS_APPLIED.add(key)
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    if path.rstrip("/").endswith("events.parquet") and dict(df.dtypes).get("ts") in (
+        "bigint",
+        "long",
+    ):
+        df = df.withColumn("ts", _nanos_to_ntz("ts"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table, normalizing known type quirks."""
-    apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", _nanos_to_ntz("ts"))
+    _ensure_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        app = spark.sparkContext.applicationId
+    except Exception:
+        return _read_table(spark, path)  # unstat-able path — no caching
+    key = (app, os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _read_table(spark, path)
+        _TABLE_CACHE[key] = df
     return df
 
 
