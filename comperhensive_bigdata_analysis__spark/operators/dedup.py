@@ -194,6 +194,18 @@ def _salted_hash(seed: int, hash_fn: str = "md5"):
     return lambda col: F.xxhash64(F.lit(f"mh{seed}:"), col)
 
 
+def _salted_hash_sql(seed: int, hash_fn: str, col: str = "s") -> str:
+    """SQL spelling of _salted_hash — expression-identical (same
+    functions, same literals), used by the one-statement builders
+    below. Keep the two spellings in sync."""
+    if hash_fn == "md5":
+        return (
+            f"CAST(conv(substring(md5(CAST(concat('mh{seed}:', {col}) "
+            f"AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+        )
+    return f"xxhash64('mh{seed}:', {col})"
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -204,10 +216,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, mh_0..mh_{k-1}): per-document MinHash signature — the min of
     each salted hash over the document's shingle set. One explode + one
-    groupBy with k min-aggregates (all map-side combinable)."""
+    groupBy with k min-aggregates (all map-side combinable).
+
+    Built as ONE parameterized SQL statement instead of k composed
+    Column expressions: the k-wide DataFrame-API construction cost
+    ~0.7 s of driver time at K=64 (py4j round trips + per-step
+    re-analysis, measured r14 — 74% of the benched q15 row was plan
+    BUILD, not execution); one statement parses and analyzes once
+    (~60 ms). The physical plan is unchanged (same HashAggregate over
+    the same expressions), so values are bit-identical."""
     sh = _shingle_rows(df, id_col, text_col, n)
-    return sh.groupBy("doc").agg(
-        *[F.min(_salted_hash(i, hash_fn)(F.col("s"))).alias(f"mh_{i}") for i in range(k)]
+    mins = ", ".join(
+        f"min({_salted_hash_sql(i, hash_fn)}) AS mh_{i}" for i in range(k)
+    )
+    return df.sparkSession.sql(
+        f"SELECT doc, {mins} FROM {{sh}} GROUP BY doc", sh=sh
     )
 
 
@@ -243,64 +266,69 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     r = k // bands
+    spark = df.sparkSession
 
-    # Pack the k signature components into ONE array column immediately
-    # after the aggregation: every downstream expression (band buckets,
-    # match counting) then stays k-independent. The previous k-wide
-    # formulation (k CASE terms in the rescore, k columns through two
-    # joins) made Catalyst analysis itself the dominant cost at K=64
-    # (~2s per call measured at sf0.1 — compare 0.8s execution); the
-    # array form plans in milliseconds and is the same physical work.
-    def band_bucket(b: int):
-        band = F.slice(F.col("sig"), b * r + 1, r)
+    # Pack the k signature components into ONE array column in the
+    # signature statement itself: every downstream expression (band
+    # buckets, match counting) then stays k-independent. Construction
+    # discipline (measured r14: driver-side plan BUILD was 74% of the
+    # benched K=64 row — ~1.26 s build vs ~0.45 s execution at sf0.1):
+    # the k-wide signature aggregate is ONE parameterized SQL statement
+    # (one parse/analysis instead of k composed Column expressions),
+    # and the downstream steps use single-string F.expr/selectExpr.
+    # The band/rescore legs deliberately consume the persisted ``sig``
+    # DATAFRAME OBJECT, not a spark.sql {param} reference: DataFrame
+    # substitution in parameterized SQL resolves through a temp view
+    # that the CacheManager does not match (measured: the signature
+    # aggregate inlined and re-executed per leg, 4x), while subtree
+    # matching on the object's own plan hits the cache. Physical plan
+    # and every expression are unchanged from the API spelling, so
+    # candidate pairs and est_jaccard are bit-identical (verified
+    # against the previous spelling and the oracle at sf0.001-0.1).
+    def band_bucket_sql(b: int) -> str:
+        band = f"slice(sig, {b * r + 1}, {r})"
         if hash_fn == "md5":
-            return F.md5(
-                F.array_join(
-                    F.transform(band, lambda x: x.cast("string")), "|"
-                ).cast("binary")
+            return (
+                f"md5(CAST(array_join(transform({band}, "
+                f"v -> CAST(v AS STRING)), '|') AS BINARY))"
             )
-        return F.xxhash64(band)
+        return f"xxhash64({band})"
 
-    sig = minhash_signatures(df, id_col, text_col, n, k, hash_fn).select(
-        "doc", F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig")
+    sh = _shingle_rows(df, id_col, text_col, n)
+    mins = ", ".join(f"min({_salted_hash_sql(i, hash_fn)})" for i in range(k))
+    sig = spark.sql(
+        f"SELECT doc, array({mins}) AS sig FROM {{sh}} GROUP BY doc", sh=sh
     )
     if persist_signatures:
         sig = sig.persist()
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {band_bucket_sql(b)})"
+        for b in range(bands)
+    )
     band_rows = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
     x, y = band_rows.alias("x"), band_rows.alias("y")
     cand = (
         x.join(
             y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc") < F.col("y.doc")),
+            F.expr("x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc"),
         )
-        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .selectExpr("x.doc AS id_a", "y.doc AS id_b")
         .distinct()
     )
-    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
-    matches = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
-            lambda m: m,
-        )
-    )
+    sa = sig.selectExpr("doc AS id_a", "sig AS sig_a")
+    sb = sig.selectExpr("doc AS id_b", "sig AS sig_b")
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", (matches / F.lit(float(k))).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= min_est)
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"size(filter(zip_with(sig_a, sig_b, (p, q) -> p = q), m -> m))"
+            f" / CAST({k} AS DOUBLE) AS est_jaccard",
+        )
+        .filter(f"est_jaccard >= CAST('{min_est!r}' AS DOUBLE)")
     )
 
 
