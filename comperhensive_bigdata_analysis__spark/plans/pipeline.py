@@ -117,20 +117,32 @@ _PIPELINE_ORACLE = rf"""
 @plan("corpus_clean_pipeline", _PIPELINE_ORACLE)
 def corpus_clean_pipeline(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    # keep-first survivor per digest; the rn == 1 filter is what makes
-    # this scale — it triggers WindowGroupLimit's map-side prune (see
-    # the module comment), so the hot-digest task is bounded by the
-    # number of upstream partitions, not the duplicate mass.
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    deduped = (
-        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
-    )
-    scored = deduped.select(
+    # r14 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    # score BEFORE the dedup window, so the digest exchange carries
+    # (digest, doc_id, lang, source, 3 ints) instead of the full text
+    # payload — at corpus scale the dedup shuffle is the plan's only
+    # full-size exchange and this shrinks it to metadata width. Value
+    # identity: the scores are deterministic per-row functions of text,
+    # and the window keeps the min-doc_id row per digest intact, so the
+    # survivor's (n_tokens, n_chars, n_stop) equal the post-dedup
+    # scoring of the same row (oracle unchanged, hash-green). The
+    # rn == 1 filter stays adjacent to the window, so WindowGroupLimit
+    # still prunes each map partition to one row per digest before the
+    # (now narrow) shuffle.
+    scored_all = d.select(
+        "doc_id",
         "lang",
         "source",
+        F.md5(F.col("text").cast("binary")).alias("__digest"),
         token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
         stopword_count(F.col("text")).alias("n_stop"),
+    )
+    w = Window.partitionBy("__digest").orderBy("doc_id")
+    scored = (
+        scored_all.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "n_tokens", "n_chars", "n_stop")
     )
     # floor-at-6-decimals, not round: see plans/text.py doc_quality note
     q6 = (
