@@ -111,7 +111,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     """Round-robin fan-out for compute-heavy work over an UNSPLITTABLE
     scan (optimization guide §2.5, input skew): a parquet file is
     splittable only at row-group boundaries, so a one-file/one-row-group
@@ -129,6 +129,25 @@ def fan_out(df: DataFrame) -> DataFrame:
     OPTIMIZATION_r13.md); results are unaffected because every such
     caller aggregates order-insensitively (exact decimal/integer sums)
     or re-sorts its output.
+
+    KEYED mode (r14): pass grouping columns to hash-partition instead
+    of round-robin. For a downstream high-cardinality groupBy on the
+    same key, this both parallelizes the aggregation AND satisfies its
+    required distribution, so the aggregation's own exchange is
+    REPLACED, not added to (guide §2.4 — two operations keyed the same
+    way share one exchange); round-robin would scatter each group
+    across partitions and defeat map-side combining. Only worth it
+    when the key cardinality is far above the slot count (guide §2.5
+    on synthetic keys); hash partitioning on real key columns is
+    deterministic, so task retries are safe.
+
+    Caveats (ADVICE r13): splittability is inferred from file count —
+    one file with many row groups IS splittable yet still fans out
+    (acceptable: the 1x corpora are one-row-group files, and a real
+    multi-row-group table usually ships as many files); under dynamic
+    allocation defaultParallelism reflects plan-build-time executors.
+    Perf-only in both directions — results are order-insensitive as
+    documented above.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -138,6 +157,8 @@ def fan_out(df: DataFrame) -> DataFrame:
         return df  # non-file-backed relation — nothing to adapt
     if nfiles == 0 or nfiles * 2 >= target:
         return df
+    if cols:
+        return df.repartition(target, *cols)
     return df.repartition(target)
 
 
