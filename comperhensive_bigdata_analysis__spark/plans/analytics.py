@@ -321,9 +321,15 @@ def seasonal_forecast_mape(spark, sf_dir):
     # (event_type, day) census through different filters/aggregates,
     # so their pruned subtrees are never ReuseExchange-identical and
     # the events corpus was scanned three times (r13 wide scan
-    # audit; 3 -> 1 with the cache). Call-site cache only: benched
-    # linear_forecast shares _daily_xy and must keep timing the
-    # uncached pass.
+    # audit; 3 -> 1 with the cache). Note the benched linear_forecast
+    # shares _daily_xy, and Spark's CacheManager substitutes ANY
+    # equivalent subtree once this persist is registered — within one
+    # session linear_forecast stays an uncached measurement only
+    # because of the phase-boundary release_plan_caches() contract
+    # (cache.py) and because seasonal_forecast_mape is not in the
+    # bench HEADLINE set; registering the cache here rather than
+    # inside _daily_xy does not by itself isolate the benched row
+    # (ADVICE r13).
     xy = register_plan_cache(_daily_xy(spark, sf_dir))
     cutoff_x = F.datediff(F.lit(_CUTOFF).cast("date"), F.lit("1970-01-01").cast("date"))
     train = xy.filter(F.col("x") < cutoff_x)
